@@ -1,0 +1,202 @@
+"""Atomic radial basis (L3): functions b_n(r) = B_n(r)/r on the FEM grid.
+
+Redesign of atomic::basis::RadialBasis (libhelfem/src/RadialBasis.cpp,
+include/RadialBasis.h):
+
+* The reference stabilizes B(r)/r near the nucleus with an automatically
+  located small-r Taylor-series switchover (RadialBasis.cpp:59-133). Here the
+  r factor is cancelled ANALYTICALLY: in the first element r=0 is a LIP node,
+  so every retained basis function carries an exact (x+1) product factor,
+  which LIPBasis.eval_div divides out in exact arithmetic. No cutoff, no
+  Taylor error.
+
+* All operators are built from element-stacked tensors [nelem, nq, nprim]
+  (B, B', b, b', b'') with one einsum + scatter-add, replacing the
+  OpenMP-over-elements matrix_element driver.
+
+* Two-electron radial integrals:
+  - disjoint moments <r^L>, <r^-L-1> per element (RadialBasis.cpp:478-558),
+  - in-element integrals by double quadrature with a segment-wise cumulative
+    inner integral, rescaled by ratio powers (r'/r_q)^L for stability --
+    algebraically identical to quadrature::twoe_inner_integral
+    (libhelfem/src/quadrature.cpp:23-126) but fully vectorized over
+    (L, segment, inner-point, function-pair).
+
+Conventions (identical to the reference):
+  overlap            = int B_i B_j dr
+  kinetic            = 1/2 int B_i' B_j' dr
+  kinetic_l          = 1/2 int B_i B_j / r^2 dr       (multiplied by l(l+1))
+  nuclear            = -int B_i B_j / r dr            (multiplied by Z)
+  radial_integral(n) = int B_i B_j r^n dr
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from helfem_tpu.ops.fem import FEMBasis
+from helfem_tpu.ops.quadrature import chebyshev
+
+__all__ = ["RadialBasis"]
+
+
+@dataclass
+class RadialBasis:
+    fem: FEMBasis
+    nquad: int
+
+    xq: np.ndarray = field(init=False)  # [nq]
+    wq: np.ndarray = field(init=False)  # [nq]
+    r: np.ndarray = field(init=False)  # [nelem, nq]
+    wr: np.ndarray = field(init=False)  # [nelem, nq] quadrature weight incl. rlen
+    B: np.ndarray = field(init=False)  # [nelem, nq, nprim]
+    dB: np.ndarray = field(init=False)
+    d2B: np.ndarray = field(init=False)
+    b: np.ndarray = field(init=False)  # B/r, exact at the origin
+    db: np.ndarray = field(init=False)
+    d2b: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        if self.fem.bval[0] != 0.0:
+            raise ValueError("atomic radial basis requires bval[0] == 0")
+        self.xq, self.wq = chebyshev(self.nquad)
+        self.r = self.fem.coords(self.xq)
+        self.wr = self.wq[None, :] * (0.5 * self.fem.lengths)[:, None]
+        dn = self.fem.eval_dnf(self.xq, 2)
+        self.B, self.dB, self.d2B = dn[0], dn[1], dn[2]
+        self.b, self.db, self.d2b = self._eval_b()
+
+    # --- b = B/r evaluation ---------------------------------------------------
+    def _eval_b(self):
+        nelem, nq = self.r.shape
+        b = np.empty_like(self.B)
+        db = np.empty_like(self.B)
+        d2b = np.empty_like(self.B)
+        # elements > 0: plain quotient rules, r bounded away from 0
+        r = self.r[1:, :, None]
+        b[1:] = self.B[1:] / r
+        db[1:] = self.dB[1:] / r - self.B[1:] / r**2
+        d2b[1:] = self.d2B[1:] / r - 2 * self.dB[1:] / r**2 + 2 * self.B[1:] / r**3
+        # element 0: exact division by the (x+1) root; scale by 2/len per
+        # derivative order plus one for the 1/r itself
+        g = self.fem.poly.eval_div(self.xq, -1.0, 2)  # [3, nq, nprim]
+        s = 2.0 / self.fem.lengths[0]
+        m = self.fem.mask[0][None, :]
+        b[0] = g[0] * s * m
+        db[0] = g[1] * s**2 * m
+        d2b[0] = g[2] * s**3 * m
+        return b, db, d2b
+
+    # --- generic quadrature contraction ----------------------------------------
+    def _elmat(self, lh, rh, f=None):
+        w = self.wr if f is None else self.wr * f
+        return np.einsum("eqi,eq,eqj->eij", lh, w, rh, optimize=True)
+
+    def _me(self, lh, rh, f=None):
+        return self.fem.assemble(self._elmat(lh, rh, f))
+
+    # --- one-electron operators -------------------------------------------------
+    def overlap(self) -> np.ndarray:
+        return self._me(self.B, self.B)
+
+    def kinetic(self) -> np.ndarray:
+        return 0.5 * self._me(self.dB, self.dB)
+
+    def kinetic_l(self) -> np.ndarray:
+        return 0.5 * self._me(self.b, self.b)
+
+    def nuclear(self) -> np.ndarray:
+        return -self._me(self.b, self.b, f=self.r)
+
+    def radial_integral(self, n: int) -> np.ndarray:
+        """<B_i | r^n | B_j> assembled globally."""
+        return self._me(self.b, self.b, f=self.r ** (n + 2))
+
+    def model_potential(self, Vr: np.ndarray) -> np.ndarray:
+        """<b_i | V(r) | b_j> r^2 for V values on the element grid [nelem, nq]."""
+        return self._me(self.b, self.b, f=self.r**2 * Vr)
+
+    def radial_integral_el(self, n: int) -> np.ndarray:
+        """Per-element moment matrices [nelem, nprim, nprim] (no assembly):
+        the 'disjoint' factors of cross-element TEIs
+        (reference: RadialBasis::radial_integral(L, iel))."""
+        return self._elmat(self.b, self.b, f=self.r ** (n + 2))
+
+    # --- nuclear values --------------------------------------------------------
+    def bf_at_origin(self) -> np.ndarray:
+        """b_i(0) = B_i'(0) for functions of the first element, global [nbf]."""
+        g = self.fem.poly.eval_div(np.array([-1.0]), -1.0, 0)[0, 0]  # [nprim]
+        vals = np.zeros((self.fem.nelem, self.fem.nprim))
+        vals[0] = g * (2.0 / self.fem.lengths[0]) * self.fem.mask[0]
+        return self.fem.assemble_vec(vals)
+
+    def dbf_at_origin(self) -> np.ndarray:
+        """b_i'(0), global [nbf] (for the density-gradient cusp check)."""
+        g = self.fem.poly.eval_div(np.array([-1.0]), -1.0, 1)[1, 0]
+        vals = np.zeros((self.fem.nelem, self.fem.nprim))
+        vals[0] = g * (2.0 / self.fem.lengths[0]) ** 2 * self.fem.mask[0]
+        return self.fem.assemble_vec(vals)
+
+    # --- two-electron integrals --------------------------------------------------
+    def twoe_integral(self, Lmax: int) -> np.ndarray:
+        """In-element TEI tensor [NL, nelem, nprim, nprim, nprim, nprim] with
+        NL = Lmax+1, entry (L, e, i, j, k, l) =
+          int_e int_e B_i(r) B_j(r) r_<^L / r_>^{L+1} B_k(r') B_l(r') dr dr'.
+
+        Vectorized double quadrature: outer points r_q; inner integral built
+        from per-segment fresh quadratures and a cumulative ratio-rescaled
+        recurrence (reference: quadrature.cpp:60-126). Stable because only
+        ratio powers (r'/r_q)^L <= 1 appear.
+        """
+        nelem, nq = self.r.shape
+        nprim = self.fem.nprim
+        NL = Lmax + 1
+        x, w = self.xq, self.wq
+        out = np.empty((NL, nelem, nprim, nprim, nprim, nprim))
+        Ls = np.arange(NL)[:, None, None]  # [NL,1,1]
+        for e in range(nelem):
+            rq = self.r[e]  # [nq] outer points
+            lo = np.concatenate([[self.fem.bval[e]], rq[:-1]])  # segment lows
+            hi = rq  # segment highs
+            mid = 0.5 * (lo + hi)
+            hlen = 0.5 * (hi - lo)
+            rp = mid[:, None] + hlen[:, None] * x[None, :]  # [nq_seg, nq_in]
+            # basis values at inner points (mask via fem.eval path)
+            xpoly = (rp - self.fem.mids[e]) / (0.5 * self.fem.lengths[e])
+            Bin = self.fem.poly.eval(xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
+            Bin = Bin * self.fem.mask[e][None, None, :]
+            # segment integrals for all L: weight w_q' * hlen_p * (r'/r_p)^L / r_p
+            ratio = rp / hi[:, None]  # <= 1
+            wseg = (
+                w[None, None, :]
+                * hlen[None, :, None]
+                * ratio[None, :, :] ** Ls
+                / hi[None, :, None]
+            )  # [NL, nq_seg, nq_in]
+            seg = np.einsum("Lpq,pqk,pql->Lpkl", wseg, Bin, Bin, optimize=True)
+            # cumulative inner integral with ratio rescaling:
+            # inner[p] = seg[p] + inner[p-1] * (r_{p-1}/r_p)^{L+1}
+            inner = np.empty_like(seg)
+            inner[:, 0] = seg[:, 0]
+            rr = rq[:-1] / rq[1:]  # [nq-1]
+            fac = rr[None, :] ** (np.arange(NL)[:, None] + 1)  # [NL, nq-1]
+            for p in range(1, nq):
+                inner[:, p] = seg[:, p] + inner[:, p - 1] * fac[:, p - 1, None, None]
+            # outer contraction + symmetrization
+            Bw = self.B[e] * self.wr[e][:, None]  # [nq, nprim]
+            I = np.einsum("pi,pj,Lpkl->Lijkl", Bw, self.B[e], inner, optimize=True)
+            out[:, e] = I + I.transpose(0, 3, 4, 1, 2)
+        return out
+
+    def disjoint_integrals(self, Lmax: int):
+        """(disjoint_L, disjoint_m1L): per-element moment matrices
+        [NL, nelem, nprim, nprim] of r^L and r^{-L-1}.
+
+        disjoint_m1L of element 0 is zeroed: it is never used (element 0 is
+        always the innermost) and its integrand is singular for L >= 2
+        (reference computes-but-never-uses it, TwoDBasis.cpp:672-678)."""
+        NL = Lmax + 1
+        dL = np.stack([self.radial_integral_el(L) for L in range(NL)])
+        dm = np.stack([self.radial_integral_el(-L - 1) for L in range(NL)])
+        dm[:, 0] = 0.0
+        return dL, dm
