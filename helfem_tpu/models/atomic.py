@@ -1,0 +1,292 @@
+"""Atomic two-dimensional basis chi_{nlm} = b_n(r) Y_lm(theta, phi) (L5).
+
+TPU-native redesign of atomic::basis::TwoDBasis (src/atomic/TwoDBasis.cpp):
+
+* The full basis index is angular-major: bf = a * nrad + n for angular shell a
+  (with quantum numbers l_a, m_a) and radial function n.
+* One-electron operators are Kronecker-structured: S = I_ang (x) S_rad, etc.
+* The Coulomb and exchange builds (the SCF hot path, TwoDBasis.cpp:817-1150)
+  are pure jittable einsum pipelines over dense (L, M, element) axes:
+    - angular contraction against a precomputed exact Gaunt tensor
+      G[L, M, a, b],
+    - per-element gathers of the density, batched in-element TEI contraction,
+    - cross-element factorized terms via PREFIX SUMS over the element axis
+      (cumsum) instead of the reference's O(Nel^2) loops,
+    - exchange runs as a lax.scan over L with all (jang, kang) channel pairs
+      batched (replacing the OpenMP collapse(2) loop).
+* All tensors are static-shape; dropped boundary functions live in a trash
+  slot nrad and are sliced off after scatter-adds.
+"""
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from helfem_tpu.ops.fem import FEMBasis
+from helfem_tpu.ops.gaunt import gaunt_table
+from helfem_tpu.ops.grids import get_grid
+from helfem_tpu.ops.polynomials import get_basis
+from helfem_tpu.ops.radial import RadialBasis
+
+__all__ = ["angular_basis", "AtomicBasis", "AtomicOperators", "coulomb", "exchange"]
+
+
+def angular_basis(lmax: int, mmax: int):
+    """Angular shell enumeration (reference: src/atomic/basis.cpp:174-198):
+    ordered by |m| then l, with +m before -m."""
+    lval, mval = [], []
+    for mabs in range(mmax + 1):
+        for l in range(mabs, lmax + 1):
+            lval.append(l)
+            mval.append(mabs)
+            if mabs > 0:
+                lval.append(l)
+                mval.append(-mabs)
+    return np.array(lval), np.array(mval)
+
+
+class AtomicOperators(NamedTuple):
+    """Device-side constants for the jitted SCF hot path."""
+
+    gidx: jnp.ndarray  # [nelem, nprim] int32, trash slot = nrad
+    G: jnp.ndarray  # [NL, NM, nang, nang] Gaunt tensor
+    Lfac: jnp.ndarray  # [NL] = 4 pi / (2L+1)
+    tei: jnp.ndarray  # [NL, nelem, nprim, nprim, nprim, nprim]
+    disjL: jnp.ndarray  # [NL, nelem, nprim, nprim]
+    disjm1L: jnp.ndarray  # [NL, nelem, nprim, nprim]
+    S: jnp.ndarray  # [nbf, nbf]
+    H0: jnp.ndarray  # [nbf, nbf]
+    T: jnp.ndarray  # [nbf, nbf]
+    Vnuc: jnp.ndarray  # [nbf, nbf]
+    Sinvh_rad: jnp.ndarray  # [nrad, nrad]
+    # note: nang/nrad are derived from array shapes inside the jitted paths
+    # (G.shape[-1], Sinvh_rad.shape[0]) so the pytree carries no static ints.
+
+
+@dataclass
+class AtomicBasis:
+    """Host-side setup: builds all constant tensors for an atomic calculation."""
+
+    Z: int
+    lmax: int
+    mmax: int
+    rmax: float = 40.0
+    nelem: int = 10
+    nnodes: int = 15
+    nquad: int = 0
+    igrid: int = 4
+    zexp: float = 2.0
+    primbas: int = 4
+
+    lval: np.ndarray = field(init=False)
+    mval: np.ndarray = field(init=False)
+    rb: RadialBasis = field(init=False)
+
+    def __post_init__(self):
+        self.lval, self.mval = angular_basis(self.lmax, self.mmax)
+        poly = get_basis(self.primbas, self.nnodes)
+        if self.nquad == 0:
+            self.nquad = 5 * self.nnodes
+        bval = get_grid(self.rmax, self.nelem, self.igrid, self.zexp)
+        fem = FEMBasis(poly, bval, drop_first=True, drop_last=True)
+        self.rb = RadialBasis(fem, self.nquad)
+
+    # --- sizes ---------------------------------------------------------------
+    @property
+    def nang(self) -> int:
+        return len(self.lval)
+
+    @property
+    def nrad(self) -> int:
+        return self.rb.fem.nbf
+
+    @property
+    def nbf(self) -> int:
+        return self.nang * self.nrad
+
+    @property
+    def NL(self) -> int:
+        return 2 * int(self.lval.max()) + 1
+
+    # --- one-electron operators (host, setup-time) ----------------------------
+    def overlap(self) -> np.ndarray:
+        return np.kron(np.eye(self.nang), self.rb.overlap())
+
+    def kinetic(self) -> np.ndarray:
+        Trad = self.rb.kinetic()
+        Tl = self.rb.kinetic_l()
+        ll1 = self.lval * (self.lval + 1.0)
+        blocks = Trad[None, :, :] + ll1[:, None, None] * Tl[None, :, :]
+        return _blockdiag(blocks)
+
+    def nuclear(self) -> np.ndarray:
+        return np.kron(np.eye(self.nang), self.Z * self.rb.nuclear())
+
+    def model_potential(self, V) -> np.ndarray:
+        """Guess Hamiltonian potential from V(r) callable (spherical)."""
+        Vr = V(self.rb.r)
+        return np.kron(np.eye(self.nang), self.rb.model_potential(Vr))
+
+    def sinvh_rad(self) -> np.ndarray:
+        S = self.rb.overlap()
+        w, U = np.linalg.eigh(S)
+        if w.min() < 1e-12 * w.max():
+            raise RuntimeError("overlap matrix nearly singular")
+        return U @ np.diag(w**-0.5) @ U.T
+
+    # --- symmetry index sets ----------------------------------------------------
+    def sym_blocks(self, symm: int = 2):
+        """List of arrays of full-basis indices per symmetry block.
+
+        symm=1: group angular shells by m; symm=2: each (l,m) shell its own
+        block (reference: TwoDBasis::get_sym_idx, src/atomic/TwoDBasis.cpp:202)."""
+        if symm == 0:
+            return [np.arange(self.nbf)]
+        blocks = []
+        if symm == 1:
+            for m in np.unique(self.mval):
+                shells = np.nonzero(self.mval == m)[0]
+                idx = np.concatenate(
+                    [a * self.nrad + np.arange(self.nrad) for a in shells]
+                )
+                blocks.append(idx)
+        else:
+            for a in range(self.nang):
+                blocks.append(a * self.nrad + np.arange(self.nrad))
+        return blocks
+
+    # --- device constants ---------------------------------------------------------
+    def build_operators(self) -> AtomicOperators:
+        NL = self.NL
+        tei = self.rb.twoe_integral(NL - 1)
+        disjL, disjm1L = self.rb.disjoint_integrals(NL - 1)
+        G = gaunt_table(self.lval, self.mval, NL - 1)
+        Lfac = 4.0 * np.pi / (2.0 * np.arange(NL) + 1.0)
+        T = self.kinetic()
+        Vnuc = self.nuclear()
+        return AtomicOperators(
+            gidx=jnp.asarray(self.rb.fem.gidx),
+            G=jnp.asarray(G),
+            Lfac=jnp.asarray(Lfac),
+            tei=jnp.asarray(tei),
+            disjL=jnp.asarray(disjL),
+            disjm1L=jnp.asarray(disjm1L),
+            S=jnp.asarray(self.overlap()),
+            H0=jnp.asarray(T + Vnuc),
+            T=jnp.asarray(T),
+            Vnuc=jnp.asarray(Vnuc),
+            Sinvh_rad=jnp.asarray(self.sinvh_rad()),
+        )
+
+
+def _blockdiag(blocks: np.ndarray) -> np.ndarray:
+    n, r, _ = blocks.shape
+    out = np.zeros((n * r, n * r))
+    for i in range(n):
+        out[i * r : (i + 1) * r, i * r : (i + 1) * r] = blocks[i]
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Jitted SCF hot path: Coulomb and exchange builds
+# (reference: TwoDBasis::coulomb / exchange, src/atomic/TwoDBasis.cpp:817-1150)
+# ----------------------------------------------------------------------------
+
+
+def _to4(P: jnp.ndarray, nang: int, nrad: int) -> jnp.ndarray:
+    """[nbf,nbf] -> [nang, nang, nrad, nrad]"""
+    return P.reshape(nang, nrad, nang, nrad).transpose(0, 2, 1, 3)
+
+
+def _from4(P4: jnp.ndarray, nang: int, nrad: int) -> jnp.ndarray:
+    return P4.transpose(0, 2, 1, 3).reshape(nang * nrad, nang * nrad)
+
+
+def _pad_rad(M: jnp.ndarray) -> jnp.ndarray:
+    """Pad the last two (radial) axes by the trash slot."""
+    pad = [(0, 0)] * (M.ndim - 2) + [(0, 1), (0, 1)]
+    return jnp.pad(M, pad)
+
+
+def coulomb(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
+    """J(P), jittable. Prefix sums replace the reference's per-element-pair
+    loops (TwoDBasis.cpp:888-923)."""
+    nang = ops.G.shape[-1]
+    nrad = ops.Sinvh_rad.shape[0]
+    gi = ops.gidx
+    P4 = _to4(P, nang, nrad)
+    # angular (ket) contraction -> radial helpers per (L, M)
+    Paux = jnp.einsum("LMab,abIJ->LMIJ", ops.G, P4)
+    # gather to element windows
+    Pg = _pad_rad(Paux)[:, :, gi[:, :, None], gi[:, None, :]]  # [NL,NM,e,i,j]
+    # disjoint traces
+    tsmall = jnp.einsum("Leij,LMeij->LMe", ops.disjL, Pg)
+    tbig = jnp.einsum("Leij,LMeij->LMe", ops.disjm1L, Pg)
+    # prefix over e' < e of tsmall; suffix over e' > e of tbig
+    pre = jnp.cumsum(tsmall, axis=-1) - tsmall
+    suf = jnp.cumsum(tbig[..., ::-1], axis=-1)[..., ::-1] - tbig
+    Jel = (
+        ops.disjm1L[:, None] * pre[..., None, None]
+        + ops.disjL[:, None] * suf[..., None, None]
+        + jnp.einsum("Leijkl,LMekl->LMeij", ops.tei, Pg)
+    )
+    Jel = Jel * ops.Lfac[:, None, None, None, None]
+    # scatter-add to global radial indices
+    NL, NM = Jel.shape[0], Jel.shape[1]
+    Jaux = jnp.zeros((NL, NM, nrad + 1, nrad + 1))
+    Jaux = Jaux.at[:, :, gi[:, :, None], gi[:, None, :]].add(Jel)
+    Jaux = Jaux[:, :, :nrad, :nrad]
+    # angular (bra) expansion
+    J4 = jnp.einsum("LMba,LMIJ->abIJ", ops.G, Jaux)
+    return _from4(J4, nang, nrad)
+
+
+def exchange(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
+    """K(P), jittable; returns the NEGATIVE exchange contribution to F (the
+    convention of TwoDBasis::exchange: F += kfrac * exchange(P)).
+
+    lax.scan over L; per L all (jang, kang) channel pairs and element pairs
+    are batched einsums (replacing OpenMP collapse(2), TwoDBasis.cpp:987-1135).
+    """
+    nang = ops.G.shape[-1]
+    nrad = ops.Sinvh_rad.shape[0]
+    nelem, nprim = ops.gidx.shape
+    gi = ops.gidx
+    P4 = _to4(P, nang, nrad)
+    P4p = _pad_rad(P4)
+
+    ridx = gi[:, None, :, None]  # [e, 1, i, 1] rows
+    cidx = gi[None, :, None, :]  # [1, ep, 1, j] cols
+    eidx = jnp.arange(nelem)
+    lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]  # e > ep
+    upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
+
+    def body(K4, xs):
+        GL, LfacL, teiL, UL, VL = xs  # U = <r^L>, V = <r^-L-1> per element
+        # R[b,c,I,J] = Lfac * sum_{M,a,d} G[M,b,a] G[M,c,d] P[a,d,I,J]
+        t1 = jnp.einsum("Mba,adIJ->MbdIJ", GL, P4)
+        R = LfacL * jnp.einsum("Mcd,MbdIJ->bcIJ", GL, t1)
+        Rp = _pad_rad(R)
+        # diagonal (in-element) part: K[j,k] = sum_il tei[i,j,k,l] R[i,l]
+        Rg = Rp[:, :, gi[:, :, None], gi[:, None, :]]  # [b,c,e,i,l]
+        Kdiag = jnp.einsum("eijkl,bceil->bcejk", teiL, Rg)
+        # cross-element parts on all (e, f) pairs:
+        #   e > f: Ksub[i,j] = V[e,i,p] Rw[p,q] U[f,j,q]   (r_e > r_f)
+        #   e < f: Ksub[i,j] = U[e,i,p] Rw[p,q] V[f,j,q]
+        Rw = Rp[:, :, ridx, cidx]  # [b,c,e,f,p,q]
+        lo = jnp.einsum("eip,bcefpj->bcefij", VL, jnp.einsum("fjq,bcefpq->bcefpj", UL, Rw))
+        hi = jnp.einsum("eip,bcefpj->bcefij", UL, jnp.einsum("fjq,bcefpq->bcefpj", VL, Rw))
+        Kpair = jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
+        Kpair = Kpair.at[:, :, eidx, eidx].add(Kdiag)
+        K4 = K4.at[:, :, ridx, cidx].add(Kpair)
+        return K4, None
+
+    K4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
+    K4, _ = jax.lax.scan(
+        body, K4, (ops.G, ops.Lfac, ops.tei, ops.disjL, ops.disjm1L)
+    )
+    K4 = K4[:, :, :nrad, :nrad]
+    return -_from4(K4, nang, nrad)

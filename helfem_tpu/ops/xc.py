@@ -1,0 +1,218 @@
+"""JAX-native exchange-correlation functionals (L6).
+
+Replaces libxc (reference: src/general/dftfuncs.cpp dispatches into libxc's
+xc_lda/gga/mgga_exc_vxc, src/atomic/dftgrid.cpp:416-492). Each functional is a
+pure-jnp energy density f(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb) -> e
+(energy per unit volume); ALL potential terms (vrho, vsigma) come from one
+reverse-mode autodiff pass (jax.vjp), which by construction matches the
+energy exactly -- no hand-derived derivative code to get wrong.
+
+Implemented: Slater exchange, VWN5 and PW92 correlation (LDA); PBE exchange
+and correlation (GGA). Formulas from the original publications (Vosko-Wilk-
+Nusair 1980; Perdew-Wang 1992; Perdew-Burke-Ernzerhof 1996).
+
+Density threshold: points with rho < thr are masked out of energies and
+potentials (libxc's dens_threshold convention, dftgrid.cpp:428).
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["Functional", "get_functional", "xc_eval", "parse_method"]
+
+_TINY = 1e-30
+
+
+class Functional(NamedTuple):
+    name: str
+    family: str  # 'lda' or 'gga'
+    f: Callable  # (ra, rb, saa, sab, sbb) -> energy per volume
+
+
+# ----------------------------------------------------------------------------
+# LDA exchange (Slater/Dirac)
+# ----------------------------------------------------------------------------
+
+
+def _ex_slater(ra, rb, saa, sab, sbb):
+    cx = -0.75 * (6.0 / jnp.pi) ** (1.0 / 3.0)
+    return cx * (ra ** (4.0 / 3.0) + rb ** (4.0 / 3.0))
+
+
+# ----------------------------------------------------------------------------
+# VWN5 correlation
+# ----------------------------------------------------------------------------
+
+
+def _vwn_F(x, A, x0, b, c):
+    X = x * x + b * x + c
+    X0 = x0 * x0 + b * x0 + c
+    Q = jnp.sqrt(4.0 * c - b * b)
+    atn = jnp.arctan(Q / (2.0 * x + b))
+    return A * (
+        jnp.log(x * x / X)
+        + 2.0 * b / Q * atn
+        - b * x0 / X0 * (jnp.log((x - x0) ** 2 / X) + 2.0 * (b + 2.0 * x0) / Q * atn)
+    )
+
+
+def _ec_vwn5(ra, rb, saa, sab, sbb):
+    rho = ra + rb
+    zeta = (ra - rb) / rho
+    rs = (3.0 / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
+    x = jnp.sqrt(rs)
+    ecP = _vwn_F(x, 0.0310907, -0.10498, 3.72744, 12.9352)
+    ecF = _vwn_F(x, 0.01554535, -0.32500, 7.06042, 18.0578)
+    ac = _vwn_F(x, -1.0 / (6.0 * jnp.pi**2), -0.00475840, 1.13107, 13.0045)
+    fz = ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0) - 2.0) / (
+        2.0 * (2.0 ** (1.0 / 3.0) - 1.0)
+    )
+    fpp0 = 8.0 / (9.0 * (2.0 ** (1.0 / 3.0) - 1.0))
+    z4 = zeta**4
+    ec = ecP + ac * fz / fpp0 * (1.0 - z4) + (ecF - ecP) * fz * z4
+    return ec * rho
+
+
+# ----------------------------------------------------------------------------
+# PW92 correlation
+# ----------------------------------------------------------------------------
+
+
+def _pw92_G(rs, A, a1, b1, b2, b3, b4, p):
+    srs = jnp.sqrt(rs)
+    den = 2.0 * A * (b1 * srs + b2 * rs + b3 * rs * srs + b4 * rs ** (p + 1.0))
+    return -2.0 * A * (1.0 + a1 * rs) * jnp.log(1.0 + 1.0 / den)
+
+
+def _ec_pw92_eps(rho, zeta):
+    rs = (3.0 / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
+    ec0 = _pw92_G(rs, 0.031091, 0.21370, 7.5957, 3.5876, 1.6382, 0.49294, 1.0)
+    ec1 = _pw92_G(rs, 0.015545, 0.20548, 14.1189, 6.1977, 3.3662, 0.62517, 1.0)
+    mac = _pw92_G(rs, 0.016887, 0.11125, 10.357, 3.6231, 0.88026, 0.49671, 1.0)
+    fz = ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0) - 2.0) / (
+        2.0 * (2.0 ** (1.0 / 3.0) - 1.0)
+    )
+    fpp0 = 1.709920934161365617563962776245
+    z4 = zeta**4
+    return ec0 - mac * fz / fpp0 * (1.0 - z4) + (ec1 - ec0) * fz * z4
+
+
+def _ec_pw92(ra, rb, saa, sab, sbb):
+    rho = ra + rb
+    zeta = (ra - rb) / rho
+    return _ec_pw92_eps(rho, zeta) * rho
+
+
+# ----------------------------------------------------------------------------
+# PBE exchange
+# ----------------------------------------------------------------------------
+
+
+def _ex_pbe(ra, rb, saa, sab, sbb):
+    kappa = 0.804
+    mu = 0.2195149727645171
+
+    def exs(r2, s2x4):
+        # E_x[rho] for the closed-shell density 2*rho_s with sigma 4*sigma_ss
+        kf = (3.0 * jnp.pi**2 * r2) ** (1.0 / 3.0)
+        exu = -3.0 * kf / (4.0 * jnp.pi)
+        s2 = s2x4 / (4.0 * kf**2 * r2**2 + _TINY)
+        Fx = 1.0 + kappa - kappa / (1.0 + mu * s2 / kappa)
+        return r2 * exu * Fx
+
+    return 0.5 * (exs(2.0 * ra, 4.0 * saa) + exs(2.0 * rb, 4.0 * sbb))
+
+
+# ----------------------------------------------------------------------------
+# PBE correlation
+# ----------------------------------------------------------------------------
+
+
+def _ec_pbe(ra, rb, saa, sab, sbb):
+    beta = 0.06672455060314922
+    gamma = (1.0 - jnp.log(2.0)) / jnp.pi**2
+    rho = ra + rb
+    zeta = (ra - rb) / rho
+    eps = _ec_pw92_eps(rho, zeta)
+    phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
+    sigma = saa + 2.0 * sab + sbb
+    kf = (3.0 * jnp.pi**2 * rho) ** (1.0 / 3.0)
+    ks = jnp.sqrt(4.0 * kf / jnp.pi)
+    t2 = sigma / (4.0 * phi**2 * ks**2 * rho**2 + _TINY)
+    expo = jnp.exp(-eps / (gamma * phi**3))
+    A = beta / gamma / (expo - 1.0 + _TINY)
+    num = 1.0 + A * t2
+    den = 1.0 + A * t2 + A * A * t2 * t2
+    H = gamma * phi**3 * jnp.log(1.0 + beta / gamma * t2 * num / den)
+    return (eps + H) * rho
+
+
+# ----------------------------------------------------------------------------
+# catalog + evaluation
+# ----------------------------------------------------------------------------
+
+_CATALOG = {
+    "lda_x": Functional("lda_x", "lda", _ex_slater),
+    "lda_c_vwn": Functional("lda_c_vwn", "lda", _ec_vwn5),
+    "lda_c_pw": Functional("lda_c_pw", "lda", _ec_pw92),
+    "gga_x_pbe": Functional("gga_x_pbe", "gga", _ex_pbe),
+    "gga_c_pbe": Functional("gga_c_pbe", "gga", _ec_pbe),
+}
+
+_ALIASES = {
+    "lda": ("lda_x", "lda_c_pw"),
+    "svwn": ("lda_x", "lda_c_vwn"),
+    "svwn5": ("lda_x", "lda_c_vwn"),
+    "pbe": ("gga_x_pbe", "gga_c_pbe"),
+}
+
+
+def get_functional(name: str) -> Functional:
+    key = name.lower()
+    if key not in _CATALOG:
+        raise ValueError(f"unknown functional '{name}'")
+    return _CATALOG[key]
+
+
+def parse_method(method: str):
+    """Parse a method string as the reference does (src/general/dftfuncs.cpp
+    parse_xc_func): 'HF', a composite alias ('PBE', 'LDA', 'SVWN'), or an
+    'x_func,c_func' pair of functional names.
+
+    Returns (funcs: list[Functional], kfrac: float)."""
+    m = method.strip().lower()
+    if m in ("hf", ""):
+        return [], 1.0
+    if m in _ALIASES:
+        return [_CATALOG[k] for k in _ALIASES[m]], 0.0
+    parts = [p for p in m.split(",") if p and p != "none"]
+    return [get_functional(p) for p in parts], 0.0
+
+
+def xc_eval(funcs, ra, rb, saa, sab, sbb, thr: float = 1e-12):
+    """Energy density and potentials on grid arrays.
+
+    Returns (e, vra, vrb, vsaa, vsab, vsbb), all with the shape of ra.
+    Points where rho < thr give exactly zero.
+    """
+    mask = (ra + rb) > thr
+    rs = jnp.where(mask, ra, 1.0)
+    rbs = jnp.where(mask, rb, 1.0)
+    args = (
+        jnp.maximum(rs, _TINY),
+        jnp.maximum(rbs, _TINY),
+        jnp.maximum(saa, 0.0),
+        sab,
+        jnp.maximum(sbb, 0.0),
+    )
+
+    def ftot(*a):
+        return sum(f.f(*a) for f in funcs) if funcs else jnp.zeros_like(a[0])
+
+    e, vjp = jax.vjp(ftot, *args)
+    grads = vjp(jnp.ones_like(e))
+    z = jnp.zeros_like(e)
+    out = [jnp.where(mask, x, z) for x in (e, *grads)]
+    return tuple(out)

@@ -1,0 +1,44 @@
+"""End-to-end atomic HF golden-value tests (SURVEY.md stage-5 gates).
+
+Reference values are the numerical Hartree-Fock limits (Froese Fischer et
+al.); HelFEM reproduces these to sub-uEh at converged discretization.
+"""
+
+import pytest
+
+from helfem_tpu.models.atomic import AtomicBasis
+from helfem_tpu.scf.atomic_scf import scf_atom
+
+HF_LIMIT = {
+    "He": -2.8616799956,
+    "Ne": -128.5470981,
+    "Ar": -526.8175128,
+}
+
+
+def test_he_hf():
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=40.0, nelem=10, nnodes=15)
+    res = scf_atom(b, 1, 1, convthr=1e-9)
+    assert res.converged
+    assert abs(res.E - HF_LIMIT["He"]) < 1e-9
+    # virial theorem: -E/T = 1
+    assert abs(-res.E / res.Ekin - 1.0) < 1e-8
+    # 1s orbital energy, HF limit -0.91795556
+    assert abs(res.orbE_a[0] + 0.91795556) < 1e-7
+
+
+def test_be_hf():
+    """Be 1s2 2s2: HF limit -14.57302317."""
+    b = AtomicBasis(Z=4, lmax=0, mmax=0, rmax=40.0, nelem=10, nnodes=15)
+    res = scf_atom(b, 2, 2, convthr=1e-9)
+    assert res.converged
+    assert abs(res.E + 14.57302317) < 1e-7
+
+
+@pytest.mark.parametrize("el,Z,nel", [("Ne", 10, 5), ("Ar", 18, 9)])
+def test_closed_shell_hf(el, Z, nel):
+    b = AtomicBasis(Z=Z, lmax=1, mmax=1, rmax=40.0, nelem=10, nnodes=15)
+    res = scf_atom(b, nel, nel, convthr=1e-8, maxit=60)
+    assert res.converged
+    assert abs(res.E - HF_LIMIT[el]) < 1e-6
+    assert abs(-res.E / res.Ekin - 1.0) < 1e-7
