@@ -1,20 +1,23 @@
-"""Atomic SCF driver (L7): HF (restricted/unrestricted) on atoms.
+"""Atomic SCF driver (L7): HF and DFT (restricted/unrestricted) on atoms.
 
 Mirrors the SCF loop of src/atomic/main.cpp:725-998:
-  density -> J -> K [-> XC] -> F -> DIIS -> symmetry-blocked eigensolve ->
+  density -> J -> K and/or XC -> F -> DIIS -> symmetry-blocked eigensolve ->
   aufbau occupations, until |dE| and the DIIS error pass convthr.
 
-The hot path (J/K builds + batched blocked eigensolve) is jitted on device;
-DIIS and occupation bookkeeping run on host over tiny matrices.
+The hot path (J/K/XC builds + batched blocked eigensolve) is jitted on
+device; DIIS and occupation bookkeeping run on host over tiny matrices.
 """
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from helfem_tpu.models.atomic import AtomicBasis, AtomicOperators, coulomb, exchange
+from helfem_tpu.models.atomic_dft import DFTGridOps, build_dft_grid, eval_fxc
+from helfem_tpu.ops.xc import parse_method
 from helfem_tpu.scf.diis import DIIS
 from helfem_tpu.scf.guess import potential
 from helfem_tpu.utils.linalg import eig_gsym_lm
@@ -32,6 +35,7 @@ class SCFResult:
     Ecoul: float
     Exx: float
     Exc: float
+    Nelgrid: float
     orbE_a: np.ndarray
     orbs_a: np.ndarray  # [nang, nrad, nrad] block eigenvectors
     occ_a: np.ndarray  # [nang, nrad] occupation numbers
@@ -40,25 +44,34 @@ class SCFResult:
     occ_b: np.ndarray | None = None
 
 
-def _fock_jit():
+def make_fock(funcs, kfrac: float, nrad: int, dftthr: float = 1e-12):
+    """Jitted Fock builder for a fixed method (funcs/kfrac are compile-time)."""
+
     @jax.jit
-    def fock(ops: AtomicOperators, Pa, Pb, kfrac):
+    def fock(ops: AtomicOperators, g, Pa, Pb):
         P = Pa + Pb
         J = coulomb(ops, P)
-        Ka = kfrac * exchange(ops, Pa)
-        Kb = kfrac * exchange(ops, Pb)
-        Fa = ops.H0 + J + Ka
-        Fb = ops.H0 + J + Kb
+        Fa = ops.H0 + J
+        Fb = ops.H0 + J
+        Exx = 0.0
+        if kfrac != 0.0:
+            Ka = kfrac * exchange(ops, Pa)
+            Kb = kfrac * exchange(ops, Pb)
+            Fa = Fa + Ka
+            Fb = Fb + Kb
+            Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
+        Exc = 0.0
+        Nel = 0.0
+        if funcs:
+            XCa, XCb, Exc, Nel = eval_fxc(funcs, g, Pa, Pb, nrad, dftthr)
+            Fa = Fa + XCa
+            Fb = Fb + XCb
         Ekin = jnp.vdot(P, ops.T)
         Enuc = jnp.vdot(P, ops.Vnuc)
         Ecoul = 0.5 * jnp.vdot(P, J)
-        Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
-        return Fa, Fb, Ekin, Enuc, Ecoul, Exx
+        return Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel
 
     return fock
-
-
-_FOCK = None
 
 
 def _density_from_blocks(C, occ, nang, nrad):
@@ -70,52 +83,49 @@ def _density_from_blocks(C, occ, nang, nrad):
     return P
 
 
-def _aufbau(E: np.ndarray, nel: int, degeneracy_avg: bool = True) -> np.ndarray:
+def _aufbau(E: np.ndarray, nel: float, degeneracy_avg: bool = True) -> np.ndarray:
     """Occupations [nang, nrad] filling nel electrons into globally sorted
     levels; degenerate levels (within 1e-8) share electrons equally, which
     keeps spherical densities spherical (e.g. open p shells)."""
     nang, nrad = E.shape
-    occ = np.zeros((nang, nrad))
+    occ = np.zeros(nang * nrad)
     flat = E.ravel()
     order = np.argsort(flat, kind="stable")
-    left = nel
+    left = float(nel)
     i = 0
-    while left > 0 and i < len(order):
-        # group degenerate levels
+    while left > 1e-12 and i < len(order):
         j = i
         while j + 1 < len(order) and flat[order[j + 1]] - flat[order[i]] < 1e-8:
             j += 1
         ndeg = j - i + 1
-        fill = min(left, ndeg)
-        if degeneracy_avg:
-            for k in range(i, j + 1):
-                occ.ravel()[order[k]] = fill / ndeg
-        else:
-            for k in range(i, i + fill):
-                occ.ravel()[order[k]] = 1.0
+        fill = min(left, float(ndeg))
+        for k in range(i, j + 1):
+            occ[order[k]] = fill / ndeg
         left -= fill
         i = j + 1
-    return occ
+    return occ.reshape(nang, nrad)
 
 
 def scf_atom(
     basis: AtomicBasis,
     nela: int,
     nelb: int,
+    method: str = "HF",
     maxit: int = 100,
-    convthr: float = 1e-9,
+    convthr: float = 1e-7,
     guess: str = "TF",
-    kfrac: float = 1.0,
     verbose: bool = False,
     ops: AtomicOperators | None = None,
+    dftthr: float = 1e-12,
 ) -> SCFResult:
-    """Restricted/unrestricted HF SCF (restricted-open not yet: nela>=nelb)."""
-    global _FOCK
-    if _FOCK is None:
-        _FOCK = _fock_jit()
+    """Restricted/unrestricted SCF. method: 'HF', 'LDA', 'SVWN', 'PBE', or
+    an 'x_func,c_func' pair of functional names."""
     if ops is None:
         ops = basis.build_operators()
     nang, nrad = basis.nang, basis.nrad
+    funcs, kfrac = parse_method(method)
+    g = build_dft_grid(basis) if funcs else None
+    fock = make_fock(tuple(funcs), kfrac, nrad, dftthr)
 
     # guess
     Hg = jnp.asarray(basis.kinetic() + basis.model_potential(potential(guess, basis.Z)))
@@ -135,8 +145,8 @@ def scf_atom(
         occb = occa if restricted else _aufbau(Eb, nelb)
         Pa = _density_from_blocks(Ca, jnp.asarray(occa), nang, nrad)
         Pb = Pa if restricted else _density_from_blocks(Cb, jnp.asarray(occb), nang, nrad)
-        Fa, Fb, Ekin, Enuc, Ecoul, Exx = _FOCK(ops, Pa, Pb, kfrac)
-        Etot = float(Ekin + Enuc + Ecoul + Exx)
+        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, g, Pa, Pb)
+        Etot = float(Ekin + Enuc + Ecoul + Exx + Exc)
         dE = Etot - Eold
         Eold = Etot
 
@@ -145,7 +155,9 @@ def scf_atom(
             (Fa_,) = diis.solve()
             Fb_ = Fa_
         else:
-            err = diis.update([np.asarray(Fa), np.asarray(Fb)], [np.asarray(Pa), np.asarray(Pb)])
+            err = diis.update(
+                [np.asarray(Fa), np.asarray(Fb)], [np.asarray(Pa), np.asarray(Pb)]
+            )
             Fa_, Fb_ = diis.solve()
 
         if verbose:
@@ -170,7 +182,8 @@ def scf_atom(
         Enuc=float(Enuc),
         Ecoul=float(Ecoul),
         Exx=float(Exx),
-        Exc=0.0,
+        Exc=float(Exc),
+        Nelgrid=float(Nel),
         orbE_a=np.sort(Ea.ravel()),
         orbs_a=np.asarray(Ca),
         occ_a=occa,

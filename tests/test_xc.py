@@ -1,0 +1,96 @@
+"""XC functional and DFT-grid tests (SURVEY.md stage-6 gates)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helfem_tpu.models.atomic import AtomicBasis
+from helfem_tpu.models.atomic_dft import build_dft_grid, eval_overlap_grid
+from helfem_tpu.ops.xc import get_functional, parse_method, xc_eval
+from helfem_tpu.scf.atomic_scf import scf_atom
+
+# NIST "Atomic Reference Data for Electronic Structure Calculations"
+# LSD (Slater exchange + VWN correlation) total energies
+NIST_LSD = {"He": -2.834836, "Ne": -128.233481, "Ar": -525.946195}
+
+
+def test_slater_exchange_value():
+    # closed-shell: e_x = -(3/4)(3/pi)^{1/3} rho^{4/3}
+    f = get_functional("lda_x")
+    rho = 0.7
+    e = float(f.f(jnp.array(rho / 2), jnp.array(rho / 2), 0.0, 0.0, 0.0))
+    exact = -0.75 * (3.0 / np.pi) ** (1 / 3) * rho ** (4 / 3)
+    assert abs(e - exact) < 1e-14
+
+
+def test_pbe_reduces_to_lda_at_zero_gradient():
+    z = jnp.array(0.0)
+    for pair in [("gga_x_pbe", "lda_x"), ("gga_c_pbe", "lda_c_pw")]:
+        g = get_functional(pair[0])
+        l = get_functional(pair[1])
+        for ra, rb in [(0.3, 0.3), (0.5, 0.1)]:
+            eg = float(g.f(jnp.array(ra), jnp.array(rb), z, z, z))
+            el = float(l.f(jnp.array(ra), jnp.array(rb), z, z, z))
+            assert abs(eg - el) < 1e-12, pair
+
+
+def test_vwn_pw_agree_roughly():
+    """VWN5 and PW92 parametrize the same QMC data; should agree to ~1e-3."""
+    v = get_functional("lda_c_vwn")
+    p = get_functional("lda_c_pw")
+    z = jnp.array(0.0)
+    for rho in [0.01, 0.1, 1.0, 10.0]:
+        ev = float(v.f(jnp.array(rho / 2), jnp.array(rho / 2), z, z, z)) / rho
+        ep = float(p.f(jnp.array(rho / 2), jnp.array(rho / 2), z, z, z)) / rho
+        assert abs(ev - ep) < 2e-3 * max(1.0, abs(ev))
+
+
+def test_xc_eval_derivative_consistency():
+    """vrho from xc_eval matches finite differences of the energy density."""
+    funcs, _ = parse_method("PBE")
+    ra = jnp.array([0.3, 1.2])
+    rb = jnp.array([0.2, 0.9])
+    s = jnp.array([0.05, 0.4])
+    e, vra, vrb, vsaa, vsab, vsbb = xc_eval(funcs, ra, rb, s, 0.5 * s, s)
+    h = 1e-6
+    ep = xc_eval(funcs, ra + h, rb, s, 0.5 * s, s)[0]
+    em = xc_eval(funcs, ra - h, rb, s, 0.5 * s, s)[0]
+    assert np.allclose((ep - em) / (2 * h), vra, rtol=1e-5)
+    ep = xc_eval(funcs, ra, rb, s + h, 0.5 * s, s)[0]
+    em = xc_eval(funcs, ra, rb, s - h, 0.5 * s, s)[0]
+    assert np.allclose((ep - em) / (2 * h), vsaa, rtol=1e-4)
+
+
+def test_grid_reproduces_overlap():
+    """The reference's in-run grid self-check (src/atomic/main.cpp:411-441):
+    the XC quadrature grid must reproduce the analytic overlap to 1e-10."""
+    b = AtomicBasis(Z=10, lmax=2, mmax=1, rmax=30.0, nelem=6, nnodes=10)
+    g = build_dft_grid(b)
+    S = np.asarray(eval_overlap_grid(g, b.nrad))
+    Sref = b.overlap()
+    norm = np.sqrt(np.outer(np.diag(Sref), np.diag(Sref)))
+    assert np.abs((S - Sref) / norm).max() < 1e-10
+
+
+def test_he_lsd_vs_nist():
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=40.0, nelem=10, nnodes=15)
+    res = scf_atom(b, 1, 1, method="SVWN", convthr=1e-8)
+    assert res.converged
+    assert abs(res.E - NIST_LSD["He"]) < 1e-6
+    assert abs(res.Nelgrid - 2.0) < 1e-9
+
+
+@pytest.mark.parametrize("el,Z,nel", [("Ne", 10, 5), ("Ar", 18, 9)])
+def test_lsd_vs_nist(el, Z, nel):
+    b = AtomicBasis(Z=Z, lmax=1, mmax=1, rmax=40.0, nelem=10, nnodes=15)
+    res = scf_atom(b, nel, nel, method="SVWN", convthr=1e-8, maxit=50)
+    assert res.converged
+    assert abs(res.E - NIST_LSD[el]) < 1e-6
+
+
+def test_he_pbe():
+    """He PBE total energy, literature numerical limit -2.892936."""
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=40.0, nelem=10, nnodes=15)
+    res = scf_atom(b, 1, 1, method="PBE", convthr=1e-8)
+    assert res.converged
+    assert abs(res.E + 2.892936) < 2e-5
