@@ -1,0 +1,144 @@
+"""Multi-chip sharding layer (the TPU-native replacement for the reference's
+OpenMP parallel regions, SURVEY.md section 2.7).
+
+The reference's parallelism sites map onto a 1D device mesh as follows:
+
+| reference OpenMP site                      | mesh sharding here                 |
+|--------------------------------------------|------------------------------------|
+| exchange: collapse(2) over channel pairs   | L-channel axis sharded over 'ch'   |
+| compute_tei over (L, element)              | TEI tensors sharded on the L axis  |
+| per-element matrix assembly                | element-local einsums (no comm)    |
+| eig per symmetry block (serial LAPACK)     | symmetry blocks sharded over 'ch'  |
+| grid-energy reductions (omp reduction)     | jax.lax.psum over 'ch'             |
+
+One SCF iteration = shard_map(fock_shard) [L-sharded J/K, psum] followed by
+shard_map(eig_shard) [block-sharded batched eigh, all_gather]. Collectives
+ride ICI; no DCN is needed at these problem sizes.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from helfem_tpu.models.atomic import AtomicOperators, coulomb, exchange
+from helfem_tpu.utils.linalg import eigh_refined
+
+__all__ = ["make_mesh", "pad_ops_for_mesh", "sharded_scf_step"]
+
+
+def make_mesh(n_devices: int) -> Mesh:
+    devs = np.array(jax.devices()[:n_devices])
+    return Mesh(devs, ("ch",))
+
+
+def pad_ops_for_mesh(ops: AtomicOperators, n: int) -> AtomicOperators:
+    """Pad the L axis of the TEI/Gaunt tensors to a multiple of n with zeros
+    (zero channels contribute nothing to J/K)."""
+    NL = ops.G.shape[0]
+    pad = (-NL) % n
+    if pad == 0:
+        return ops
+    padL = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+    return ops._replace(
+        G=padL(ops.G),
+        Lfac=padL(ops.Lfac),
+        tei=padL(ops.tei),
+        disjL=padL(ops.disjL),
+        disjm1L=padL(ops.disjm1L),
+    )
+
+
+def sharded_scf_step(mesh: Mesh, ops: AtomicOperators, kfrac: float = 1.0):
+    """Returns a jitted step(Pa, Pb) -> (Fa, E_blocks, C_blocks, energies)
+    running one SCF iteration sharded over the mesh.
+
+    The L axis of (G, Lfac, tei, disjL, disjm1L) is sharded over 'ch'; the
+    density is replicated; partial J/K are psum'ed. The symmetry-block
+    eigensolve shards the (padded) angular-block axis over 'ch' and
+    all-gathers the spectra.
+    """
+    n = mesh.devices.size
+    ops = pad_ops_for_mesh(ops, n)
+    nrad = ops.Sinvh_rad.shape[0]
+    nang = ops.G.shape[-1]
+    nblk = -(-nang // n) * n  # angular blocks padded for the eigh shard
+
+    lspec = AtomicOperators(
+        gidx=P(),
+        G=P("ch"),
+        Lfac=P("ch"),
+        tei=P("ch"),
+        disjL=P("ch"),
+        disjm1L=P("ch"),
+        S=P(),
+        H0=P(),
+        T=P(),
+        Vnuc=P(),
+        Sinvh_rad=P(),
+    )
+
+    def fock_shard(ops_l, Pa, Pb):
+        # each device holds an L-shard; J/K partials psum over 'ch'
+        P_ = Pa + Pb
+        J = jax.lax.psum(coulomb(ops_l, P_), "ch")
+        Ka = kfrac * jax.lax.psum(exchange(ops_l, Pa), "ch")
+        Kb = kfrac * jax.lax.psum(exchange(ops_l, Pb), "ch")
+        Fa = ops_l.H0 + J + Ka
+        Fb = ops_l.H0 + J + Kb
+        Ekin = jnp.vdot(P_, ops_l.T)
+        Ecoul = 0.5 * jnp.vdot(P_, J)
+        Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
+        return Fa, Fb, Ekin, Ecoul, Exx
+
+    def eig_shard(F, Sinvh_rad):
+        # block-shard the batched whitened eigensolve over 'ch'
+        i = jax.lax.axis_index("ch")
+        per = nblk // n
+        Fb = jnp.stack(
+            [
+                jax.lax.dynamic_slice(
+                    jnp.pad(F, ((0, nblk * nrad - nang * nrad), (0, nblk * nrad - nang * nrad)))
+                    + jnp.diag(
+                        jnp.arange(nblk * nrad) >= nang * nrad
+                    ).astype(F.dtype),
+                    ((i * per + k) * nrad, (i * per + k) * nrad),
+                    (nrad, nrad),
+                )
+                for k in range(per)
+            ]
+        )
+        Forth = jnp.einsum("pi,apq,qj->aij", Sinvh_rad, Fb, Sinvh_rad)
+        E, V = eigh_refined(Forth)
+        C = jnp.einsum("pi,aij->apj", Sinvh_rad, V)
+        E = jax.lax.all_gather(E, "ch", axis=0, tiled=True)
+        C = jax.lax.all_gather(C, "ch", axis=0, tiled=True)
+        return E[:nang], C[:nang]
+
+    fock_sm = jax.shard_map(
+        fock_shard,
+        mesh=mesh,
+        in_specs=(lspec, P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    eig_sm = jax.shard_map(
+        eig_shard,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(Pa, Pb):
+        Fa, Fb, Ekin, Ecoul, Exx = fock_sm(ops, Pa, Pb)
+        Ea, Ca = eig_sm(Fa, ops.Sinvh_rad)
+        Eb, Cb = eig_sm(Fb, ops.Sinvh_rad)
+        Enuc = jnp.vdot(Pa + Pb, ops.Vnuc)
+        return Fa, Fb, Ea, Ca, Eb, Cb, Ekin + Enuc + Ecoul + Exx
+
+    return step, ops

@@ -1,0 +1,40 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helfem_tpu.models.atomic import AtomicBasis, coulomb, exchange
+from helfem_tpu.parallel.mesh import make_mesh, sharded_scf_step
+from helfem_tpu.utils.linalg import eig_gsym_lm
+
+
+@pytest.mark.parametrize("ndev", [4, 8])
+def test_sharded_step_matches_single(ndev):
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    b = AtomicBasis(Z=4, lmax=2, mmax=1, rmax=15.0, nelem=4, nnodes=6, nquad=40)
+    ops = b.build_operators()
+    mesh = make_mesh(ndev)
+    step, ops_pad = sharded_scf_step(mesh, ops, kfrac=1.0)
+
+    rng = np.random.default_rng(0)
+    # a physical-ish density: block-diagonal symmetric PSD
+    nang, nrad = b.nang, b.nrad
+    Pa = np.zeros((b.nbf, b.nbf))
+    for a in range(nang):
+        X = rng.standard_normal((nrad, 2)) * 0.1
+        Pa[a * nrad : (a + 1) * nrad, a * nrad : (a + 1) * nrad] = X @ X.T
+    Pa = jnp.asarray(Pa)
+
+    Fa, Fb, Ea, Ca, Eb, Cb, E = step(Pa, Pa)
+
+    # unsharded reference
+    P = Pa + Pa
+    J = coulomb(ops, P)
+    K = exchange(ops, Pa)
+    Fref = ops.H0 + J + K
+    assert np.abs(np.asarray(Fa) - np.asarray(Fref)).max() < 1e-10
+    Eref, Cref = eig_gsym_lm(Fref, ops.Sinvh_rad)
+    assert np.abs(np.asarray(Ea) - np.asarray(Eref)).max() < 1e-8
