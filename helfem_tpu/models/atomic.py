@@ -244,6 +244,39 @@ def coulomb(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     return _from4(J4, nang, nrad)
 
 
+def exchange_kernel_L(teiL, UL, VL, gidx, nrad, R):
+    """Radial exchange contraction for ONE L channel and a batch of radial
+    helper matrices R[..., nrad, nrad] (already Gaunt-weighted):
+
+        K[..., I, J] = sum_{elements} [ in-element ktei . R  +  factorized
+                       cross-element U/V products ]
+
+    Returns the per-element-pair tensor scattered into the padded global
+    radial square [..., nrad+1, nrad+1] (caller slices off the trash slot).
+    Shared by the atomic exchange (batch = channel pairs) and the sadatom
+    l-resolved exchange (batch = output l channel).
+    """
+    nelem, nprim = gidx.shape
+    Rp = _pad_rad(R)
+    ridx = gidx[:, None, :, None]
+    cidx = gidx[None, :, None, :]
+    eidx = jnp.arange(nelem)
+    lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]
+    upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
+    batch = R.shape[:-2]
+    nb = len(batch)
+    gi = gidx
+    Rg = Rp[..., gi[:, :, None], gi[:, None, :]]  # [..., e, i, l]
+    Kdiag = jnp.einsum("eijkl,...eil->...ejk", teiL, Rg)
+    Rw = Rp[..., ridx, cidx]  # [..., e, f, p, q]
+    lo = jnp.einsum("eip,...efpj->...efij", VL, jnp.einsum("fjq,...efpq->...efpj", UL, Rw))
+    hi = jnp.einsum("eip,...efpj->...efij", UL, jnp.einsum("fjq,...efpq->...efpj", VL, Rw))
+    Kpair = jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
+    Kpair = Kpair.at[..., eidx, eidx, :, :].add(Kdiag)
+    K = jnp.zeros(batch + (nrad + 1, nrad + 1))
+    return K.at[..., ridx, cidx].add(Kpair)
+
+
 def exchange(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     """K(P), jittable; returns the NEGATIVE exchange contribution to F (the
     convention of TwoDBasis::exchange: F += kfrac * exchange(P)).
@@ -253,35 +286,14 @@ def exchange(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     """
     nang = ops.G.shape[-1]
     nrad = ops.Sinvh_rad.shape[0]
-    nelem, nprim = ops.gidx.shape
-    gi = ops.gidx
     P4 = _to4(P, nang, nrad)
-    P4p = _pad_rad(P4)
-
-    ridx = gi[:, None, :, None]  # [e, 1, i, 1] rows
-    cidx = gi[None, :, None, :]  # [1, ep, 1, j] cols
-    eidx = jnp.arange(nelem)
-    lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]  # e > ep
-    upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
 
     def body(K4, xs):
         GL, LfacL, teiL, UL, VL = xs  # U = <r^L>, V = <r^-L-1> per element
         # R[b,c,I,J] = Lfac * sum_{M,a,d} G[M,b,a] G[M,c,d] P[a,d,I,J]
         t1 = jnp.einsum("Mba,adIJ->MbdIJ", GL, P4)
         R = LfacL * jnp.einsum("Mcd,MbdIJ->bcIJ", GL, t1)
-        Rp = _pad_rad(R)
-        # diagonal (in-element) part: K[j,k] = sum_il tei[i,j,k,l] R[i,l]
-        Rg = Rp[:, :, gi[:, :, None], gi[:, None, :]]  # [b,c,e,i,l]
-        Kdiag = jnp.einsum("eijkl,bceil->bcejk", teiL, Rg)
-        # cross-element parts on all (e, f) pairs:
-        #   e > f: Ksub[i,j] = V[e,i,p] Rw[p,q] U[f,j,q]   (r_e > r_f)
-        #   e < f: Ksub[i,j] = U[e,i,p] Rw[p,q] V[f,j,q]
-        Rw = Rp[:, :, ridx, cidx]  # [b,c,e,f,p,q]
-        lo = jnp.einsum("eip,bcefpj->bcefij", VL, jnp.einsum("fjq,bcefpq->bcefpj", UL, Rw))
-        hi = jnp.einsum("eip,bcefpj->bcefij", UL, jnp.einsum("fjq,bcefpq->bcefpj", VL, Rw))
-        Kpair = jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
-        Kpair = Kpair.at[:, :, eidx, eidx].add(Kdiag)
-        K4 = K4.at[:, :, ridx, cidx].add(Kpair)
+        K4 = K4 + exchange_kernel_L(teiL, UL, VL, ops.gidx, nrad, R)
         return K4, None
 
     K4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))

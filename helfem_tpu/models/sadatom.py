@@ -1,0 +1,546 @@
+"""Spherically-averaged atom solver (sadatom / gensap, stage 7).
+
+Redesign of src/sadatom/{basis,solver}.cpp: orbitals live in per-l radial
+channels with integer shell occupations (fractional filling of degenerate
+shells via capacity weighting); the density is spherically averaged, so
+
+  * Coulomb is pure L=0 (reuses the atomic coulomb path with a trivial
+    angular shell),
+  * exact exchange is l-resolved with m-averaged angular weights
+    totcoup(L; lout, lin) = sum_{mo,mi} G(lo mo; L M; li mi)^2 / (2 lout + 1)
+    (reference: sadatom TwoDBasis::exchange, src/sadatom/basis.cpp:360-460),
+  * XC lives on a radial-only grid.
+
+The per-l channel axis is a batch axis: Fock cubes [nl, nrad, nrad], one
+vmapped whitened eigh across all channels (replacing the reference's
+l-supermatrix LAPACK solve, src/sadatom/solver.cpp:1132-1200).
+"""
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from helfem_tpu.models.atomic import AtomicOperators, coulomb, exchange_kernel_L
+from helfem_tpu.ops.fem import FEMBasis
+from helfem_tpu.ops.gaunt import gaunt_coefficient
+from helfem_tpu.ops.grids import get_grid
+from helfem_tpu.ops.polynomials import get_basis
+from helfem_tpu.ops.radial import RadialBasis
+from helfem_tpu.ops.xc import parse_method, xc_eval
+from helfem_tpu.scf.guess import potential
+from helfem_tpu.utils.linalg import eigh_refined, form_sinvh
+
+__all__ = ["SadAtomBasis", "SadOps", "solve_sadatom", "totcoup_table"]
+
+
+def totcoup_table(lmax: int) -> np.ndarray:
+    """m-averaged squared Gaunt couplings [NL, nl, nl] with NL = 2*lmax+1."""
+    NL = 2 * lmax + 1
+    t = np.zeros((NL, lmax + 1, lmax + 1))
+    for lo in range(lmax + 1):
+        for li in range(lmax + 1):
+            for mo in range(-lo, lo + 1):
+                for mi in range(-li, li + 1):
+                    M = mo - mi
+                    for L in range(abs(lo - li), lo + li + 1):
+                        c = gaunt_coefficient(lo, mo, L, M, li, mi)
+                        t[L, lo, li] += c * c
+            t[:, lo, li] /= 2 * lo + 1
+    return t
+
+
+class SadOps(NamedTuple):
+    at: AtomicOperators  # nang=1 operators (radial S/T/Vnuc, TEI tensors)
+    Tl: jnp.ndarray  # [nrad, nrad] 1/2 <BB/r^2>
+    totcoup: jnp.ndarray  # [NL, nl, nl]
+    # radial XC grid
+    bg: jnp.ndarray
+    dbg: jnp.ndarray
+    r: jnp.ndarray
+    w2: jnp.ndarray  # wr * 4 pi r^2
+
+
+@dataclass
+class SadAtomBasis:
+    Z: int
+    lmax: int = 3
+    rmax: float = 40.0
+    nelem: int = 10
+    nnodes: int = 15
+    nquad: int = 0
+    igrid: int = 4
+    zexp: float = 2.0
+
+    rb: RadialBasis = field(init=False)
+
+    def __post_init__(self):
+        poly = get_basis(4, self.nnodes)
+        if self.nquad == 0:
+            self.nquad = 5 * self.nnodes
+        bval = get_grid(self.rmax, self.nelem, self.igrid, self.zexp)
+        self.rb = RadialBasis(FEMBasis(poly, bval), self.nquad)
+
+    @property
+    def nrad(self) -> int:
+        return self.rb.fem.nbf
+
+    @property
+    def NL(self) -> int:
+        return 2 * self.lmax + 1
+
+    def build_ops(self) -> SadOps:
+        rb = self.rb
+        NL = self.NL
+        tei = rb.twoe_integral(NL - 1)
+        disjL, disjm1L = rb.disjoint_integrals(NL - 1)
+        G = np.zeros((NL, 1, 1, 1))
+        G[0, 0, 0, 0] = 1.0 / np.sqrt(4.0 * np.pi)
+        T = rb.kinetic()
+        Vnuc = self.Z * rb.nuclear()
+        at = AtomicOperators(
+            gidx=jnp.asarray(rb.fem.gidx),
+            G=jnp.asarray(G),
+            Lfac=jnp.asarray(4.0 * np.pi / (2.0 * np.arange(NL) + 1.0)),
+            tei=jnp.asarray(tei),
+            disjL=jnp.asarray(disjL),
+            disjm1L=jnp.asarray(disjm1L),
+            S=jnp.asarray(rb.overlap()),
+            H0=jnp.asarray(T + Vnuc),
+            T=jnp.asarray(T),
+            Vnuc=jnp.asarray(Vnuc),
+            Sinvh_rad=jnp.asarray(form_sinvh(rb.overlap())),
+        )
+        return SadOps(
+            at=at,
+            Tl=jnp.asarray(rb.kinetic_l()),
+            totcoup=jnp.asarray(totcoup_table(self.lmax)),
+            bg=jnp.asarray(rb.b),
+            dbg=jnp.asarray(rb.db),
+            r=jnp.asarray(rb.r),
+            w2=jnp.asarray(rb.wr * 4.0 * np.pi * rb.r**2),
+        )
+
+
+# ----------------------------------------------------------------------------
+# jitted physics
+# ----------------------------------------------------------------------------
+
+
+def sad_exchange(ops: SadOps, Pang: jnp.ndarray) -> jnp.ndarray:
+    """l-resolved exchange cube K[nl, nrad, nrad] (negative contribution)
+    from the m-averaged angular density cube Pang[nl, nrad, nrad]."""
+    nrad = ops.at.Sinvh_rad.shape[0]
+
+    def body(K, xs):
+        teiL, UL, VL, tcL, LfacL = xs
+        R = LfacL * jnp.einsum("ok,kIJ->oIJ", tcL, Pang)
+        K = K + exchange_kernel_L(teiL, UL, VL, ops.at.gidx, nrad, R)
+        return K, None
+
+    nl = ops.totcoup.shape[1]
+    K = jnp.zeros((nl, nrad + 1, nrad + 1))
+    K, _ = jax.lax.scan(
+        body,
+        K,
+        (ops.at.tei, ops.at.disjL, ops.at.disjm1L, ops.totcoup, ops.at.Lfac),
+    )
+    return -K[:, :nrad, :nrad]
+
+
+def sad_xc(funcs, ops: SadOps, Pla, Plb, thr: float = 1e-12):
+    """Radial XC: returns (Fxc_a, Fxc_b [nrad,nrad], Exc, Nel).
+
+    Density n_s(r) = sum_l P^s_l[I,J] b_I b_J / (4 pi)."""
+    gi = ops.at.gidx
+    nrad = ops.at.Sinvh_rad.shape[0]
+
+    def fields(Pl):
+        Pr = jnp.sum(Pl, axis=0)
+        Pp = jnp.pad(Pr, ((0, 1), (0, 1)))
+        Pg = Pp[gi[:, :, None], gi[:, None, :]]
+        n = jnp.einsum("eij,eqi,eqj->eq", Pg, ops.bg, ops.bg) / (4.0 * jnp.pi)
+        dn = 2.0 * jnp.einsum("eij,eqi,eqj->eq", Pg, ops.dbg, ops.bg) / (4.0 * jnp.pi)
+        return n, dn
+
+    na, dna = fields(Pla)
+    nb, dnb = fields(Plb)
+    e, vra, vrb, vsaa, vsab, vsbb = xc_eval(
+        funcs, na, nb, dna * dna, dna * dnb, dnb * dnb, thr
+    )
+    Exc = jnp.sum(ops.w2 * e)
+    Nel = jnp.sum(ops.w2 * (na + nb))
+
+    gga = any(f.family != "lda" for f in funcs)
+
+    def fock(vr, gr):
+        w = ops.w2 / (4.0 * jnp.pi)
+        Fel = jnp.einsum("eq,eqi,eqj->eij", w * vr, ops.bg, ops.bg)
+        if gga:
+            rad = jnp.einsum("eq,eqi,eqj->eij", w * gr, ops.dbg, ops.bg)
+            Fel = Fel + rad + jnp.swapaxes(rad, 1, 2)
+        F = jnp.zeros((nrad + 1, nrad + 1))
+        F = F.at[gi[:, :, None], gi[:, None, :]].add(Fel)
+        return F[:nrad, :nrad]
+
+    Fa = fock(vra, 2.0 * vsaa * dna + vsab * dnb)
+    Fb = fock(vrb, 2.0 * vsbb * dnb + vsab * dna)
+    return Fa, Fb, Exc, Nel
+
+
+# ----------------------------------------------------------------------------
+# occupations and solver (host logic + jitted Fock/eig)
+# ----------------------------------------------------------------------------
+
+
+def shell_capacity(l: int, restricted: bool) -> int:
+    return (2 if restricted else 1) * (2 * l + 1)
+
+
+def density_cubes(C: np.ndarray, occs: np.ndarray, restricted: bool):
+    """(Pl, Pang): integer-occupation and capacity-averaged density cubes
+    from orbitals C[nl, nrad, nmo] and per-l electron counts occs[nl]."""
+    nl, nrad, _ = C.shape
+    Pl = np.zeros((nl, nrad, nrad))
+    Pang = np.zeros((nl, nrad, nrad))
+    for l in range(nl):
+        cap = shell_capacity(l, restricted)
+        left = int(occs[l])
+        io = 0
+        while left > 0:
+            nocc = min(cap, left)
+            c = C[l][:, io]
+            Pl[l] += nocc * np.outer(c, c)
+            Pang[l] += (nocc / cap) * np.outer(c, c)
+            left -= nocc
+            io += 1
+    return Pl, Pang
+
+
+def aufbau_occs(E: np.ndarray, nel: int, restricted: bool) -> np.ndarray:
+    """Fill nel electrons into shells sorted by orbital energy
+    (reference: OrbitalChannel::AufbauOccupations)."""
+    nl, nmo = E.shape
+    shells = [(E[l, io], l) for l in range(nl) for io in range(nmo)]
+    shells.sort()
+    occs = np.zeros(nl, dtype=int)
+    left = nel
+    for e, l in shells:
+        if left <= 0:
+            break
+        n = min(shell_capacity(l, restricted), left)
+        occs[l] += n
+        left -= n
+    return occs
+
+
+def make_sad_fock(funcs, kfrac, nl, nrad, dftthr=1e-12):
+    @jax.jit
+    def fock(ops: SadOps, Pla, Plb, Panga, Pangb):
+        Pl = Pla + Plb
+        Pr = jnp.sum(Pl, axis=0)
+        J = coulomb(ops.at, Pr)
+        ll1 = jnp.arange(nl) * (jnp.arange(nl) + 1.0)
+        kc = ll1[:, None, None] * ops.Tl[None]
+        Fl = (ops.at.H0 + J)[None] + kc
+        Fla, Flb = Fl, Fl
+        Exx = 0.0
+        if kfrac != 0.0:
+            Ka = kfrac * sad_exchange(ops, Panga)
+            Kb = kfrac * sad_exchange(ops, Pangb)
+            Fla = Fla + Ka
+            Flb = Flb + Kb
+            Exx = 0.5 * (jnp.vdot(Pla, Ka) + jnp.vdot(Plb, Kb))
+        Exc = 0.0
+        Nel = 0.0
+        if funcs:
+            XCa, XCb, Exc, Nel = sad_xc(funcs, ops, Pla, Plb, dftthr)
+            Fla = Fla + XCa[None]
+            Flb = Flb + XCb[None]
+        Ekin = jnp.vdot(Pr, ops.at.T) + jnp.vdot(Pl, kc)
+        Enuc = jnp.vdot(Pr, ops.at.Vnuc)
+        Ecoul = 0.5 * jnp.vdot(Pr, J)
+        return Fla, Flb, Ekin, Enuc, Ecoul, Exx, Exc, Nel
+
+    return fock
+
+
+@jax.jit
+def eig_channels(Fl: jnp.ndarray, Sinvh: jnp.ndarray):
+    Forth = jnp.einsum("pi,lpq,qj->lij", Sinvh, Fl, Sinvh)
+    E, V = eigh_refined(Forth)
+    C = jnp.einsum("pi,lij->lpj", Sinvh, V)
+    return E, C
+
+
+@dataclass
+class SadResult:
+    converged: bool
+    E: float
+    occs: np.ndarray
+    occs_b: np.ndarray | None
+    Ekin: float
+    Ecoul: float
+    Exx: float
+    Exc: float
+    orbE: np.ndarray  # [nl, nmo]
+    orbs: np.ndarray
+    Pl: np.ndarray
+    Plb: np.ndarray | None = None
+    orbE_b: np.ndarray | None = None
+    orbs_b: np.ndarray | None = None
+
+
+# ----------------------------------------------------------------------------
+# densities / potentials on the radial grid (gensap outputs)
+# ----------------------------------------------------------------------------
+
+
+def radial_density(basis: SadAtomBasis, Prad: np.ndarray):
+    """(r, n, dn/dr, lapl n, weights) flattened over the element grid;
+    n(r) = P_IJ b_I b_J / (4 pi) (reference: sadatom electron_density)."""
+    rb = basis.rb
+    gi = rb.fem.gidx
+    Pp = np.zeros((basis.nrad + 1, basis.nrad + 1))
+    Pp[: basis.nrad, : basis.nrad] = Prad
+    Pg = Pp[gi[:, :, None], gi[:, None, :]]
+    fourpi = 4.0 * np.pi
+    n = np.einsum("eij,eqi,eqj->eq", Pg, rb.b, rb.b) / fourpi
+    dn = 2.0 * np.einsum("eij,eqi,eqj->eq", Pg, rb.db, rb.b) / fourpi
+    ln = (
+        2.0 * np.einsum("eij,eqi,eqj->eq", Pg, rb.d2b, rb.b)
+        + 2.0 * np.einsum("eij,eqi,eqj->eq", Pg, rb.db, rb.db)
+        + 4.0 * np.einsum("eij,eqi,eqj->eq", Pg, rb.db, rb.b) / rb.r
+    ) / fourpi
+    return rb.r.ravel(), n.ravel(), dn.ravel(), ln.ravel(), (rb.wr * fourpi * rb.r**2).ravel()
+
+
+def kinetic_energy_density(basis: SadAtomBasis, Pl: np.ndarray):
+    """tau(r) = 1/2 sum_l P_l[IJ] (b'_I b'_J + l(l+1) b_I b_J / r^2) / (4 pi)."""
+    rb = basis.rb
+    gi = rb.fem.gidx
+    nl = Pl.shape[0]
+    tau = np.zeros_like(rb.r)
+    for l in range(nl):
+        Pp = np.zeros((basis.nrad + 1, basis.nrad + 1))
+        Pp[: basis.nrad, : basis.nrad] = Pl[l]
+        Pg = Pp[gi[:, :, None], gi[:, None, :]]
+        tau += 0.5 * np.einsum("eij,eqi,eqj->eq", Pg, rb.db, rb.db)
+        tau += 0.5 * l * (l + 1) * np.einsum("eij,eqi,eqj->eq", Pg, rb.b, rb.b) / rb.r**2
+    return tau.ravel() / (4.0 * np.pi)
+
+
+def coulomb_screening(basis: SadAtomBasis, Prad: np.ndarray) -> np.ndarray:
+    """r * V_H(r) on the radial grid (effective electron screening charge;
+    reference: sadatom TwoDBasis::coulomb_screening, basis.cpp:778-840).
+
+    V_H(r) = (1/r) int_0^r rho_B dr' + int_r^inf rho_B / r' dr' with
+    rho_B(r) = P_IJ B_I B_J (the radial charge density)."""
+    rb = basis.rb
+    gi = rb.fem.gidx
+    nelem, nq = rb.r.shape
+    Pp = np.zeros((basis.nrad + 1, basis.nrad + 1))
+    Pp[: basis.nrad, : basis.nrad] = Prad
+    Pg = Pp[gi[:, :, None], gi[:, None, :]]
+    # per-element totals of <BB> and <BB/r>
+    q0 = np.einsum("eij,eqi,eq,eqj->e", Pg, rb.B, rb.wr, rb.B)
+    qm1 = np.einsum("eij,eqi,eq,eqj->e", Pg, rb.B / rb.r[:, :, None], rb.wr, rb.B)
+    pre = np.concatenate([[0.0], np.cumsum(q0)[:-1]])  # charge inside element start
+    suf = np.concatenate([np.cumsum(qm1[::-1])[::-1][1:], [0.0]])  # 1/r-weighted charge outside
+    # in-element cumulative integrals per quadrature point (segment sums)
+    V = np.zeros((nelem, nq))
+    for e in range(nelem):
+        rq = rb.r[e]
+        lo = np.concatenate([[rb.fem.bval[e]], rq[:-1]])
+        hi = rq
+        mid, hlen = 0.5 * (lo + hi), 0.5 * (hi - lo)
+        rp = mid[:, None] + hlen[:, None] * rb.xq[None, :]
+        xpoly = (rp - rb.fem.mids[e]) / (0.5 * rb.fem.lengths[e])
+        Bin = rb.fem.poly.eval(xpoly.ravel(), 0)[0].reshape(nq, nq, -1)
+        Bin = Bin * rb.fem.mask[e][None, None, :]
+        dens = np.einsum("ij,pqi,pqj->pq", Pg[e], Bin, Bin)
+        seg0 = np.einsum("pq,q,p->p", dens, rb.wq, hlen)  # int B B over segment
+        segm1 = np.einsum("pq,pq,q,p->p", dens, 1.0 / rp, rb.wq, hlen)
+        cum0 = np.cumsum(seg0)  # int_lo(e)^rq
+        cumm1_above = np.cumsum(segm1[::-1])[::-1] - segm1  # int_rq^hi(e)
+        V[e] = (pre[e] + cum0) / rq + cumm1_above + suf[e]
+    return (V * rb.r).ravel()
+
+
+def xc_screening(basis: SadAtomBasis, Prad: np.ndarray, funcs) -> np.ndarray:
+    """r * v_xc(r) for LDA-family functionals (GGA potential export needs the
+    gradient-divergence correction; deferred)."""
+    import jax.numpy as jnp
+
+    if any(f.family != "lda" for f in funcs):
+        raise NotImplementedError("xc_screening: only LDA-family potentials")
+    r, n, dn, ln, w = radial_density(basis, Prad)
+    half = jnp.asarray(n / 2.0)
+    z = jnp.zeros_like(half)
+    _, vra, *_ = xc_eval(funcs, half, half, z, z, z)
+    return r * np.asarray(vra)
+
+
+def sap_potential_table(Z: int, method: str = "lda_x", lmax: int = 3, **kw):
+    """Generate the SAP effective-charge table for element Z by solving the
+    spherically-averaged atom, regenerating the reference's tabulated
+    Z_eff(r) data (src/general/sap.cpp was itself generated by gensap).
+
+    Returns (r, Zeff) with Zeff(r) = Z - r V_H(r) - r v_xc(r)."""
+    basis = SadAtomBasis(Z=Z, lmax=lmax, **kw)
+    res = solve_sadatom(basis, method=method, search=True)
+    Prad = res.Pl.sum(axis=0)
+    funcs, _ = parse_method(method)
+    vcoul = coulomb_screening(basis, Prad)
+    vxc = xc_screening(basis, Prad, funcs)
+    r = basis.rb.r.ravel()
+    Zeff = Z - (vcoul + vxc)
+    order = np.argsort(r)
+    return r[order], Zeff[order], res
+
+
+def solve_sadatom(
+    basis: SadAtomBasis,
+    nel: int | None = None,
+    method: str = "HF",
+    occs: np.ndarray | None = None,
+    maxit: int = 128,
+    convthr: float = 1e-7,
+    guess: str = "TF",
+    verbose: bool = False,
+    ops: SadOps | None = None,
+    search: bool = True,
+) -> SadResult:
+    """Restricted spherically-averaged SCF with optional occupation search
+    (aufbau + single-electron moves, reference: sadatom/main.cpp:280-560)."""
+    if nel is None:
+        nel = basis.Z
+    if ops is None:
+        ops = basis.build_ops()
+    nl, nrad = basis.lmax + 1, basis.nrad
+    funcs, kfrac = parse_method(method)
+    fock = make_sad_fock(tuple(funcs), kfrac, nl, nrad)
+
+    # guess orbitals
+    Vg = jnp.asarray(basis.rb.model_potential(potential(guess, basis.Z)(basis.rb.r)))
+    ll1 = np.arange(nl) * (np.arange(nl) + 1.0)
+    Hg = (ops.at.T + Vg)[None] + jnp.asarray(ll1[:, None, None]) * ops.Tl[None]
+    Eg, Cg = eig_channels(Hg, ops.at.Sinvh_rad)
+    Eg, Cg = np.asarray(Eg), np.asarray(Cg)
+
+    def run_scf(occs, E0, C0):
+        E_, C_ = E0.copy(), C0
+        Eold, Etot = 0.0, 0.0
+        hist_F, hist_e = [], []
+        Svec = np.asarray(ops.at.S)
+        Sinvh = np.asarray(ops.at.Sinvh_rad)
+        converged = False
+        out = None
+        for it in range(1, maxit + 1):
+            Pl, Pang = density_cubes(np.asarray(C_), occs, True)
+            Pla = jnp.asarray(Pl / 2.0)
+            # with restricted capacities 2(2l+1), Pang IS the per-spin
+            # m-averaged density (fracocc = nocc/cap), matching the
+            # reference's AngularDensity (src/sadatom/solver.cpp:505-528)
+            Panga = jnp.asarray(Pang)
+            Fla, Flb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(
+                ops, Pla, Pla, Panga, Panga
+            )
+            Etot = float(Ekin + Enuc + Ecoul + Exx + Exc)
+            dE = Etot - Eold
+            Eold = Etot
+            # DIIS on stacked channels
+            Fn = np.asarray(Fla)
+            errv = []
+            for l in range(nl):
+                FPS = Fn[l] @ (Pl[l] / 2.0) @ Svec
+                errv.append((Sinvh.T @ (FPS - FPS.T) @ Sinvh).ravel())
+            errv = np.concatenate(errv)
+            err = np.abs(errv).max()
+            hist_F.append(Fn)
+            hist_e.append(errv)
+            if len(hist_F) > 10:
+                hist_F.pop(0)
+                hist_e.pop(0)
+            if verbose:
+                print(f"  it {it:3d} E={Etot:+.10f} dE={dE:+.2e} err={err:.2e}")
+            if err < convthr and abs(dE) < convthr and it > 1:
+                converged = True
+            if converged or it == maxit:
+                out = (Etot, float(Ekin), float(Ecoul), float(Exx), float(Exc), E_, np.asarray(C_), Pl)
+                break
+            nh = len(hist_F)
+            if nh > 1 and err < 0.1:
+                B = np.array([[np.dot(a, b) for b in hist_e] for a in hist_e])
+                w, V = np.linalg.eigh(B)
+                best, beste = None, np.inf
+                for k in range(nh):
+                    c = V[:, k]
+                    s = c.sum()
+                    if abs(s) < 1e-10:
+                        continue
+                    c = c / s
+                    if np.max(np.abs(c)) > 20:
+                        continue
+                    ee = c @ B @ c
+                    if ee < beste:
+                        beste, best = ee, c
+                Fuse = sum(best[i] * hist_F[i] for i in range(nh)) if best is not None else Fn
+            elif nh > 1:
+                Fuse = 0.5 * Fn + 0.5 * hist_F[-2]
+            else:
+                Fuse = Fn
+            E_, C_ = eig_channels(jnp.asarray(Fuse), ops.at.Sinvh_rad)
+            E_, C_ = np.asarray(E_), C_
+        return converged, out, np.asarray(E_), np.asarray(C_)
+
+    if occs is None:
+        occs = aufbau_occs(Eg, nel, True)
+    # self-consistent aufbau loop
+    best = None
+    seen = set()
+    for _ in range(6):
+        key = tuple(occs)
+        if key in seen:
+            break
+        seen.add(key)
+        conv, out, Efin, Cfin = run_scf(occs, Eg, Cg)
+        if best is None or out[0] < best[1][0]:
+            best = (occs.copy(), out, conv, Efin, Cfin)
+        newocc = aufbau_occs(Efin, nel, True)
+        if np.array_equal(newocc, occs):
+            break
+        occs = newocc
+    # single-electron moves
+    if search:
+        occs0 = best[0]
+        for lf in range(nl):
+            for lt in range(nl):
+                if lf == lt or occs0[lf] == 0:
+                    continue
+                trial = occs0.copy()
+                trial[lf] -= 1
+                trial[lt] += 1
+                if tuple(trial) in seen:
+                    continue
+                seen.add(tuple(trial))
+                conv, out, Efin, Cfin = run_scf(trial, Eg, Cg)
+                if conv and out[0] < best[1][0] - 1e-10:
+                    best = (trial.copy(), out, conv, Efin, Cfin)
+    occs, out, conv, Efin, Cfin = best
+    Etot, Ekin, Ecoul, Exx, Exc, Eorb, Corb, Pl = out
+    return SadResult(
+        converged=conv,
+        E=Etot,
+        occs=occs,
+        occs_b=None,
+        Ekin=Ekin,
+        Ecoul=Ecoul,
+        Exx=Exx,
+        Exc=Exc,
+        orbE=np.asarray(Eorb),
+        orbs=np.asarray(Corb),
+        Pl=Pl,
+    )

@@ -1,0 +1,66 @@
+"""Spherically-averaged atom (sadatom/gensap) tests (SURVEY.md stage-7 gates)."""
+
+import numpy as np
+import pytest
+
+from helfem_tpu.models.sadatom import (
+    SadAtomBasis,
+    coulomb_screening,
+    sap_potential_table,
+    solve_sadatom,
+    totcoup_table,
+)
+
+NIST_LSD = {"Ne": -128.233481, "Ar": -525.946195}
+
+
+def test_totcoup_l0():
+    """s-s coupling is pure L=0 with weight 1/(4 pi) * 4 pi = known value."""
+    t = totcoup_table(2)
+    # <Y00 Y00|Y00 Y00>: G(0,0,0,0,0,0)^2 = 1/(4 pi)
+    assert abs(t[0, 0, 0] - 1.0 / (4 * np.pi)) < 1e-14
+    # closure: sum_L Lfac * totcoup(L, l, l') * (2l'+1)... spot-check symmetry
+    # sum_{mo,mi} G^2 is symmetric in (lout, lin), so t * (2*lout+1) must be
+    for L in range(t.shape[0]):
+        w = t[L] * (2 * np.arange(3) + 1)[:, None]
+        assert np.allclose(w, w.T, atol=1e-13)
+
+
+def test_closed_shell_hf_matches_atomic():
+    """Spherically averaged = true HF for closed shells: Be."""
+    b = SadAtomBasis(Z=4, lmax=1)
+    res = solve_sadatom(b, method="HF", convthr=1e-8, search=False)
+    assert res.converged
+    assert abs(res.E + 14.57302317) < 1e-7
+    assert list(res.occs) == [4, 0]
+
+
+@pytest.mark.parametrize("el,Z", [("Ne", 10), ("Ar", 18)])
+def test_lsd_closed_shell(el, Z):
+    b = SadAtomBasis(Z=Z, lmax=1)
+    res = solve_sadatom(b, method="SVWN", convthr=1e-8, search=False)
+    assert res.converged
+    assert abs(res.E - NIST_LSD[el]) < 1e-6
+
+
+def test_potassium_configuration():
+    """Occupation search must put the 19th electron in 4s, not 3d."""
+    b = SadAtomBasis(Z=19, lmax=2, rmax=50.0, nelem=8, nnodes=12)
+    res = solve_sadatom(b, method="SVWN", convthr=1e-7)
+    assert list(res.occs) == [7, 12, 0]
+
+
+def test_coulomb_screening_asymptote():
+    b = SadAtomBasis(Z=2, lmax=0, nelem=8, nnodes=10)
+    res = solve_sadatom(b, method="HF", search=False)
+    vc = coulomb_screening(b, res.Pl.sum(axis=0))
+    r = b.rb.r.ravel()
+    assert abs(vc[np.argmax(r)] - 2.0) < 1e-9
+
+
+def test_sap_table_neon():
+    """SAP Z_eff: Z at the nucleus, 0 asymptotically, monotone-ish decay."""
+    r, zeff, res = sap_potential_table(10, lmax=1, nelem=8, nnodes=10)
+    assert res.converged
+    assert zeff[0] > 9.0
+    assert abs(zeff[-1]) < 0.5
