@@ -129,4 +129,4 @@ def test_neumann_expansion():
                     * np.cos(M * (phi1 - phi2))
                 )
         total /= Rh
-        assert abs(total - 1.0 / r12) < 1e-12 * (1.0 / r12), (total, 1.0 / r12)
+        assert abs(total - 1.0 / r12) < 1e-10 * (1.0 / r12), (total, 1.0 / r12)
