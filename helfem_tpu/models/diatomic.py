@@ -1,0 +1,581 @@
+"""Diatomic molecules: prolate-spheroidal two-center FEM (stage 8).
+
+Redesign of src/diatomic/{basis,quadrature}.cpp. Electron coordinates
+(mu, nu, phi) with xi = cosh mu, eta = cos nu; nuclei at z = +-Rh on the
+z axis (Rh = R/2, "Rhalf"); volume element Rh^3 (cosh^2 mu - eta^2) sinh mu.
+
+Basis chi_{n l m} = B_n(mu) Y_lm(nu, phi): radial FEM functions B in mu
+(nothing dropped at mu=0 -- sigma orbitals reach the nuclei; the first radial
+function of every m != 0 shell is removed via per-shell masks, replacing the
+reference's pure_indices surgery, src/diatomic/basis.cpp:461-472), function
+dropped at mu_max.
+
+Operator structure (reference: src/diatomic/basis.cpp:677-953):
+    S  = Rh^3 [ I(1,2) delta_ll' - I(1,0) cos2_coupling ]
+    T  = Rh/2 [ <B'|sinh|B'> + l(l+1) I(1,0) + m^2 I(-1,0) ]
+    V  = -Rh^2 [ (Z1+Z2) I(1,1) delta + (Z2-Z1) I(1,0) cos1_coupling ]
+with I(m,n) = <B_i | sinh^m mu cosh^n mu | B_j>.
+
+Two-electron integrals use the Neumann expansion of 1/r12 with Legendre
+P_L^M(xi<) Q_L^M(xi>) radial kernels (ops/legendreq.py) and FOUR in-element
+tensor families from the two cosh^2 volume-element slots; cross-element
+terms factorize into P/Q moment products. The Coulomb/exchange builds are
+jittable scans over the (L,M) channel list with batched einsums and
+prefix sums over the element axis, replacing the reference's OpenMP loops
+(src/diatomic/basis.cpp:1166-1734).
+"""
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from helfem_tpu.ops.fem import FEMBasis
+from helfem_tpu.ops.gaunt import (
+    cosk_coupling,
+    gaunt_coefficient,
+    modified_gaunt_coefficient,
+)
+from helfem_tpu.ops.grids import get_grid
+from helfem_tpu.ops.legendreq import legendre_PQ
+from helfem_tpu.ops.polynomials import get_basis
+from helfem_tpu.ops.quadrature import chebyshev
+from helfem_tpu.utils.linalg import form_sinvh
+
+__all__ = ["DiatomicBasis", "DiatomicOperators", "coulomb_dia", "exchange_dia"]
+
+
+def lm_to_l_m(lmax_per_m):
+    """Angular shells from a per-|m| lmax list
+    (reference: diatomic::basis::lm_to_l_m, basis.cpp:287-302)."""
+    lv, mv = [], []
+    for mabs, lmax in enumerate(lmax_per_m):
+        for l in range(mabs, lmax + 1):
+            lv.append(l)
+            mv.append(mabs)
+            if mabs > 0:
+                lv.append(l)
+                mv.append(-mabs)
+    return np.array(lv), np.array(mv)
+
+
+class DiatomicOperators(NamedTuple):
+    gidx: jnp.ndarray  # [nelem, nprim]
+    shellmask: jnp.ndarray  # [nang, nrad]
+    # one-electron
+    S: jnp.ndarray
+    H0: jnp.ndarray
+    T: jnp.ndarray
+    Vnuc: jnp.ndarray
+    # signed (L,M) channel tables for J
+    GmLM: jnp.ndarray  # [nLM, nang, nang] modified-Gaunt couplings
+    GpLM: jnp.ndarray  # [nLM, nang, nang] plain-Gaunt couplings
+    LM_ilm: jnp.ndarray  # [nLM] -> index into the (L,|M|) radial tables
+    # unsigned (L,|M|) radial tables
+    LMfac: jnp.ndarray  # [nlm] = 4 pi Rh^5 (-1)^M (L-|M|)!/(L+|M|)!
+    tei00: jnp.ndarray  # [nlm, nelem, np, np, np, np]
+    tei02: jnp.ndarray
+    tei20: jnp.ndarray
+    tei22: jnp.ndarray
+    dP0: jnp.ndarray  # [nlm, nelem, np, np] disjoint P/Q moments
+    dP2: jnp.ndarray
+    dQ0: jnp.ndarray
+    dQ2: jnp.ndarray
+    # exchange scan step indexing: flattened (ilm, b)
+    step_ilm: jnp.ndarray  # [nsteps]
+    step_b: jnp.ndarray  # [nsteps]
+    step_sp: jnp.ndarray  # [nsteps] signed iLM for +|M|
+    step_sm: jnp.ndarray  # [nsteps] signed iLM for -|M| (== step_sp when M=0)
+    step_wm: jnp.ndarray  # [nsteps] 0.0 when M=0 (avoid double count) else 1.0
+    # eigensolve blocks
+    blk_idx: jnp.ndarray  # [nblk, blen] global indices (padded with nbf)
+    blk_sinvh: jnp.ndarray  # [nblk, blen, blen]
+
+
+@dataclass
+class DiatomicBasis:
+    Z1: int
+    Z2: int
+    Rbond: float
+    lmax: tuple  # per-|m| lmax list, len = mmax+1
+    rmax: float = 40.0
+    nelem: int = 8
+    nnodes: int = 12
+    nquad: int = 0
+    igrid: int = 4
+    zexp: float = 2.0
+
+    lval: np.ndarray = field(init=False)
+    mval: np.ndarray = field(init=False)
+    fem: FEMBasis = field(init=False)
+
+    def __post_init__(self):
+        if isinstance(self.lmax, int):
+            self.lmax = (self.lmax,)
+        self.lval, self.mval = lm_to_l_m(self.lmax)
+        if self.nquad == 0:
+            self.nquad = 5 * self.nnodes
+        self.Rhalf = 0.5 * self.Rbond
+        mumax = np.arccosh(self.rmax / self.Rhalf)
+        bval = get_grid(mumax, self.nelem, self.igrid, self.zexp)
+        poly = get_basis(4, self.nnodes)
+        self.fem = FEMBasis(poly, bval, drop_first=False, drop_last=True)
+        self.xq, self.wq = chebyshev(self.nquad)
+        self.mu = self.fem.coords(self.xq)  # [nelem, nq]
+        self.wmu = self.wq[None, :] * (0.5 * self.fem.lengths)[:, None]
+        dn = self.fem.eval_dnf(self.xq, 1)
+        self.B, self.dB = dn[0], dn[1]
+        # (L,|M|) and signed (L,M) channel maps
+        self._build_channels()
+
+    # --- sizes ----------------------------------------------------------------
+    @property
+    def nang(self):
+        return len(self.lval)
+
+    @property
+    def nrad(self):
+        return self.fem.nbf
+
+    @property
+    def nbf(self):
+        return self.nang * self.nrad  # incl. masked per-shell functions
+
+    def shell_mask(self) -> np.ndarray:
+        """[nang, nrad]: zero at the first radial function for m != 0 shells."""
+        mask = np.ones((self.nang, self.nrad))
+        mask[self.mval != 0, 0] = 0.0
+        return mask
+
+    def _build_channels(self):
+        lms = set()
+        LMs = set()
+        for a in range(self.nang):
+            for b in range(self.nang):
+                M = int(self.mval[a] - self.mval[b])
+                Lmin = max(abs(int(self.lval[a] - self.lval[b])) - 2, abs(M))
+                Lmaxv = int(self.lval[a] + self.lval[b]) + 2
+                for L in range(Lmin, Lmaxv + 1):
+                    lms.add((L, abs(M)))
+                    LMs.add((L, M))
+        self.lm_map = sorted(lms)
+        self.LM_map = sorted(LMs)
+        self.lm_index = {p: i for i, p in enumerate(self.lm_map)}
+
+    # --- radial integrals -------------------------------------------------------
+    def radial_integral(self, m: int, n: int, per_element: bool = False):
+        f = np.sinh(self.mu) ** m if m else np.ones_like(self.mu)
+        if n:
+            f = f * np.cosh(self.mu) ** n
+        el = np.einsum("eqi,eq,eqj->eij", self.B, self.wmu * f, self.B, optimize=True)
+        return el if per_element else self.fem.assemble(el)
+
+    def kinetic_radial(self) -> np.ndarray:
+        return self.fem.assemble(
+            np.einsum("eqi,eq,eqj->eij", self.dB, self.wmu * np.sinh(self.mu), self.dB)
+        )
+
+    # --- one-electron operators ---------------------------------------------------
+    def _couple(self, radial_blocks: dict) -> np.ndarray:
+        """Assemble sum over couplings: radial_blocks maps coupling-kind
+        ('delta' or ('cos', k)) -> radial matrix."""
+        nang, nrad = self.nang, self.nrad
+        out = np.zeros((nang * nrad, nang * nrad))
+        for a in range(nang):
+            for b in range(nang):
+                if self.mval[a] != self.mval[b]:
+                    continue
+                blk = np.zeros((nrad, nrad))
+                use = False
+                for kind, mat in radial_blocks.items():
+                    if kind == "delta":
+                        if self.lval[a] == self.lval[b]:
+                            blk = blk + mat
+                            use = True
+                    else:
+                        k = kind[1]
+                        c = cosk_coupling(
+                            k, int(self.lval[a]), int(self.mval[a]), int(self.lval[b]), int(self.mval[b])
+                        )
+                        if c != 0.0:
+                            blk = blk + c * mat
+                            use = True
+                if use:
+                    out[a * nrad : (a + 1) * nrad, b * nrad : (b + 1) * nrad] = blk
+        return out
+
+    def overlap(self) -> np.ndarray:
+        I12 = self.radial_integral(1, 2)
+        I10 = self.radial_integral(1, 0)
+        Rh = self.Rhalf
+        return Rh**3 * self._couple({"delta": I12, ("cos", 2): -I10})
+
+    def kinetic(self) -> np.ndarray:
+        Trad = self.kinetic_radial()
+        I10 = self.radial_integral(1, 0)
+        Im10 = self.radial_integral(-1, 0)
+        nang, nrad = self.nang, self.nrad
+        out = np.zeros((nang * nrad, nang * nrad))
+        for a in range(nang):
+            l, m = int(self.lval[a]), int(self.mval[a])
+            blk = Trad + l * (l + 1) * I10 + m * m * Im10
+            out[a * nrad : (a + 1) * nrad, a * nrad : (a + 1) * nrad] = blk
+        return 0.5 * self.Rhalf * out
+
+    def nuclear(self) -> np.ndarray:
+        I11 = self.radial_integral(1, 1)
+        I10 = self.radial_integral(1, 0)
+        Rh = self.Rhalf
+        return -(Rh**2) * self._couple(
+            {"delta": (self.Z1 + self.Z2) * I11, ("cos", 1): (self.Z2 - self.Z1) * I10}
+        )
+
+    def dipole_z(self) -> np.ndarray:
+        I11 = self.radial_integral(1, 1)
+        I13 = self.radial_integral(1, 3)
+        return self.Rhalf**4 * self._couple({("cos", 1): I13, ("cos", 3): -I11})
+
+    # --- symmetry blocks -----------------------------------------------------------
+    def sym_blocks(self):
+        """Valid global indices per symmetry block: by m, plus gerade/
+        ungerade (l parity) for homonuclear (reference: m_indices(m, odd),
+        src/diatomic/basis.h:262-266). Respects per-shell radial masks."""
+        mask = self.shell_mask()
+        blocks = []
+        parities = [0, 1] if self.Z1 == self.Z2 else [None]
+        for m in sorted(set(self.mval)):
+            for par in parities:
+                idx = []
+                for a in range(self.nang):
+                    if self.mval[a] != m:
+                        continue
+                    if par is not None and self.lval[a] % 2 != par:
+                        continue
+                    base = a * self.nrad
+                    start = 0 if mask[a, 0] else 1
+                    idx.extend(range(base + start, base + self.nrad))
+                if idx:
+                    blocks.append(np.array(idx))
+        return blocks
+
+    # --- TEI tables -------------------------------------------------------------------
+    def _legendre_tables(self):
+        """P/Q at all outer and inner quadrature points, per element."""
+        Lmax = max(L for L, _ in self.lm_map)
+        Mmax = max(M for _, M in self.lm_map)
+        nelem, nq = self.mu.shape
+        # inner points per (element, segment)
+        mu_in = np.empty((nelem, nq, nq))
+        for e in range(nelem):
+            lo = np.concatenate([[self.fem.bval[e]], self.mu[e][:-1]])
+            hi = self.mu[e]
+            mid, hlen = 0.5 * (lo + hi), 0.5 * (hi - lo)
+            mu_in[e] = mid[:, None] + hlen[:, None] * self.xq[None, :]
+        self._mu_in = mu_in
+        P_out, Q_out = legendre_PQ(Lmax, Mmax, mu=self.mu.ravel())
+        P_in, Q_in = legendre_PQ(Lmax, Mmax, mu=mu_in.ravel())
+        return (
+            P_out.reshape(Lmax + 1, Mmax + 1, nelem, nq),
+            Q_out.reshape(Lmax + 1, Mmax + 1, nelem, nq),
+            P_in.reshape(Lmax + 1, Mmax + 1, nelem, nq, nq),
+            Q_in.reshape(Lmax + 1, Mmax + 1, nelem, nq, nq),
+        )
+
+    def compute_tei(self):
+        """All radial TEI tables: in-element 4 families + disjoint moments,
+        indexed by the (L,|M|) channel list."""
+        nelem, nq = self.mu.shape
+        nprim = self.fem.nprim
+        nlm = len(self.lm_map)
+        P_out, Q_out, P_in, Q_in = self._legendre_tables()
+        ch_out = np.cosh(self.mu)
+        sh_out = np.sinh(self.mu)
+        mu_in = self._mu_in
+        ch_in = np.cosh(mu_in)
+        sh_in = np.sinh(mu_in)
+
+        # disjoint moments: <B_i B_j sinh cosh^k {P,Q}_LM>_e
+        dP0 = np.empty((nlm, nelem, nprim, nprim))
+        dP2 = np.empty_like(dP0)
+        dQ0 = np.empty_like(dP0)
+        dQ2 = np.empty_like(dP0)
+        for i, (L, Ma) in enumerate(self.lm_map):
+            for k, out in [(0, (dP0, dQ0)), (2, (dP2, dQ2))]:
+                w = self.wmu * sh_out * ch_out**k
+                out[0][i] = np.einsum("eqi,eq,eqj->eij", self.B, w * P_out[L, Ma], self.B)
+                out[1][i] = np.einsum("eqi,eq,eqj->eij", self.B, w * Q_out[L, Ma], self.B)
+
+        # in-element double quadrature (vectorized per element over segments)
+        t00 = np.empty((nlm, nelem, nprim, nprim, nprim, nprim))
+        t02 = np.empty_like(t00)
+        t20 = np.empty_like(t00)
+        t22 = np.empty_like(t00)
+        # basis values at inner points
+        Bin = np.empty((nelem, nq, nq, nprim))
+        for e in range(nelem):
+            xpoly = (mu_in[e] - self.fem.mids[e]) / (0.5 * self.fem.lengths[e])
+            Bin[e] = self.fem.poly.eval(xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
+            Bin[e] *= self.fem.mask[e][None, None, :]
+        seg_hlen = np.empty((nelem, nq))
+        for e in range(nelem):
+            lo = np.concatenate([[self.fem.bval[e]], self.mu[e][:-1]])
+            seg_hlen[e] = 0.5 * (self.mu[e] - lo)
+
+        for i, (L, Ma) in enumerate(self.lm_map):
+            for e in range(nelem):
+                wrk = {}
+                for l in (0, 2):
+                    wseg = (
+                        self.wq[None, :]
+                        * seg_hlen[e][:, None]
+                        * sh_in[e]
+                        * ch_in[e] ** l
+                        * P_in[L, Ma, e]
+                    )
+                    seg = np.einsum("pq,pqk,pql->pkl", wseg, Bin[e], Bin[e], optimize=True)
+                    inner = np.cumsum(seg, axis=0)
+                    for k in (0, 2):
+                        wout = self.wmu[e] * sh_out[e] * ch_out[e] ** k * Q_out[L, Ma, e]
+                        Bw = self.B[e] * wout[:, None]
+                        wrk[(k, l)] = np.einsum(
+                            "pi,pj,pkl->ijkl", Bw, self.B[e], inner, optimize=True
+                        )
+                t00[i, e] = wrk[(0, 0)] + wrk[(0, 0)].transpose(2, 3, 0, 1)
+                t02[i, e] = wrk[(0, 2)] + wrk[(2, 0)].transpose(2, 3, 0, 1)
+                t20[i, e] = wrk[(2, 0)] + wrk[(0, 2)].transpose(2, 3, 0, 1)
+                t22[i, e] = wrk[(2, 2)] + wrk[(2, 2)].transpose(2, 3, 0, 1)
+        return t00, t02, t20, t22, dP0, dP2, dQ0, dQ2
+
+    # --- device constants ----------------------------------------------------------------
+    def build_operators(self) -> DiatomicOperators:
+        from math import factorial
+
+        nang, nrad = self.nang, self.nrad
+        nLM = len(self.LM_map)
+        nlm = len(self.lm_map)
+        GmLM = np.zeros((nLM, nang, nang))
+        GpLM = np.zeros((nLM, nang, nang))
+        LM_ilm = np.zeros(nLM, dtype=np.int32)
+        for s, (L, M) in enumerate(self.LM_map):
+            LM_ilm[s] = self.lm_index[(L, abs(M))]
+            for a in range(nang):
+                for b in range(nang):
+                    if self.mval[a] - self.mval[b] != M:
+                        continue
+                    GmLM[s, a, b] = modified_gaunt_coefficient(
+                        int(self.lval[a]), int(self.mval[a]), L, M, int(self.lval[b]), int(self.mval[b])
+                    )
+                    GpLM[s, a, b] = gaunt_coefficient(
+                        int(self.lval[a]), int(self.mval[a]), L, M, int(self.lval[b]), int(self.mval[b])
+                    )
+        LMfac = np.array(
+            [
+                4.0 * np.pi * self.Rhalf**5 * (-1.0) ** Ma * factorial(L - Ma) / factorial(L + Ma)
+                for (L, Ma) in self.lm_map
+            ]
+        )
+        t00, t02, t20, t22, dP0, dP2, dQ0, dQ2 = self.compute_tei()
+
+        # exchange scan steps: (ilm, b) pairs with signed-LM lookups
+        LM_pos = {p: i for i, p in enumerate(self.LM_map)}
+        s_ilm, s_b, s_sp, s_sm, s_wm = [], [], [], [], []
+        for i, (L, Ma) in enumerate(self.lm_map):
+            for b in range(nang):
+                s_ilm.append(i)
+                s_b.append(b)
+                s_sp.append(LM_pos[(L, Ma)])
+                if Ma > 0 and (L, -Ma) in LM_pos:
+                    s_sm.append(LM_pos[(L, -Ma)])
+                    s_wm.append(1.0)
+                else:
+                    s_sm.append(LM_pos[(L, Ma)])
+                    s_wm.append(0.0)
+
+        # symmetry blocks for the eigensolve, padded to a common length
+        S = self.overlap()
+        blocks = self.sym_blocks()
+        blen = max(len(b) for b in blocks)
+        nblk = len(blocks)
+        blk_idx = np.full((nblk, blen), self.nbf, dtype=np.int32)
+        blk_sinvh = np.zeros((nblk, blen, blen))
+        for i, idx in enumerate(blocks):
+            blk_idx[i, : len(idx)] = idx
+            blk_sinvh[i, : len(idx), : len(idx)] = form_sinvh(S[np.ix_(idx, idx)])
+
+        T = self.kinetic()
+        V = self.nuclear()
+        mask = self.shell_mask()
+        mv = mask.reshape(-1)
+        # mask garbage rows/cols of the one-electron matrices
+        S = S * mv[:, None] * mv[None, :]
+        T = T * mv[:, None] * mv[None, :]
+        V = V * mv[:, None] * mv[None, :]
+
+        return DiatomicOperators(
+            gidx=jnp.asarray(self.fem.gidx),
+            shellmask=jnp.asarray(mask),
+            S=jnp.asarray(S),
+            H0=jnp.asarray(T + V),
+            T=jnp.asarray(T),
+            Vnuc=jnp.asarray(V),
+            GmLM=jnp.asarray(GmLM),
+            GpLM=jnp.asarray(GpLM),
+            LM_ilm=jnp.asarray(LM_ilm),
+            LMfac=jnp.asarray(LMfac),
+            tei00=jnp.asarray(t00),
+            tei02=jnp.asarray(t02),
+            tei20=jnp.asarray(t20),
+            tei22=jnp.asarray(t22),
+            dP0=jnp.asarray(dP0),
+            dP2=jnp.asarray(dP2),
+            dQ0=jnp.asarray(dQ0),
+            dQ2=jnp.asarray(dQ2),
+            step_ilm=jnp.asarray(np.array(s_ilm, dtype=np.int32)),
+            step_b=jnp.asarray(np.array(s_b, dtype=np.int32)),
+            step_sp=jnp.asarray(np.array(s_sp, dtype=np.int32)),
+            step_sm=jnp.asarray(np.array(s_sm, dtype=np.int32)),
+            step_wm=jnp.asarray(np.array(s_wm)),
+            blk_idx=jnp.asarray(blk_idx),
+            blk_sinvh=jnp.asarray(blk_sinvh),
+        )
+
+
+# --------------------------------------------------------------------------------
+# jitted J/K builds
+# --------------------------------------------------------------------------------
+
+
+def _to4(P, nang, nrad):
+    return P.reshape(nang, nrad, nang, nrad).transpose(0, 2, 1, 3)
+
+
+def _from4(P4, nang, nrad):
+    return P4.transpose(0, 2, 1, 3).reshape(nang * nrad, nang * nrad)
+
+
+def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
+    """J(P): scan over signed (L,M) channels; per channel prefix sums over
+    elements (reference: src/diatomic/basis.cpp:1359-1531)."""
+    nang = ops.GmLM.shape[-1]
+    nrad = ops.shellmask.shape[-1]
+    gi = ops.gidx
+    P4 = _to4(P, nang, nrad)
+    Paux0 = jnp.einsum("sab,abIJ->sIJ", ops.GmLM, P4)
+    Paux2 = jnp.einsum("sab,abIJ->sIJ", ops.GpLM, P4)
+    Paux0 = jnp.pad(Paux0, ((0, 0), (0, 1), (0, 1)))
+    Paux2 = jnp.pad(Paux2, ((0, 0), (0, 1), (0, 1)))
+
+    def body(J4, xs):
+        Pa0, Pa2, ilm, Gm_s, Gp_s = xs
+        fac = ops.LMfac[ilm]
+        t00, t02, t20, t22 = (
+            ops.tei00[ilm],
+            ops.tei02[ilm],
+            ops.tei20[ilm],
+            ops.tei22[ilm],
+        )
+        p0, p2, q0, q2 = ops.dP0[ilm], ops.dP2[ilm], ops.dQ0[ilm], ops.dQ2[ilm]
+        Pg0 = Pa0[gi[:, :, None], gi[:, None, :]]
+        Pg2 = Pa2[gi[:, :, None], gi[:, None, :]]
+        # disjoint traces
+        ts0 = jnp.einsum("eij,eij->e", p0, Pg0)
+        ts2 = jnp.einsum("eij,eij->e", p2, Pg2)
+        tb0 = jnp.einsum("eij,eij->e", q0, Pg0)
+        tb2 = jnp.einsum("eij,eij->e", q2, Pg2)
+        sA = jnp.cumsum(ts0 - ts2) - (ts0 - ts2)  # sum over jel < e
+        sB = jnp.cumsum((tb0 - tb2)[::-1])[::-1] - (tb0 - tb2)  # jel > e
+        J0 = p0 * sB[:, None, None] + q0 * sA[:, None, None]
+        J2 = -p2 * sB[:, None, None] - q2 * sA[:, None, None]
+        # in-element
+        J0 = J0 + jnp.einsum("eijkl,ekl->eij", t00, Pg0) - jnp.einsum(
+            "eijkl,ekl->eij", t02, Pg2
+        )
+        J2 = J2 - jnp.einsum("eijkl,ekl->eij", t20, Pg0) + jnp.einsum(
+            "eijkl,ekl->eij", t22, Pg2
+        )
+        # scatter + angular expansion
+        Jr0 = jnp.zeros((nrad + 1, nrad + 1)).at[gi[:, :, None], gi[:, None, :]].add(J0)
+        Jr2 = jnp.zeros((nrad + 1, nrad + 1)).at[gi[:, :, None], gi[:, None, :]].add(J2)
+        J4 = J4 + fac * (
+            jnp.einsum("ba,IJ->abIJ", Gm_s, Jr0[:nrad, :nrad])
+            + jnp.einsum("ba,IJ->abIJ", Gp_s, Jr2[:nrad, :nrad])
+        )
+        return J4, None
+
+    J4 = jnp.zeros((nang, nang, nrad, nrad))
+    J4, _ = jax.lax.scan(body, J4, (Paux0, Paux2, ops.LM_ilm, ops.GmLM, ops.GpLM))
+    m2 = ops.shellmask.reshape(-1)
+    return _from4(J4, nang, nrad) * m2[:, None] * m2[None, :]
+
+
+def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
+    """K(P) (negative contribution): scan over flattened (channel, bra-shell)
+    steps (reference: src/diatomic/basis.cpp:1532-1734)."""
+    nang = ops.GmLM.shape[-1]
+    nrad = ops.shellmask.shape[-1]
+    nelem, nprim = ops.gidx.shape
+    gi = ops.gidx
+    P4 = _to4(P, nang, nrad)
+
+    eidx = jnp.arange(nelem)
+    lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]
+    upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
+    ridx = gi[:, None, :, None]
+    cidx = gi[None, :, None, :]
+
+    def body(K3, xs):
+        ilm, b, sp, sm, wm = xs
+        fac = ops.LMfac[ilm]
+        # R matrices for all output shells c, batch over the 4 families
+        def Rfams(s, w):
+            um = ops.GmLM[s][b]  # [nang]
+            up = ops.GpLM[s][b]
+            tm = jnp.einsum("a,adIJ->dIJ", um, P4)
+            tp = jnp.einsum("a,adIJ->dIJ", up, P4)
+            R00 = jnp.einsum("cd,dIJ->cIJ", ops.GmLM[s], tm)
+            R02 = -jnp.einsum("cd,dIJ->cIJ", ops.GpLM[s], tm)
+            R20 = -jnp.einsum("cd,dIJ->cIJ", ops.GmLM[s], tp)
+            R22 = jnp.einsum("cd,dIJ->cIJ", ops.GpLM[s], tp)
+            return w * jnp.stack([R00, R02, R20, R22])
+
+        R = fac * (Rfams(sp, 1.0) + Rfams(sm, wm))  # [4, nang, nrad, nrad]
+        Rp = jnp.pad(R, ((0, 0), (0, 0), (0, 1), (0, 1)))
+        tei = jnp.stack(
+            [ops.tei00[ilm], ops.tei02[ilm], ops.tei20[ilm], ops.tei22[ilm]]
+        )  # [4, nelem, i,j,k,l]
+        # in-element: K[c,e,j,k] = sum_f sum_il tei_f[e,i,j,k,l] R_f[c,e_i,l]
+        Rg = Rp[:, :, gi[:, :, None], gi[:, None, :]]  # [4,c,e,i,l]
+        Kdiag = jnp.einsum("feijkl,fceil->cejk", tei, Rg)
+        # cross-element: rows in e, cols in f2:
+        #  e > f2: Q0[e] (R00w P0[f2]^T + R02w P2[f2]^T) + Q2[e](R20w P0 + R22w P2)
+        #  e < f2: P0[e] (R00w Q0[f2]^T + ...) + P2[e] (...)
+        Rw = Rp[:, :, ridx, cidx]  # [4, c, e, f2, p, q]
+        p0, p2, q0, q2 = ops.dP0[ilm], ops.dP2[ilm], ops.dQ0[ilm], ops.dQ2[ilm]
+
+        def cross(i0, i2, j0, j2):
+            T0 = jnp.einsum("fjq,cefpq->cefpj", j0, Rw[0]) + jnp.einsum(
+                "fjq,cefpq->cefpj", j2, Rw[1]
+            )
+            T2 = jnp.einsum("fjq,cefpq->cefpj", j0, Rw[2]) + jnp.einsum(
+                "fjq,cefpq->cefpj", j2, Rw[3]
+            )
+            return jnp.einsum("eip,cefpj->cefij", i0, T0) + jnp.einsum(
+                "eip,cefpj->cefij", i2, T2
+            )
+
+        lo = cross(q0, q2, p0, p2)
+        hi = cross(p0, p2, q0, q2)
+        Kpair = jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
+        Kpair = Kpair.at[:, eidx, eidx].add(Kdiag)
+        Kb = jnp.zeros((nang, nrad + 1, nrad + 1)).at[:, ridx, cidx].add(Kpair)
+        K3 = K3.at[b].add(Kb[:, :nrad, :nrad])
+        return K3, None
+
+    K3 = jnp.zeros((nang, nang, nrad, nrad))  # [b, c, I, J]
+    K3, _ = jax.lax.scan(
+        body, K3, (ops.step_ilm, ops.step_b, ops.step_sp, ops.step_sm, ops.step_wm)
+    )
+    m2 = ops.shellmask.reshape(-1)
+    return -_from4(K3, nang, nrad) * m2[:, None] * m2[None, :]

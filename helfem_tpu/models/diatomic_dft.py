@@ -1,0 +1,133 @@
+"""Diatomic DFT quadrature grid and XC Fock build.
+
+Redesign of src/diatomic/dftgrid.{cpp,h}: grid = (mu element x mu point) x
+(eta Gauss-Legendre point), phi eliminated analytically (axial symmetry, like
+the atomic grid). Volume weight Rh^3 (cosh^2 mu - eta^2) sinh mu, metric
+h^2 = Rh^2 (cosh^2 mu - eta^2) for the gradient components
+
+    u f = (1/h) df/dmu,     v f = (sqrt(1-eta^2)/h) df/deta.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from helfem_tpu.ops.quadrature import gauss_legendre
+from helfem_tpu.ops.spherical import legendre_Pbar, ylm_dtheta
+from helfem_tpu.ops.xc import xc_eval
+
+__all__ = ["DiaGridOps", "build_dia_grid", "eval_fxc_dia", "eval_overlap_dia"]
+
+
+class DiaGridOps(NamedTuple):
+    Bg: jnp.ndarray  # [nelem, nq, nprim]
+    dBg: jnp.ndarray
+    w: jnp.ndarray  # [nelem, nq, nt] full volume weight (incl. 2 pi Rh^3)
+    invh: jnp.ndarray  # [nelem, nq, nt] 1/h
+    TT: jnp.ndarray  # [nang, nang, nt] Theta_a Theta_b delta_{ma mb}
+    dTT: jnp.ndarray  # [nang, nang, nt] d/deta products
+    sqeta: jnp.ndarray  # [nt] sqrt(1 - eta^2)
+    gidx: jnp.ndarray
+
+
+def build_dia_grid(basis, neta: int = 0) -> DiaGridOps:
+    lmax = int(basis.lval.max())
+    if neta == 0:
+        neta = 2 * lmax + 12
+    eta, weta = gauss_legendre(neta)
+    P = legendre_Pbar(lmax, eta)
+    D = ylm_dtheta(lmax, eta)  # d/dtheta; d/deta = -D / sqrt(1-eta^2)
+    sx = np.sqrt(1.0 - eta**2)
+    nang = basis.nang
+    Th = np.zeros((nang, neta))
+    dTh = np.zeros((nang, neta))
+    for a in range(nang):
+        Th[a] = P[basis.lval[a], abs(basis.mval[a])]
+        dTh[a] = -D[basis.lval[a], abs(basis.mval[a])] / sx
+    same_m = (basis.mval[:, None] == basis.mval[None, :]).astype(np.float64)
+    TT = same_m[:, :, None] * Th[:, None, :] * Th[None, :, :]
+    dTT = same_m[:, :, None] * (dTh[:, None, :] * Th[None, :, :] + Th[:, None, :] * dTh[None, :, :])
+    Rh = basis.Rhalf
+    ch = np.cosh(basis.mu)
+    sh = np.sinh(basis.mu)
+    vol = ch[:, :, None] ** 2 - eta[None, None, :] ** 2
+    w = 2.0 * np.pi * Rh**3 * basis.wmu[:, :, None] * sh[:, :, None] * vol * weta[None, None, :]
+    invh = 1.0 / (Rh * np.sqrt(vol))
+    return DiaGridOps(
+        Bg=jnp.asarray(basis.B),
+        dBg=jnp.asarray(basis.dB),
+        w=jnp.asarray(w),
+        invh=jnp.asarray(invh),
+        TT=jnp.asarray(TT),
+        dTT=jnp.asarray(dTT),
+        sqeta=jnp.asarray(sx),
+        gidx=jnp.asarray(basis.fem.gidx),
+    )
+
+
+def _fields_dia(g: DiaGridOps, P4p: jnp.ndarray):
+    gi = g.gidx
+    Pg = P4p[:, :, gi[:, :, None], gi[:, None, :]]
+    D1 = jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.Bg, g.Bg)
+    Dmu = 2.0 * jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.dBg, g.Bg)
+    rho = jnp.einsum("abeq,abt->eqt", D1, g.TT)
+    drho_u = jnp.einsum("abeq,abt->eqt", Dmu, g.TT) * g.invh
+    drho_v = jnp.einsum("abeq,abt->eqt", D1, g.dTT) * (g.sqeta[None, None, :] * g.invh)
+    return rho, drho_u, drho_v
+
+
+def eval_fxc_dia(funcs, g: DiaGridOps, ops, Pa, Pb, thr: float = 1e-12):
+    """(Fxca, Fxcb, Exc, Nel) on the diatomic grid."""
+    nang = g.TT.shape[0]
+    nrad = ops.shellmask.shape[-1]
+
+    def to4p(P):
+        P4 = P.reshape(nang, nrad, nang, nrad).transpose(0, 2, 1, 3)
+        return jnp.pad(P4, ((0, 0), (0, 0), (0, 1), (0, 1)))
+
+    ra, ua, va = _fields_dia(g, to4p(Pa))
+    rb, ub, vb = _fields_dia(g, to4p(Pb))
+    saa = ua * ua + va * va
+    sab = ua * ub + va * vb
+    sbb = ub * ub + vb * vb
+    e, vra, vrb, vsaa, vsab, vsbb = xc_eval(funcs, ra, rb, saa, sab, sbb, thr)
+    Exc = jnp.sum(g.w * e)
+    Nel = jnp.sum(g.w * (ra + rb))
+    gga = any(f.family != "lda" for f in funcs)
+
+    def fock(vr, gu, gv):
+        A1 = jnp.einsum("eqt,abt->abeq", g.w * vr, g.TT)
+        Fel = jnp.einsum("abeq,eqi,eqj->abeij", A1, g.Bg, g.Bg)
+        if gga:
+            B1 = jnp.einsum("eqt,abt->abeq", g.w * gu * g.invh, g.TT)
+            rad = jnp.einsum("abeq,eqi,eqj->abeij", B1, g.dBg, g.Bg)
+            Fel = Fel + rad + jnp.swapaxes(jnp.swapaxes(rad, 0, 1), 3, 4)
+            C1 = jnp.einsum(
+                "eqt,abt->abeq", g.w * gv * g.invh * g.sqeta[None, None, :], g.dTT
+            )
+            Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", C1, g.Bg, g.Bg)
+        gi = g.gidx
+        F4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
+        F4 = F4.at[:, :, gi[:, :, None], gi[:, None, :]].add(Fel)
+        return F4[:, :, :nrad, :nrad].transpose(0, 2, 1, 3).reshape(nang * nrad, nang * nrad)
+
+    gua = 2.0 * vsaa * ua + vsab * ub
+    gva = 2.0 * vsaa * va + vsab * vb
+    gub = 2.0 * vsbb * ub + vsab * ua
+    gvb = 2.0 * vsbb * vb + vsab * va
+    m2 = ops.shellmask.reshape(-1)
+    Fa = fock(vra, gua, gva) * m2[:, None] * m2[None, :]
+    Fb = fock(vrb, gub, gvb) * m2[:, None] * m2[None, :]
+    return Fa, Fb, Exc, Nel
+
+
+def eval_overlap_dia(g: DiaGridOps, nang: int, nrad: int):
+    """Grid overlap for the accuracy self-check."""
+    A1 = jnp.einsum("eqt,abt->abeq", g.w, g.TT)
+    Sel = jnp.einsum("abeq,eqi,eqj->abeij", A1, g.Bg, g.Bg)
+    gi = g.gidx
+    S4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
+    S4 = S4.at[:, :, gi[:, :, None], gi[:, None, :]].add(Sel)
+    return S4[:, :, :nrad, :nrad].transpose(0, 2, 1, 3).reshape(nang * nrad, nang * nrad)

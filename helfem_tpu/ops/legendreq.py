@@ -39,9 +39,8 @@ def _P0_upward(Lmax: int, x: np.ndarray) -> np.ndarray:
     return P
 
 
-def _Q0_identity(Lmax: int, x: np.ndarray, P: np.ndarray) -> np.ndarray:
+def _Q0_identity(Lmax: int, x: np.ndarray, P: np.ndarray, Q0: np.ndarray) -> np.ndarray:
     """Q_l = P_l Q_0 - W_{l-1} with W_{l-1} = sum_{k=1}^{l} P_{k-1} P_{l-k}/k."""
-    Q0 = 0.5 * np.log((x + 1.0) / (x - 1.0))
     Q = np.empty((Lmax + 1, len(x)), dtype=LD)
     Q[0] = Q0
     for l in range(1, Lmax + 1):
@@ -52,7 +51,7 @@ def _Q0_identity(Lmax: int, x: np.ndarray, P: np.ndarray) -> np.ndarray:
     return Q
 
 
-def _Q0_downward(Lmax: int, x: np.ndarray, npad: np.ndarray) -> np.ndarray:
+def _Q0_downward(Lmax: int, x: np.ndarray, npad: np.ndarray, Q0v: np.ndarray) -> np.ndarray:
     """Miller's algorithm: downward recursion of the minimal solution from
     ratio r_N = 0 at N = Lmax + pad, normalized by the exact Q_0."""
     pad = int(np.max(npad))
@@ -67,46 +66,62 @@ def _Q0_downward(Lmax: int, x: np.ndarray, npad: np.ndarray) -> np.ndarray:
         if l <= Lmax:
             rs[l] = r
     Q = np.empty((Lmax + 1, len(x)), dtype=LD)
-    Q[0] = 0.5 * np.log((x + 1.0) / (x - 1.0))
+    Q[0] = Q0v
     for l in range(1, Lmax + 1):
         Q[l] = Q[l - 1] * rs[l]
     return Q
 
 
-def _raise_m(F: np.ndarray, Lmax: int, Mmax: int, x: np.ndarray) -> np.ndarray:
+def _raise_m(F: np.ndarray, Lmax: int, Mmax: int, x: np.ndarray, s: np.ndarray) -> np.ndarray:
     """Fill the m > 0 columns of a [Lmax+1, Mmax+1, npts] table whose m=0
     column is given, via sqrt(x^2-1) f_l^{m+1} = (l-m) x f_l^m - (l+m) f_{l-1}^m
     on the l >= m+1 triangle (entries with l < m stay zero for P / unused
     for Q)."""
-    s = np.sqrt((x - 1.0) * (x + 1.0))
     for m in range(Mmax):
         for l in range(m + 1, Lmax + 1):
             F[l, m + 1] = ((l - m) * x * F[l, m] - (l + m) * F[l - 1, m]) / s
     return F
 
 
-def legendre_PQ(Lmax: int, Mmax: int, xi: np.ndarray, theta_switch: float = 3.0):
+def legendre_PQ(
+    Lmax: int, Mmax: int, xi: np.ndarray | None = None, mu: np.ndarray | None = None,
+    theta_switch: float = 3.0,
+):
     """P[l, m, n], Q[l, m, n] for xi[n] > 1, float64 output.
+
+    Either xi (> 1) or mu (= arccosh xi, > 0) may be given; passing mu keeps
+    full accuracy for xi extremely close to 1 (xi - 1 = 2 sinh^2(mu/2) is
+    computed in longdouble, where cosh(mu) itself would round to 1.0).
 
     theta_switch: points with arccosh(xi) * max(Lmax,1) < theta_switch use
     the exact product identity for Q_l^0, others the downward recursion."""
-    xi = np.asarray(xi, dtype=LD)
-    if np.any(xi <= 1.0):
-        raise ValueError("legendre_PQ requires xi > 1")
+    if mu is not None:
+        mu = np.asarray(mu, dtype=LD)
+        if np.any(mu <= 0.0):
+            raise ValueError("legendre_PQ requires mu > 0")
+        xi = np.cosh(mu)
+        xim1 = 2.0 * np.sinh(mu / 2.0) ** 2
+        theta = mu.astype(np.float64)
+    else:
+        xi = np.asarray(xi, dtype=LD)
+        if np.any(xi <= 1.0):
+            raise ValueError("legendre_PQ requires xi > 1")
+        xim1 = xi - 1.0
+        theta = np.arccosh(xi.astype(np.float64))
     npts = len(xi)
-    theta = np.arccosh(xi.astype(np.float64))
 
     P0 = _P0_upward(Lmax, xi)
 
+    Q0v = 0.5 * np.log((xi + 1.0) / xim1)
     Q0 = np.empty((Lmax + 1, npts), dtype=LD)
     near = theta * max(Lmax, 1) < theta_switch
     if np.any(near):
-        Q0[:, near] = _Q0_identity(Lmax, xi[near], P0[:, near])
+        Q0[:, near] = _Q0_identity(Lmax, xi[near], P0[:, near], Q0v[near])
     if np.any(~near):
         xf = xi[~near]
         # pad for Miller: error ~ e^{-2 pad theta}; aim for 1e-20
         padn = np.ceil(24.0 / np.maximum(theta[~near], 1e-3)).astype(int) + 10
-        Q0[:, ~near] = _Q0_downward(Lmax, xf, padn)
+        Q0[:, ~near] = _Q0_downward(Lmax, xf, padn, Q0v[~near])
 
     P = np.zeros((Lmax + 1, Mmax + 1, npts), dtype=LD)
     Q = np.zeros((Lmax + 1, Mmax + 1, npts), dtype=LD)
@@ -117,6 +132,7 @@ def legendre_PQ(Lmax: int, Mmax: int, xi: np.ndarray, theta_switch: float = 3.0)
         # column m+1 starts at l = m+1, and its sources in column m sit at
         # l >= m, already available) -- exactly the l >= m triangle used by
         # the Neumann expansion.
-        P = _raise_m(P, Lmax, Mmax, xi)
-        Q = _raise_m(Q, Lmax, Mmax, xi)
+        s = np.sqrt(xim1 * (xi + 1.0))
+        P = _raise_m(P, Lmax, Mmax, xi, s)
+        Q = _raise_m(Q, Lmax, Mmax, xi, s)
     return P.astype(np.float64), Q.astype(np.float64)

@@ -22,6 +22,7 @@ import numpy as np
 
 __all__ = [
     "gauss_lobatto",
+    "gauss_legendre",
     "chebyshev",
     "radial_chebyshev",
     "angular_lobatto",
@@ -77,6 +78,26 @@ def gauss_lobatto(n: int):
     pn1 = p1 if m >= 1 else p0
     w = 2.0 / (n * m * pn1 * pn1)
     return x.astype(np.float64), w.astype(np.float64)
+
+
+@lru_cache(maxsize=None)
+def gauss_legendre(n: int):
+    """n-point Gauss-Legendre rule on [-1, 1] (interior nodes only); used for
+    the eta (cos nu) axis of the diatomic XC grid."""
+    if n < 1:
+        raise ValueError("need n >= 1")
+    k = np.arange(1, n + 1, dtype=np.longdouble)
+    x = np.cos(np.pi * (k - 0.25) / (n + 0.5))  # Tricomi initial guess
+    for _ in range(100):
+        p, dp, _ = _legendre_and_deriv(n, x)
+        dx = p / dp
+        x = x - dx
+        if np.max(np.abs(dx)) < 1e-19:
+            break
+    p, dp, _ = _legendre_and_deriv(n, x)
+    w = 2.0 / ((1.0 - x * x) * dp * dp)
+    order = np.argsort(x)
+    return x[order].astype(np.float64), w[order].astype(np.float64)
 
 
 @lru_cache(maxsize=None)

@@ -1,0 +1,210 @@
+"""Diatomic SCF driver (stage 8): HF/DFT on two-center systems.
+
+Same loop shape as the atomic driver (and src/diatomic/main.cpp): the
+symmetry blocks are per m (plus gerade/ungerade for homonuclear), solved as
+one padded batched whitened eigh.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from helfem_tpu.models.diatomic import (
+    DiatomicBasis,
+    DiatomicOperators,
+    coulomb_dia,
+    exchange_dia,
+)
+from helfem_tpu.scf.diis import DIIS
+from helfem_tpu.utils.linalg import eigh_refined
+
+__all__ = ["scf_diatomic", "eig_blocks_dia", "density_dia"]
+
+_BIG = 1e6
+
+
+@jax.jit
+def eig_blocks_dia(ops: DiatomicOperators, F: jnp.ndarray):
+    """Batched whitened eigensolve over the padded symmetry blocks.
+
+    Padded slots get eigenvalue _BIG (never occupied). Returns
+    (E [nblk, blen], C [nblk, blen, blen]) in block coordinates."""
+    nbf = F.shape[0]
+    Fp = jnp.pad(F, ((0, 1), (0, 1)))
+    bi = ops.blk_idx
+    Fb = Fp[bi[:, :, None], bi[:, None, :]]
+    Forth = jnp.einsum("bpi,bpq,bqj->bij", ops.blk_sinvh, Fb, ops.blk_sinvh)
+    pad = (bi == nbf).astype(F.dtype)
+    Forth = Forth + _BIG * jnp.eye(bi.shape[1])[None] * pad[:, None, :]
+    E, V = eigh_refined(Forth)
+    C = jnp.einsum("bpi,bij->bpj", ops.blk_sinvh, V)
+    return E, C
+
+
+@jax.jit
+def density_dia(ops: DiatomicOperators, C: jnp.ndarray, occ: jnp.ndarray):
+    nbf = ops.S.shape[0]
+    Pb = jnp.einsum("bpk,bk,bqk->bpq", C, occ, C)
+    bi = ops.blk_idx
+    P = jnp.zeros((nbf + 1, nbf + 1))
+    P = P.at[bi[:, :, None], bi[:, None, :]].add(Pb)
+    return P[:nbf, :nbf]
+
+
+def _aufbau_blocks(E: np.ndarray, nel: float) -> np.ndarray:
+    """Occupations [nblk, blen] over globally sorted block eigenvalues with
+    degeneracy averaging (pi_+/pi_- etc.)."""
+    nblk, blen = E.shape
+    occ = np.zeros(nblk * blen)
+    flat = E.ravel()
+    order = np.argsort(flat, kind="stable")
+    left = float(nel)
+    i = 0
+    while left > 1e-12 and i < len(order):
+        if flat[order[i]] > _BIG / 2:
+            break
+        j = i
+        while j + 1 < len(order) and flat[order[j + 1]] - flat[order[i]] < 1e-8:
+            j += 1
+        ndeg = j - i + 1
+        fill = min(left, float(ndeg))
+        for k in range(i, j + 1):
+            occ[order[k]] = fill / ndeg
+        left -= fill
+        i = j + 1
+    return occ.reshape(nblk, blen)
+
+
+@dataclass
+class DiaSCFResult:
+    converged: bool
+    niter: int
+    E: float
+    Ekin: float
+    Enucattr: float
+    Enucrep: float
+    Ecoul: float
+    Exx: float
+    Exc: float
+    orbE_a: np.ndarray
+
+
+def make_dia_fock(funcs, kfrac, g=None, dftthr: float = 1e-12):
+    @jax.jit
+    def fock(ops: DiatomicOperators, Pa, Pb):
+        P = Pa + Pb
+        J = coulomb_dia(ops, P)
+        Fa = ops.H0 + J
+        Fb = ops.H0 + J
+        Exx = 0.0
+        if kfrac != 0.0:
+            Ka = kfrac * exchange_dia(ops, Pa)
+            Kb = kfrac * exchange_dia(ops, Pb)
+            Fa = Fa + Ka
+            Fb = Fb + Kb
+            Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
+        Exc = 0.0
+        Nel = 0.0
+        if funcs:
+            from helfem_tpu.models.diatomic_dft import eval_fxc_dia
+
+            XCa, XCb, Exc, Nel = eval_fxc_dia(funcs, g, ops, Pa, Pb, dftthr)
+            Fa = Fa + XCa
+            Fb = Fb + XCb
+        Ekin = jnp.vdot(P, ops.T)
+        Enuc = jnp.vdot(P, ops.Vnuc)
+        Ecoul = 0.5 * jnp.vdot(P, J)
+        return Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel
+
+    return fock
+
+
+def scf_diatomic(
+    basis: DiatomicBasis,
+    nela: int,
+    nelb: int,
+    method: str = "HF",
+    maxit: int = 100,
+    convthr: float = 1e-7,
+    verbose: bool = False,
+    ops: DiatomicOperators | None = None,
+) -> DiaSCFResult:
+    from helfem_tpu.ops.xc import parse_method
+
+    if ops is None:
+        ops = basis.build_operators()
+    nbf = basis.nbf
+    funcs, kfrac = parse_method(method)
+    g = None
+    if funcs:
+        from helfem_tpu.models.diatomic_dft import build_dia_grid
+
+        g = build_dia_grid(basis)
+    fock = make_dia_fock(tuple(funcs), kfrac, g)
+    Enucrep = basis.Z1 * basis.Z2 / basis.Rbond
+
+    Ea, Ca = eig_blocks_dia(ops, ops.H0)
+    Ea = np.asarray(Ea)
+    Eb, Cb = Ea.copy(), Ca
+    restricted = nela == nelb
+    diis = DIIS(np.asarray(ops.S), _full_sinvh(ops, nbf))
+
+    Eold, Etot, converged = 0.0, 0.0, False
+    for it in range(1, maxit + 1):
+        occa = _aufbau_blocks(Ea, nela)
+        occb = occa if restricted else _aufbau_blocks(Eb, nelb)
+        Pa = density_dia(ops, Ca, jnp.asarray(occa))
+        Pb = Pa if restricted else density_dia(ops, Cb, jnp.asarray(occb))
+        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, Pa, Pb)
+        Etot = float(Ekin + Enuc + Ecoul + Exx + Exc) + Enucrep
+        dE = Etot - Eold
+        Eold = Etot
+
+        if restricted:
+            err = diis.update([np.asarray(Fa)], [np.asarray(Pa)])
+            (Fa_,) = diis.solve()
+            Fb_ = Fa_
+        else:
+            err = diis.update([np.asarray(Fa), np.asarray(Fb)], [np.asarray(Pa), np.asarray(Pb)])
+            Fa_, Fb_ = diis.solve()
+
+        if verbose:
+            print(f"iter {it:3d}  E = {Etot:+.12f}  dE = {dE:+.3e}  diis = {err:.3e}")
+        if err < convthr and abs(dE) < convthr and it > 1:
+            converged = True
+            break
+
+        Ea, Ca = eig_blocks_dia(ops, jnp.asarray(Fa_))
+        Ea = np.asarray(Ea)
+        if restricted:
+            Eb, Cb = Ea, Ca
+        else:
+            Eb, Cb = eig_blocks_dia(ops, jnp.asarray(Fb_))
+            Eb = np.asarray(Eb)
+
+    oe = np.sort(Ea.ravel())
+    return DiaSCFResult(
+        converged=converged,
+        niter=it,
+        E=Etot,
+        Ekin=float(Ekin),
+        Enucattr=float(Enuc),
+        Enucrep=Enucrep,
+        Ecoul=float(Ecoul),
+        Exx=float(Exx),
+        Exc=float(Exc),
+        orbE_a=oe[oe < _BIG / 2],
+    )
+
+
+def _full_sinvh(ops: DiatomicOperators, nbf: int) -> np.ndarray:
+    """Global Sinvh assembled from the block half-inverses (for the DIIS
+    error metric)."""
+    bi = np.asarray(ops.blk_idx)
+    bs = np.asarray(ops.blk_sinvh)
+    out = np.zeros((nbf + 1, nbf + 1))
+    for b in range(bi.shape[0]):
+        out[np.ix_(bi[b], bi[b])] += bs[b]
+    return out[:nbf, :nbf]

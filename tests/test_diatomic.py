@@ -1,0 +1,53 @@
+"""Diatomic (prolate-spheroidal two-center) tests (SURVEY.md stage-8 gates)."""
+
+import numpy as np
+import pytest
+
+from helfem_tpu.models.diatomic import DiatomicBasis
+from helfem_tpu.scf.diatomic_scf import eig_blocks_dia, scf_diatomic
+
+
+def test_h2plus_ground_state():
+    """H2+ at R=2: exact electronic 1s-sigma-g energy -1.1026342144949
+    (reference model: src/diatomic/1e.cpp)."""
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=2.0, lmax=(12,), rmax=40.0, nelem=6, nnodes=12)
+    ops = b.build_operators()
+    E, C = eig_blocks_dia(ops, ops.H0)
+    E = np.sort(np.asarray(E).ravel())
+    assert abs(E[0] + 1.1026342144949) < 1e-9
+    # 2p sigma_u
+    assert abs(E[1] + 0.66753439) < 1e-7
+
+
+def test_h2_hf():
+    """H2 HF at R=1.4; HF limit -1.133629571548."""
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=1.4, lmax=(8,), rmax=40.0, nelem=6, nnodes=10)
+    res = scf_diatomic(b, 1, 1, convthr=1e-8, maxit=30)
+    assert res.converged
+    assert abs(res.E + 1.13362957) < 1e-6
+
+
+def test_he_as_diatomic():
+    """Z2=0 reduces to an off-center atom: must agree with the atomic code."""
+    b = DiatomicBasis(Z1=2, Z2=0, Rbond=2.0, lmax=(10,), rmax=35.0, nelem=6, nnodes=10)
+    res = scf_diatomic(b, 1, 1, method="HF", convthr=1e-8, maxit=30)
+    assert res.converged
+    assert abs(res.E + 2.8616799956) < 5e-8
+    res2 = scf_diatomic(b, 1, 1, method="SVWN", convthr=1e-8, maxit=30)
+    assert res2.converged
+    assert abs(res2.E + 2.834836) < 2e-6
+
+
+def test_grid_overlap_dia():
+    from helfem_tpu.models.diatomic_dft import build_dia_grid, eval_overlap_dia
+
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=2.0, lmax=(4, 4), rmax=20.0, nelem=4, nnodes=8)
+    ops = b.build_operators()
+    g = build_dia_grid(b)
+    S = np.asarray(eval_overlap_dia(g, b.nang, b.nrad))
+    m = np.asarray(ops.shellmask).reshape(-1)
+    S = S * m[:, None] * m[None, :]
+    Sref = np.asarray(ops.S)
+    d = np.diag(Sref).copy()
+    d[d == 0] = 1
+    assert (np.abs(S - Sref) / np.sqrt(np.outer(d, d))).max() < 1e-12
