@@ -130,6 +130,80 @@ class AtomicBasis:
         Vr = V(self.rb.r)
         return np.kron(np.eye(self.nang), self.rb.model_potential(Vr))
 
+    def _angular_matrix(self, coupling) -> np.ndarray:
+        """[nang, nang] table of an angular coupling function (la,ma,lb,mb)."""
+        A = np.zeros((self.nang, self.nang))
+        for a in range(self.nang):
+            for b in range(self.nang):
+                A[a, b] = coupling(
+                    int(self.lval[a]), int(self.mval[a]), int(self.lval[b]), int(self.mval[b])
+                )
+        return A
+
+    def dipole_z(self) -> np.ndarray:
+        """<z> = <r cos theta> (reference: TwoDBasis::dipole_z,
+        src/atomic/TwoDBasis.cpp:508-545)."""
+        from helfem_tpu.ops.gaunt import cosk_coupling
+
+        A = self._angular_matrix(lambda la, ma, lb, mb: cosk_coupling(1, la, ma, lb, mb))
+        return np.kron(A, self.rb.radial_integral(1))
+
+    def quadrupole_zz(self) -> np.ndarray:
+        """<(3 z^2 - r^2)/2> (reference: TwoDBasis::quadrupole_zz)."""
+        from helfem_tpu.ops.gaunt import cosk_coupling
+
+        A2 = self._angular_matrix(lambda la, ma, lb, mb: cosk_coupling(2, la, ma, lb, mb))
+        I = np.eye(self.nang)
+        r2 = self.rb.radial_integral(2)
+        return np.kron(1.5 * A2 - 0.5 * I, r2)
+
+    def Bz_field(self, B: float) -> np.ndarray:
+        """Orbital Zeeman B/2 L_z + diamagnetic B^2/8 r^2 sin^2(theta)
+        (reference: TwoDBasis::Bz_field, src/atomic/TwoDBasis.cpp:591-636).
+        The spin Zeeman -+ B/2 S term is added per spin channel in the SCF."""
+        from helfem_tpu.ops.gaunt import sine2_coupling
+
+        S2 = self._angular_matrix(sine2_coupling)
+        out = np.kron(np.diag(self.mval * B / 2.0), self.rb.overlap())
+        out += B * B / 8.0 * np.kron(S2, self.rb.radial_integral(2))
+        return out
+
+    def confinement(self, N: int, R: float, iconf: int = 1, shift: float = 0.0) -> np.ndarray:
+        """Confinement potentials (reference: RadialBasis.cpp:361-455):
+        1 polynomial ((r-shift)/R)^N, 3 barrier V0*theta(r-R)."""
+        r = self.rb.r
+        if iconf == 1:
+            Vr = np.where(r > shift, ((r - shift) / R) ** N, 0.0)
+        elif iconf == 3:
+            Vr = np.where(r > R, float(N), 0.0)  # N reused as barrier height
+        else:
+            raise NotImplementedError(f"confinement type {iconf}")
+        return np.kron(np.eye(self.nang), self.rb.model_potential(Vr))
+
+    def nuclear_model(self, model: str, Rrms: float) -> np.ndarray:
+        """Finite-nucleus attraction matrices (reference: libhelfem
+        {Gaussian,Spherical,Hollow}Nucleus.cpp). model in {'point',
+        'gaussian', 'spherical', 'hollow'}; Rrms is the rms charge radius."""
+        import math
+
+        r = self.rb.r
+        Z = self.Z
+        if model == "point":
+            return self.nuclear() * 1.0
+        if model == "gaussian":
+            mu = math.sqrt(1.5) / Rrms
+            erf = np.vectorize(math.erf)
+            Vr = -Z * erf(mu * r) / r
+        elif model == "spherical":
+            # uniformly charged ball (Visscher-Dyall 1997 eq. 7)
+            R0 = math.sqrt(5.0 / 3.0) * Rrms
+            Vr = np.where(r >= R0, -Z / r, -Z * (3.0 - (r / R0) ** 2) / (2.0 * R0))
+        elif model == "hollow":
+            Vr = np.where(r >= Rrms, -Z / r, -Z / Rrms)
+        else:
+            raise ValueError(model)
+        return np.kron(np.eye(self.nang), self.rb.model_potential(Vr))
+
     def sinvh_rad(self) -> np.ndarray:
         S = self.rb.overlap()
         w, U = np.linalg.eigh(S)

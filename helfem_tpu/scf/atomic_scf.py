@@ -1,28 +1,30 @@
-"""Atomic SCF driver (L7): HF and DFT (restricted/unrestricted) on atoms.
+"""Atomic SCF driver (L7): HF and DFT (restricted/unrestricted) on atoms,
+with electric/magnetic fields, confinement, and finite-nucleus models.
 
 Mirrors the SCF loop of src/atomic/main.cpp:725-998:
   density -> J -> K and/or XC -> F -> DIIS -> symmetry-blocked eigensolve ->
   aufbau occupations, until |dE| and the DIIS error pass convthr.
 
-The hot path (J/K/XC builds + batched blocked eigensolve) is jitted on
-device; DIIS and occupation bookkeeping run on host over tiny matrices.
+The symmetry-blocked eigensolve runs as ONE padded batched whitened eigh
+across all blocks ((l,m) blocks by default; m blocks when an electric field
+couples l channels), the TPU replacement for the reference's per-block
+LAPACK loop (scf::eig_gsym_sub).
 """
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from helfem_tpu.models.atomic import AtomicBasis, AtomicOperators, coulomb, exchange
-from helfem_tpu.models.atomic_dft import DFTGridOps, build_dft_grid, eval_fxc
+from helfem_tpu.models.atomic_dft import build_dft_grid, eval_fxc
 from helfem_tpu.ops.xc import parse_method
 from helfem_tpu.scf.diis import DIIS
 from helfem_tpu.scf.guess import potential
-from helfem_tpu.utils.linalg import eig_gsym_lm
+from helfem_tpu.utils.linalg import _BIG, build_blocks, density_blocks, eig_blocks
 
-__all__ = ["scf_atom", "SCFResult"]
+__all__ = ["scf_atom", "SCFResult", "aufbau_blocks"]
 
 
 @dataclass
@@ -36,23 +38,49 @@ class SCFResult:
     Exx: float
     Exc: float
     Nelgrid: float
+    Efield: float
     orbE_a: np.ndarray
-    orbs_a: np.ndarray  # [nang, nrad, nrad] block eigenvectors
-    occ_a: np.ndarray  # [nang, nrad] occupation numbers
+    orbs_a: np.ndarray  # [nblk, blen, blen] block eigenvectors
+    occ_a: np.ndarray  # [nblk, blen]
     orbE_b: np.ndarray | None = None
     orbs_b: np.ndarray | None = None
     occ_b: np.ndarray | None = None
 
 
-def make_fock(funcs, kfrac: float, nrad: int, dftthr: float = 1e-12):
-    """Jitted Fock builder for a fixed method (funcs/kfrac are compile-time)."""
+def aufbau_blocks(E: np.ndarray, nel: float) -> np.ndarray:
+    """Occupations [nblk, blen] over globally sorted block eigenvalues with
+    degeneracy averaging (keeps open shells spherical / pi_+- symmetric)."""
+    nblk, blen = E.shape
+    occ = np.zeros(nblk * blen)
+    flat = E.ravel()
+    order = np.argsort(flat, kind="stable")
+    left = float(nel)
+    i = 0
+    while left > 1e-12 and i < len(order):
+        if flat[order[i]] > _BIG / 2:
+            break
+        j = i
+        while j + 1 < len(order) and flat[order[j + 1]] - flat[order[i]] < 1e-8:
+            j += 1
+        ndeg = j - i + 1
+        fill = min(left, float(ndeg))
+        for k in range(i, j + 1):
+            occ[order[k]] = fill / ndeg
+        left -= fill
+        i = j + 1
+    return occ.reshape(nblk, blen)
+
+
+def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1e-12):
+    """Jitted Fock builder for a fixed method (funcs/kfrac compile-time)."""
 
     @jax.jit
-    def fock(ops: AtomicOperators, g, Pa, Pb):
+    def fock(ops: AtomicOperators, g, Vextra, Pa, Pb):
         P = Pa + Pb
         J = coulomb(ops, P)
-        Fa = ops.H0 + J
-        Fb = ops.H0 + J
+        H = ops.H0 + Vextra
+        Fa = H + J
+        Fb = H + J
         Exx = 0.0
         if kfrac != 0.0:
             Ka = kfrac * exchange(ops, Pa)
@@ -66,44 +94,16 @@ def make_fock(funcs, kfrac: float, nrad: int, dftthr: float = 1e-12):
             XCa, XCb, Exc, Nel = eval_fxc(funcs, g, Pa, Pb, nrad, dftthr)
             Fa = Fa + XCa
             Fb = Fb + XCb
+        if Bz != 0.0:
+            Fa = Fa - 0.5 * Bz * ops.S
+            Fb = Fb + 0.5 * Bz * ops.S
         Ekin = jnp.vdot(P, ops.T)
         Enuc = jnp.vdot(P, ops.Vnuc)
+        Efield = jnp.vdot(P, Vextra)
         Ecoul = 0.5 * jnp.vdot(P, J)
-        return Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel
+        return Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield
 
     return fock
-
-
-def _density_from_blocks(C, occ, nang, nrad):
-    """P[nbf, nbf] block-diagonal from per-block orbitals and occupations."""
-    Pb = jnp.einsum("apk,ak,aqk->apq", C, occ, C)
-    P = jnp.zeros((nang * nrad, nang * nrad))
-    for a in range(nang):
-        P = jax.lax.dynamic_update_slice(P, Pb[a], (a * nrad, a * nrad))
-    return P
-
-
-def _aufbau(E: np.ndarray, nel: float, degeneracy_avg: bool = True) -> np.ndarray:
-    """Occupations [nang, nrad] filling nel electrons into globally sorted
-    levels; degenerate levels (within 1e-8) share electrons equally, which
-    keeps spherical densities spherical (e.g. open p shells)."""
-    nang, nrad = E.shape
-    occ = np.zeros(nang * nrad)
-    flat = E.ravel()
-    order = np.argsort(flat, kind="stable")
-    left = float(nel)
-    i = 0
-    while left > 1e-12 and i < len(order):
-        j = i
-        while j + 1 < len(order) and flat[order[j + 1]] - flat[order[i]] < 1e-8:
-            j += 1
-        ndeg = j - i + 1
-        fill = min(left, float(ndeg))
-        for k in range(i, j + 1):
-            occ[order[k]] = fill / ndeg
-        left -= fill
-        i = j + 1
-    return occ.reshape(nang, nrad)
 
 
 def scf_atom(
@@ -117,36 +117,68 @@ def scf_atom(
     verbose: bool = False,
     ops: AtomicOperators | None = None,
     dftthr: float = 1e-12,
+    Ez: float = 0.0,
+    Qzz: float = 0.0,
+    Bz: float = 0.0,
+    iconf: int = 0,
+    conf_N: int = 0,
+    conf_R: float = 0.0,
+    conf_barrier: float = 0.0,
+    shift_conf: float = 0.0,
+    finitenuc: str = "point",
+    Rrms: float = 0.0,
 ) -> SCFResult:
     """Restricted/unrestricted SCF. method: 'HF', 'LDA', 'SVWN', 'PBE', or
     an 'x_func,c_func' pair of functional names."""
     if ops is None:
         ops = basis.build_operators()
-    nang, nrad = basis.nang, basis.nrad
+    nrad = basis.nrad
     funcs, kfrac = parse_method(method)
     g = build_dft_grid(basis) if funcs else None
-    fock = make_fock(tuple(funcs), kfrac, nrad, dftthr)
+    fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr)
+
+    # extra one-electron terms
+    Vextra = np.zeros((basis.nbf, basis.nbf))
+    if finitenuc != "point":
+        Vextra += basis.nuclear_model(finitenuc, Rrms) - basis.nuclear()
+    if Ez != 0.0:
+        Vextra += Ez * basis.dipole_z()
+    if Qzz != 0.0:
+        Vextra += Qzz * basis.quadrupole_zz() / 3.0
+    if Bz != 0.0:
+        Vextra += basis.Bz_field(Bz)
+    if iconf:
+        N = conf_N if iconf != 3 else conf_barrier
+        Vextra += basis.confinement(N, conf_R, iconf, shift_conf)
+    Vextra = jnp.asarray(Vextra)
+
+    # symmetry blocks: (l,m) unless an electric field couples l channels
+    symm = 1 if (Ez != 0.0 or Qzz != 0.0) else 2
+    blk_idx_np, blk_sinvh_np = build_blocks(np.asarray(ops.S), basis.sym_blocks(symm))
+    blk_idx = jnp.asarray(blk_idx_np)
+    blk_sinvh = jnp.asarray(blk_sinvh_np)
 
     # guess
-    Hg = jnp.asarray(basis.kinetic() + basis.model_potential(potential(guess, basis.Z)))
-    Ea, Ca = eig_gsym_lm(Hg, ops.Sinvh_rad)
+    Hg = jnp.asarray(basis.kinetic() + basis.model_potential(potential(guess, basis.Z))) + Vextra
+    Ea, Ca = eig_blocks(Hg, blk_idx, blk_sinvh)
     Ea = np.asarray(Ea)
     Eb, Cb = Ea.copy(), Ca
 
-    restricted = nela == nelb
-    diis = DIIS(np.asarray(ops.S), np.kron(np.eye(nang), np.asarray(ops.Sinvh_rad)))
+    restricted = nela == nelb and Bz == 0.0
+    diis = DIIS(np.asarray(ops.S), _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf))
 
     Eold = 0.0
     Etot = 0.0
     converged = False
     occa = occb = None
     for it in range(1, maxit + 1):
-        occa = _aufbau(Ea, nela)
-        occb = occa if restricted else _aufbau(Eb, nelb)
-        Pa = _density_from_blocks(Ca, jnp.asarray(occa), nang, nrad)
-        Pb = Pa if restricted else _density_from_blocks(Cb, jnp.asarray(occb), nang, nrad)
-        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, g, Pa, Pb)
-        Etot = float(Ekin + Enuc + Ecoul + Exx + Exc)
+        occa = aufbau_blocks(Ea, nela)
+        occb = occa if restricted else aufbau_blocks(Eb, nelb)
+        Pa = density_blocks(Ca, jnp.asarray(occa), blk_idx, ops.S)
+        Pb = Pa if restricted else density_blocks(Cb, jnp.asarray(occb), blk_idx, ops.S)
+        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(ops, g, Vextra, Pa, Pb)
+        Emag = -0.5 * Bz * (nela - nelb)
+        Etot = float(Ekin + Enuc + Ecoul + Exx + Exc + Efield) + Emag
         dE = Etot - Eold
         Eold = Etot
 
@@ -166,14 +198,15 @@ def scf_atom(
             converged = True
             break
 
-        Ea, Ca = eig_gsym_lm(jnp.asarray(Fa_), ops.Sinvh_rad)
+        Ea, Ca = eig_blocks(jnp.asarray(Fa_), blk_idx, blk_sinvh)
         Ea = np.asarray(Ea)
         if restricted:
             Eb, Cb = Ea, Ca
         else:
-            Eb, Cb = eig_gsym_lm(jnp.asarray(Fb_), ops.Sinvh_rad)
+            Eb, Cb = eig_blocks(jnp.asarray(Fb_), blk_idx, blk_sinvh)
             Eb = np.asarray(Eb)
 
+    oe = np.sort(Ea.ravel())
     return SCFResult(
         converged=converged,
         niter=it,
@@ -184,10 +217,19 @@ def scf_atom(
         Exx=float(Exx),
         Exc=float(Exc),
         Nelgrid=float(Nel),
-        orbE_a=np.sort(Ea.ravel()),
+        Efield=float(Efield),
+        orbE_a=oe[oe < _BIG / 2],
         orbs_a=np.asarray(Ca),
         occ_a=occa,
-        orbE_b=None if restricted else np.sort(Eb.ravel()),
+        orbE_b=None if restricted else np.sort(np.asarray(Eb).ravel()),
         orbs_b=None if restricted else np.asarray(Cb),
         occ_b=None if restricted else occb,
     )
+
+
+def _full_sinvh(blk_idx: np.ndarray, blk_sinvh: np.ndarray, nbf: int) -> np.ndarray:
+    out = np.zeros((nbf + 1, nbf + 1))
+    for b in range(blk_idx.shape[0]):
+        idx = blk_idx[b]
+        out[np.ix_(idx, idx)] += blk_sinvh[b]
+    return out[:nbf, :nbf]

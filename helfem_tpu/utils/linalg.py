@@ -82,6 +82,49 @@ def eig_gsym_lm(F: jnp.ndarray, Sinvh_rad: jnp.ndarray):
     return E, C
 
 
+_BIG = 1e6
+
+
+def build_blocks(S: np.ndarray, blocks) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a list of index arrays into (blk_idx [nblk, blen] with trash=nbf,
+    blk_sinvh [nblk, blen, blen]) for the batched blocked eigensolve."""
+    nbf = S.shape[0]
+    blen = max(len(b) for b in blocks)
+    nblk = len(blocks)
+    blk_idx = np.full((nblk, blen), nbf, dtype=np.int32)
+    blk_sinvh = np.zeros((nblk, blen, blen))
+    for i, idx in enumerate(blocks):
+        blk_idx[i, : len(idx)] = idx
+        blk_sinvh[i, : len(idx), : len(idx)] = form_sinvh(S[np.ix_(idx, idx)])
+    return blk_idx, blk_sinvh
+
+
+@jax.jit
+def eig_blocks(F: jnp.ndarray, blk_idx: jnp.ndarray, blk_sinvh: jnp.ndarray):
+    """Batched whitened eigensolve over padded symmetry blocks; padded slots
+    get eigenvalue _BIG (never occupied). Returns (E [nblk, blen],
+    C [nblk, blen, blen]) in block coordinates."""
+    nbf = F.shape[0]
+    Fp = jnp.pad(F, ((0, 1), (0, 1)))
+    Fb = Fp[blk_idx[:, :, None], blk_idx[:, None, :]]
+    Forth = jnp.einsum("bpi,bpq,bqj->bij", blk_sinvh, Fb, blk_sinvh)
+    pad = (blk_idx == nbf).astype(F.dtype)
+    Forth = Forth + _BIG * jnp.eye(blk_idx.shape[1])[None] * pad[:, None, :]
+    E, V = eigh_refined(Forth)
+    C = jnp.einsum("bpi,bij->bpj", blk_sinvh, V)
+    return E, C
+
+
+@jax.jit
+def density_blocks(C: jnp.ndarray, occ: jnp.ndarray, blk_idx: jnp.ndarray, S: jnp.ndarray):
+    """Scatter block orbitals x occupations into the global density matrix."""
+    nbf = S.shape[0]
+    Pb = jnp.einsum("bpk,bk,bqk->bpq", C, occ, C)
+    P = jnp.zeros((nbf + 1, nbf + 1))
+    P = P.at[blk_idx[:, :, None], blk_idx[:, None, :]].add(Pb)
+    return P[:nbf, :nbf]
+
+
 def eig_gsym_m(F: jnp.ndarray, Sinvh_rad: jnp.ndarray, mgroups, nrad: int):
     """Generalized eigensolve on m-symmetry blocks (symm=1).
 
