@@ -232,6 +232,19 @@ class AtomicBasis:
                 blocks.append(a * self.nrad + np.arange(self.nrad))
         return blocks
 
+    def build_yukawa(self, lam: float) -> "RSOperators":
+        """Yukawa (screened-Coulomb) TEI tables for range-separated exchange
+        (reference: TwoDBasis::compute_yukawa, src/atomic/TwoDBasis.cpp:747)."""
+        NL = self.NL
+        tei = self.rb.yukawa_integral(NL - 1, lam)
+        iL, kL = self.rb.yukawa_disjoint(NL - 1, lam)
+        return RSOperators(
+            tei=jnp.asarray(tei),
+            iL=jnp.asarray(iL),
+            kL=jnp.asarray(kL),
+            Lfac=jnp.asarray(np.full(NL, 4.0 * np.pi * lam)),
+        )
+
     # --- device constants ---------------------------------------------------------
     def build_operators(self) -> AtomicOperators:
         NL = self.NL
@@ -351,19 +364,24 @@ def exchange_kernel_L(teiL, UL, VL, gidx, nrad, R):
     return K.at[..., ridx, cidx].add(Kpair)
 
 
-def exchange(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
-    """K(P), jittable; returns the NEGATIVE exchange contribution to F (the
-    convention of TwoDBasis::exchange: F += kfrac * exchange(P)).
+def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> jnp.ndarray:
+    """Exchange build with caller-supplied radial kernels: (tei, U, V, Lfacv)
+    are the in-element TEI tensors, the factorized small-side/big-side
+    disjoint moments, and the per-L prefactors. Used for both the Coulomb
+    kernel (U=<r^L>, V=<r^-L-1>, Lfac=4pi/(2L+1)) and the Yukawa
+    range-separated kernel (U=<i_L>, V=<k_L>, Lfac=4 pi lambda;
+    reference: TwoDBasis::rs_exchange, src/atomic/TwoDBasis.cpp:1142-1321).
 
-    lax.scan over L; per L all (jang, kang) channel pairs and element pairs
-    are batched einsums (replacing OpenMP collapse(2), TwoDBasis.cpp:987-1135).
-    """
+    Returns the NEGATIVE exchange contribution to F (the convention of
+    TwoDBasis::exchange: F += kfrac * exchange(P)). lax.scan over L; per L
+    all (jang, kang) channel pairs and element pairs are batched einsums
+    (replacing OpenMP collapse(2), TwoDBasis.cpp:987-1135)."""
     nang = ops.G.shape[-1]
     nrad = ops.Sinvh_rad.shape[0]
     P4 = _to4(P, nang, nrad)
 
     def body(K4, xs):
-        GL, LfacL, teiL, UL, VL = xs  # U = <r^L>, V = <r^-L-1> per element
+        GL, LfacL, teiL, UL, VL = xs
         # R[b,c,I,J] = Lfac * sum_{M,a,d} G[M,b,a] G[M,c,d] P[a,d,I,J]
         t1 = jnp.einsum("Mba,adIJ->MbdIJ", GL, P4)
         R = LfacL * jnp.einsum("Mcd,MbdIJ->bcIJ", GL, t1)
@@ -371,8 +389,25 @@ def exchange(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
         return K4, None
 
     K4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
-    K4, _ = jax.lax.scan(
-        body, K4, (ops.G, ops.Lfac, ops.tei, ops.disjL, ops.disjm1L)
-    )
+    K4, _ = jax.lax.scan(body, K4, (ops.G, Lfacv, tei, U, V))
     K4 = K4[:, :, :nrad, :nrad]
     return -_from4(K4, nang, nrad)
+
+
+def exchange(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
+    """Full-range exchange K(P) (negative contribution to F)."""
+    return exchange_general(ops, ops.tei, ops.disjL, ops.disjm1L, ops.Lfac, P)
+
+
+class RSOperators(NamedTuple):
+    """Range-separated (Yukawa) exchange tables."""
+
+    tei: jnp.ndarray  # [NL, nelem, np, np, np, np] yukawa in-element
+    iL: jnp.ndarray  # [NL, nelem, np, np] <i_L(lam r)> small side
+    kL: jnp.ndarray  # [NL, nelem, np, np] <k_L(lam r)> big side
+    Lfac: jnp.ndarray  # [NL] = 4 pi lam
+
+
+def rs_exchange(ops: AtomicOperators, rs: RSOperators, P: jnp.ndarray) -> jnp.ndarray:
+    """Short-range (Yukawa-attenuated) exchange."""
+    return exchange_general(ops, rs.tei, rs.iL, rs.kL, rs.Lfac, P)

@@ -188,6 +188,57 @@ class RadialBasis:
             out[:, e] = I + I.transpose(0, 3, 4, 1, 2)
         return out
 
+    def yukawa_disjoint(self, Lmax: int, lam: float):
+        """(i_el, k_el): per-element <B_i B_j i_L(lam r)> and <.. k_L(lam r)>
+        [NL, nelem, nprim, nprim] for the range-separated exchange
+        (reference: RadialBasis::bessel_il/kl_integral). k of element 0 is
+        zeroed (never used; integrand singular at r -> 0)."""
+        from helfem_tpu.ops.bessel import bessel_il, bessel_kl
+
+        nelem, nq = self.r.shape
+        iv = bessel_il(lam * self.r.ravel(), Lmax).reshape(Lmax + 1, nelem, nq)
+        kv = bessel_kl(lam * self.r.ravel(), Lmax).reshape(Lmax + 1, nelem, nq)
+        w = self.wr * self.r**2
+        i_el = np.einsum("eqi,Leq,eq,eqj->Leij", self.b, iv, w, self.b, optimize=True)
+        k_el = np.einsum("eqi,Leq,eq,eqj->Leij", self.b, kv, w, self.b, optimize=True)
+        k_el[:, 0] = 0.0
+        return i_el, k_el
+
+    def yukawa_integral(self, Lmax: int, lam: float) -> np.ndarray:
+        """In-element Yukawa TEI tensor [NL, nelem, np, np, np, np]:
+        int int B_i B_j i_L(lam r<) k_L(lam r>) B_k B_l dr dr'
+        (reference: quadrature::yukawa_integral, quadrature.cpp:128-169)."""
+        from helfem_tpu.ops.bessel import bessel_il, bessel_kl
+
+        nelem, nq = self.r.shape
+        nprim = self.fem.nprim
+        NL = Lmax + 1
+        x, w = self.xq, self.wq
+        out = np.empty((NL, nelem, nprim, nprim, nprim, nprim))
+        for e in range(nelem):
+            rq = self.r[e]
+            lo = np.concatenate([[self.fem.bval[e]], rq[:-1]])
+            hi = rq
+            mid, hlen = 0.5 * (lo + hi), 0.5 * (hi - lo)
+            rp = mid[:, None] + hlen[:, None] * x[None, :]
+            xpoly = (rp - self.fem.mids[e]) / (0.5 * self.fem.lengths[e])
+            Bin = self.fem.poly.eval(xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
+            Bin = Bin * self.fem.mask[e][None, None, :]
+            iv_in = bessel_il(lam * rp.ravel(), Lmax).reshape(NL, nq, nq)
+            kv_out = bessel_kl(lam * rq, Lmax)  # [NL, nq]
+            # inner segment weights: w * hlen * i_L(lam r') * k_L(lam r_p)
+            wseg = w[None, None, :] * hlen[None, :, None] * iv_in * kv_out[:, :, None]
+            seg = np.einsum("Lpq,pqk,pql->Lpkl", wseg, Bin, Bin, optimize=True)
+            inner = np.empty_like(seg)
+            inner[:, 0] = seg[:, 0]
+            fac = kv_out[:, 1:] / kv_out[:, :-1]  # [NL, nq-1]
+            for p in range(1, nq):
+                inner[:, p] = seg[:, p] + inner[:, p - 1] * fac[:, p - 1, None, None]
+            Bw = self.B[e] * self.wr[e][:, None]
+            I = np.einsum("pi,pj,Lpkl->Lijkl", Bw, self.B[e], inner, optimize=True)
+            out[:, e] = I + I.transpose(0, 3, 4, 1, 2)
+        return out
+
     def disjoint_integrals(self, Lmax: int):
         """(disjoint_L, disjoint_m1L): per-element moment matrices
         [NL, nelem, nprim, nprim] of r^L and r^{-L-1}.
