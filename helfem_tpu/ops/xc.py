@@ -15,6 +15,7 @@ Density threshold: points with rho < thr are masked out of energies and
 potentials (libxc's dens_threshold convention, dftgrid.cpp:428).
 """
 
+from functools import lru_cache
 from typing import Callable, NamedTuple
 
 import jax
@@ -150,6 +151,52 @@ def _ec_pbe(ra, rb, saa, sab, sbb):
 
 
 # ----------------------------------------------------------------------------
+# B88 exchange
+# ----------------------------------------------------------------------------
+
+
+def _ex_b88(ra, rb, saa, sab, sbb):
+    """Becke 1988 gradient-corrected exchange."""
+    beta = 0.0042
+
+    def exs(r, s):
+        r43 = r ** (4.0 / 3.0)
+        x = jnp.sqrt(jnp.maximum(s, 0.0)) / (r43 + _TINY)
+        corr = -beta * r43 * x * x / (1.0 + 6.0 * beta * x * jnp.arcsinh(x))
+        lda = -0.75 * (6.0 / jnp.pi) ** (1.0 / 3.0) * r43
+        return lda + corr
+
+    return exs(ra, saa) + exs(rb, sbb)
+
+
+# ----------------------------------------------------------------------------
+# LYP correlation (Miehlich et al. reformulation)
+# ----------------------------------------------------------------------------
+
+
+def _ec_lyp(ra, rb, saa, sab, sbb):
+    a, b, c, d = 0.04918, 0.132, 0.2533, 0.349
+    CF = 0.3 * (3.0 * jnp.pi**2) ** (2.0 / 3.0)
+    rho = ra + rb
+    r13 = rho ** (-1.0 / 3.0)
+    den = 1.0 + d * r13
+    omega = jnp.exp(-c * r13) / den * rho ** (-11.0 / 3.0)
+    delta = c * r13 + d * r13 / den
+    sigma = saa + 2.0 * sab + sbb
+    t1 = -a * 4.0 / den * ra * rb / rho
+    t2 = (
+        2.0 ** (11.0 / 3.0) * CF * (ra ** (8.0 / 3.0) + rb ** (8.0 / 3.0))
+        + (47.0 / 18.0 - 7.0 * delta / 18.0) * sigma
+        - (2.5 - delta / 18.0) * (saa + sbb)
+        - (delta - 11.0) / 9.0 * (ra * saa + rb * sbb) / rho
+    )
+    t3 = -2.0 / 3.0 * rho**2 * sigma + (2.0 / 3.0 * rho**2 - ra**2) * sbb + (
+        2.0 / 3.0 * rho**2 - rb**2
+    ) * saa
+    return t1 - a * b * omega * (ra * rb * t2 + t3)
+
+
+# ----------------------------------------------------------------------------
 # catalog + evaluation
 # ----------------------------------------------------------------------------
 
@@ -159,13 +206,19 @@ _CATALOG = {
     "lda_c_pw": Functional("lda_c_pw", "lda", _ec_pw92),
     "gga_x_pbe": Functional("gga_x_pbe", "gga", _ex_pbe),
     "gga_c_pbe": Functional("gga_c_pbe", "gga", _ec_pbe),
+    "gga_x_b88": Functional("gga_x_b88", "gga", _ex_b88),
+    "gga_c_lyp": Functional("gga_c_lyp", "gga", _ec_lyp),
 }
 
+# alias -> (kfrac, [(weight, functional-name), ...])
 _ALIASES = {
-    "lda": ("lda_x", "lda_c_pw"),
-    "svwn": ("lda_x", "lda_c_vwn"),
-    "svwn5": ("lda_x", "lda_c_vwn"),
-    "pbe": ("gga_x_pbe", "gga_c_pbe"),
+    "lda": (0.0, [(1.0, "lda_x"), (1.0, "lda_c_pw")]),
+    "svwn": (0.0, [(1.0, "lda_x"), (1.0, "lda_c_vwn")]),
+    "svwn5": (0.0, [(1.0, "lda_x"), (1.0, "lda_c_vwn")]),
+    "pbe": (0.0, [(1.0, "gga_x_pbe"), (1.0, "gga_c_pbe")]),
+    "blyp": (0.0, [(1.0, "gga_x_b88"), (1.0, "gga_c_lyp")]),
+    "pbe0": (0.25, [(0.75, "gga_x_pbe"), (1.0, "gga_c_pbe")]),
+    "pbeh": (0.25, [(0.75, "gga_x_pbe"), (1.0, "gga_c_pbe")]),
 }
 
 
@@ -176,17 +229,25 @@ def get_functional(name: str) -> Functional:
     return _CATALOG[key]
 
 
+def scale_functional(w: float, f: Functional) -> Functional:
+    if w == 1.0:
+        return f
+    return Functional(f"{w}*{f.name}", f.family, lambda *a, _f=f.f, _w=w: _w * _f(*a))
+
+
+@lru_cache(maxsize=None)
 def parse_method(method: str):
     """Parse a method string as the reference does (src/general/dftfuncs.cpp
-    parse_xc_func): 'HF', a composite alias ('PBE', 'LDA', 'SVWN'), or an
-    'x_func,c_func' pair of functional names.
+    parse_xc_func): 'HF', a composite alias ('PBE', 'LDA', 'SVWN', 'PBE0',
+    'BLYP'), or an 'x_func,c_func' pair of functional names.
 
     Returns (funcs: list[Functional], kfrac: float)."""
     m = method.strip().lower()
     if m in ("hf", ""):
         return [], 1.0
     if m in _ALIASES:
-        return [_CATALOG[k] for k in _ALIASES[m]], 0.0
+        kfrac, parts = _ALIASES[m]
+        return [scale_functional(w, _CATALOG[k]) for w, k in parts], kfrac
     parts = [p for p in m.split(",") if p and p != "none"]
     return [get_functional(p) for p in parts], 0.0
 

@@ -94,3 +94,51 @@ def test_he_pbe():
     res = scf_atom(b, 1, 1, method="PBE", convthr=1e-8)
     assert res.converged
     assert abs(res.E + 2.892936) < 2e-5
+
+
+def test_b88_lyp_on_hf_density():
+    """B88 exchange and LYP correlation evaluated on the converged He HF
+    density vs the original papers' values (Becke 1988: -1.0255;
+    Lee-Yang-Parr 1988: -0.0437)."""
+    import jax.numpy as jnp
+
+    from helfem_tpu.ops.xc import get_functional
+    from helfem_tpu.utils.linalg import build_blocks, density_blocks
+
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=40.0, nelem=10, nnodes=15)
+    ops = b.build_operators()
+    res = scf_atom(b, 1, 1, convthr=1e-9, ops=ops)
+    blk_idx, blk_sinvh = build_blocks(np.asarray(ops.S), b.sym_blocks(2))
+    P = density_blocks(
+        jnp.asarray(res.orbs_a), jnp.asarray(res.occ_a * 2), jnp.asarray(blk_idx), ops.S
+    )
+    from helfem_tpu.models.atomic_dft import eval_fxc
+
+    g = build_dft_grid(b)
+    for name, ref, tol in [
+        ("gga_x_b88", -1.0255, 2e-3),
+        ("gga_c_lyp", -0.0437, 2e-4),
+        ("lda_x", -0.8841, 2e-4),
+    ]:
+        f = get_functional(name)
+        _, _, E, _ = eval_fxc((f,), g, P / 2, P / 2, b.nrad)
+        assert abs(float(E) - ref) < tol, (name, float(E))
+
+
+def test_he_blyp_scf():
+    """He BLYP total energy, literature ~ -2.90707."""
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=40.0, nelem=10, nnodes=15)
+    res = scf_atom(b, 1, 1, method="BLYP", convthr=1e-8)
+    assert res.converged
+    assert abs(res.E + 2.90707) < 1e-4
+
+
+def test_pbe0_hybrid_consistency():
+    """PBE0 = 0.25 exact + 0.75 PBE exchange + PBE correlation: the energy
+    must sit between HF and PBE and the Exx piece must be ~0.25 of HF's."""
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=30.0, nelem=8, nnodes=10)
+    ops = b.build_operators()
+    rhf = scf_atom(b, 1, 1, method="HF", convthr=1e-8, ops=ops)
+    r0 = scf_atom(b, 1, 1, method="PBE0", convthr=1e-8, ops=ops)
+    assert r0.converged
+    assert abs(r0.Exx - 0.25 * rhf.Exx) < 5e-3
