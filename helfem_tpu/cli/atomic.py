@@ -1,0 +1,104 @@
+"""`helfem-atomic`: atomic HF/DFT SCF driver CLI.
+
+Flag names mirror the reference `atomic` program (src/atomic/main.cpp:63-119)
+so reference comparisons are scriptable.
+"""
+
+import argparse
+
+import numpy as np
+
+
+def parse_nela_nelb(Z: int, Q: int, M: int, nela: int, nelb: int):
+    """(reference: scf::parse_nela_nelb)."""
+    if nela or nelb:
+        return nela, nelb
+    nel = Z - Q
+    if M == 0:
+        M = 1 if nel % 2 == 0 else 2
+    na = (nel + M - 1) // 2
+    return na, nel - na
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="helfem-atomic", description=__doc__)
+    p.add_argument("--Z", required=True, help="nuclear charge (number or symbol)")
+    p.add_argument("--nela", type=int, default=0)
+    p.add_argument("--nelb", type=int, default=0)
+    p.add_argument("--Q", type=int, default=0, help="charge state")
+    p.add_argument("--M", type=int, default=0, help="spin multiplicity")
+    p.add_argument("--lmax", type=int, required=True)
+    p.add_argument("--mmax", type=int, required=True)
+    p.add_argument("--Rmax", type=float, default=40.0)
+    p.add_argument("--grid", type=int, default=4)
+    p.add_argument("--zexp", type=float, default=2.0)
+    p.add_argument("--nelem", type=int, required=True)
+    p.add_argument("--nnodes", type=int, default=15)
+    p.add_argument("--nquad", type=int, default=0)
+    p.add_argument("--maxit", type=int, default=50)
+    p.add_argument("--convthr", type=float, default=1e-7)
+    p.add_argument("--method", default="HF")
+    p.add_argument("--Ez", type=float, default=0.0)
+    p.add_argument("--Qzz", type=float, default=0.0)
+    p.add_argument("--Bz", type=float, default=0.0)
+    p.add_argument("--iguess", type=int, default=2, help="0 core, 1 GSZ, 2 SAP, 3 TF")
+    p.add_argument("--finitenuc", type=int, default=0, help="0 point, 2 gaussian, 3 spherical, 4 hollow")
+    p.add_argument("--Rrms", type=float, default=0.0)
+    p.add_argument("--iconf", type=int, default=0)
+    p.add_argument("--conf_N", type=int, default=0)
+    p.add_argument("--conf_R", type=float, default=0.0)
+    p.add_argument("--conf_barrier", type=float, default=0.0)
+    p.add_argument("--shift_conf", type=float, default=0.0)
+    p.add_argument("--save", default="helfem.npz", help="checkpoint file")
+    p.add_argument("--dftthr", type=float, default=1e-12)
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from helfem_tpu.models.atomic import AtomicBasis
+    from helfem_tpu.scf.atomic_scf import scf_atom
+    from helfem_tpu.utils.checkpoint import save_atomic
+    from helfem_tpu.utils.elements import HARTREE_IN_EV, get_Z
+
+    Z = get_Z(args.Z)
+    nela, nelb = parse_nela_nelb(Z, args.Q, args.M, args.nela, args.nelb)
+    guess = {0: "core", 1: "GSZ", 2: "SAP", 3: "TF"}[args.iguess]
+    nucmodel = {0: "point", 1: "point", 2: "gaussian", 3: "spherical", 4: "hollow"}[args.finitenuc]
+
+    basis = AtomicBasis(
+        Z=Z, lmax=args.lmax, mmax=args.mmax, rmax=args.Rmax, nelem=args.nelem,
+        nnodes=args.nnodes, nquad=args.nquad, igrid=args.grid, zexp=args.zexp,
+    )
+    print(f"Running {args.method} on Z={Z} with {nela}+{nelb} electrons, "
+          f"{basis.nbf} basis functions ({basis.nang} angular x {basis.nrad} radial)")
+    res = scf_atom(
+        basis, nela, nelb, method=args.method, maxit=args.maxit,
+        convthr=args.convthr, guess=guess, verbose=True, dftthr=args.dftthr,
+        Ez=args.Ez, Qzz=args.Qzz, Bz=args.Bz, iconf=args.iconf,
+        conf_N=args.conf_N, conf_R=args.conf_R, conf_barrier=args.conf_barrier,
+        shift_conf=args.shift_conf, finitenuc=nucmodel, Rrms=args.Rrms,
+    )
+    print()
+    for name, val in [
+        ("Kinetic", res.Ekin), ("Nuclear attraction", res.Enuc),
+        ("Coulomb", res.Ecoul), ("Exact exchange", res.Exx),
+        ("Exchange-correlation", res.Exc), ("Field/confinement", res.Efield),
+        ("Total", res.E),
+    ]:
+        print(f"{name:<21s} energy: % .16f" % val)
+    print(f"{'Virial ratio':<21s}       : % .16f" % (-res.E / res.Ekin))
+    if len(res.orbE_a) > nela and nela > 0:
+        gap = (res.orbE_a[nela] - res.orbE_a[nela - 1]) * HARTREE_IN_EV
+        print(f"HOMO-LUMO gap: {gap:.3f} eV")
+    if not res.converged:
+        print("WARNING: SCF did not converge!")
+    if args.save:
+        save_atomic(args.save, basis, res)
+        print(f"checkpoint saved to {args.save}")
+    return res
+
+
+if __name__ == "__main__":
+    main()

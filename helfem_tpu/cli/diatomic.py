@@ -1,0 +1,68 @@
+"""`helfem-diatomic`: diatomic HF/DFT SCF driver CLI
+(flags mirror src/diatomic/main.cpp:89-143)."""
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="helfem-diatomic", description=__doc__)
+    p.add_argument("--Z1", required=True)
+    p.add_argument("--Z2", required=True)
+    p.add_argument("--Rbond", type=float, required=True)
+    p.add_argument("--angstrom", action="store_true")
+    p.add_argument("--nela", type=int, default=0)
+    p.add_argument("--nelb", type=int, default=0)
+    p.add_argument("--Q", type=int, default=0)
+    p.add_argument("--M", type=int, default=0)
+    p.add_argument("--lmax", required=True, help="lmax, or comma list per |m|")
+    p.add_argument("--Rmax", type=float, default=40.0)
+    p.add_argument("--grid", type=int, default=4)
+    p.add_argument("--zexp", type=float, default=2.0)
+    p.add_argument("--nelem", type=int, required=True)
+    p.add_argument("--nnodes", type=int, default=15)
+    p.add_argument("--nquad", type=int, default=0)
+    p.add_argument("--maxit", type=int, default=50)
+    p.add_argument("--convthr", type=float, default=1e-7)
+    p.add_argument("--method", default="HF")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from helfem_tpu.cli.atomic import parse_nela_nelb
+    from helfem_tpu.models.diatomic import DiatomicBasis
+    from helfem_tpu.scf.diatomic_scf import scf_diatomic
+    from helfem_tpu.utils.elements import ANGSTROM_IN_BOHR, get_Z
+
+    Z1, Z2 = get_Z(args.Z1), get_Z(args.Z2)
+    R = args.Rbond * (ANGSTROM_IN_BOHR if args.angstrom else 1.0)
+    lmax = tuple(int(x) for x in str(args.lmax).split(","))
+    nela, nelb = parse_nela_nelb(Z1 + Z2, args.Q, args.M, args.nela, args.nelb)
+
+    basis = DiatomicBasis(
+        Z1=Z1, Z2=Z2, Rbond=R, lmax=lmax, rmax=args.Rmax, nelem=args.nelem,
+        nnodes=args.nnodes, nquad=args.nquad, igrid=args.grid, zexp=args.zexp,
+    )
+    print(f"Running {args.method} on Z1={Z1} Z2={Z2} R={R} with {nela}+{nelb} electrons")
+    print(f"{basis.nang} angular shells x {basis.nrad} radial functions; "
+          f"{len(basis.lm_map)} (L,|M|) channels")
+    res = scf_diatomic(
+        basis, nela, nelb, method=args.method, maxit=args.maxit,
+        convthr=args.convthr, verbose=True,
+    )
+    print()
+    for name, val in [
+        ("Kinetic", res.Ekin), ("Nuclear attraction", res.Enucattr),
+        ("Nuclear repulsion", res.Enucrep), ("Coulomb", res.Ecoul),
+        ("Exact exchange", res.Exx), ("Exchange-correlation", res.Exc),
+        ("Total", res.E),
+    ]:
+        print(f"{name:<21s} energy: % .16f" % val)
+    if not res.converged:
+        print("WARNING: SCF did not converge!")
+    return res
+
+
+if __name__ == "__main__":
+    main()

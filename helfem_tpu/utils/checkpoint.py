@@ -1,0 +1,79 @@
+"""Checkpointing (L8).
+
+npz-based replacement for the reference's HDF5 Checkpoint class
+(src/general/checkpoint.{cpp,h}): serializes the basis-set definition plus
+orbitals/occupations/energies so calculations can restart, including warm
+starts in a DIFFERENT basis via cross-basis overlap projection (the
+reference's --load path, src/atomic/main.cpp:508-609).
+"""
+
+import numpy as np
+
+__all__ = ["save_atomic", "load_atomic", "cross_radial_overlap", "project_orbitals"]
+
+
+def save_atomic(path: str, basis, res) -> None:
+    np.savez(
+        path,
+        kind="atomic",
+        Z=basis.Z, lmax=basis.lmax, mmax=basis.mmax, rmax=basis.rmax,
+        nelem=basis.nelem, nnodes=basis.nnodes, nquad=basis.nquad,
+        igrid=basis.igrid, zexp=basis.zexp,
+        converged=res.converged, E=res.E,
+        orbE_a=res.orbE_a, orbs_a=res.orbs_a, occ_a=res.occ_a,
+        orbE_b=res.orbE_b if res.orbE_b is not None else np.zeros(0),
+        orbs_b=res.orbs_b if res.orbs_b is not None else np.zeros(0),
+        occ_b=res.occ_b if res.occ_b is not None else np.zeros(0),
+    )
+
+
+def load_atomic(path: str):
+    """Returns (basis, data-dict)."""
+    from helfem_tpu.models.atomic import AtomicBasis
+
+    d = np.load(path, allow_pickle=False)
+    basis = AtomicBasis(
+        Z=int(d["Z"]), lmax=int(d["lmax"]), mmax=int(d["mmax"]),
+        rmax=float(d["rmax"]), nelem=int(d["nelem"]), nnodes=int(d["nnodes"]),
+        nquad=int(d["nquad"]), igrid=int(d["igrid"]), zexp=float(d["zexp"]),
+    )
+    return basis, dict(d)
+
+
+def cross_radial_overlap(rb_new, rb_old) -> np.ndarray:
+    """<B_i^new | B_j^old> between two radial bases on different element
+    grids, by overlap-restricted quadrature (reference:
+    RadialBasis::radial_integral(rh,...), libhelfem/src/RadialBasis.cpp:211-309)."""
+    from helfem_tpu.ops.quadrature import chebyshev
+
+    nq = max(rb_new.nquad, rb_old.nquad)
+    xq, wq = chebyshev(nq)
+    fa, fb = rb_new.fem, rb_old.fem
+    S = np.zeros((fa.nbf + 1, fb.nbf + 1))
+    for ie in range(fa.nelem):
+        a0, a1 = fa.bval[ie], fa.bval[ie + 1]
+        for je in range(fb.nelem):
+            b0, b1 = fb.bval[je], fb.bval[je + 1]
+            lo, hi = max(a0, b0), min(a1, b1)
+            if hi <= lo:
+                continue
+            mid, hl = 0.5 * (hi + lo), 0.5 * (hi - lo)
+            r = mid + hl * xq
+            xa = (r - fa.mids[ie]) / (0.5 * fa.lengths[ie])
+            xb = (r - fb.mids[je]) / (0.5 * fb.lengths[je])
+            Ba = fa.poly.eval(xa, 0)[0] * fa.mask[ie][None, :]
+            Bb = fb.poly.eval(xb, 0)[0] * fb.mask[je][None, :]
+            blk = np.einsum("qi,q,qj->ij", Ba, wq * hl, Bb)
+            S[np.ix_(fa.gidx[ie], fb.gidx[je])] += blk
+    return S[: fa.nbf, : fb.nbf]
+
+
+def project_orbitals(basis_new, basis_old, C_old_blocks, S_new: np.ndarray):
+    """Project old orbitals into the new basis: C1 = S11^-1 S12 C2, followed
+    by S-orthonormalization by the caller (reference: main.cpp:565-599).
+
+    Works per angular shell (shells must match in (l,m))."""
+    S12_rad = cross_radial_overlap(basis_new.rb, basis_old.rb)
+    S11_rad = basis_new.rb.overlap()
+    proj = np.linalg.solve(S11_rad, S12_rad)
+    return np.einsum("pq,aqk->apk", proj, C_old_blocks)
