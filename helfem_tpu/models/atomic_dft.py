@@ -1,4 +1,4 @@
-"""Atomic DFT quadrature grid and XC Fock build (L6).
+"""Atomic DFT quadrature grid and XC Fock build (L6), incl. meta-GGA tau.
 
 Redesign of atomic::dftgrid (src/atomic/dftgrid.{cpp,h}):
 
@@ -7,31 +7,32 @@ Redesign of atomic::dftgrid (src/atomic/dftgrid.{cpp,h}):
   element sweep to avoid write races. Here the phi dimension is ELIMINATED
   ANALYTICALLY: with the density matrix m-block-diagonal (always true under
   the axial/full symmetry the reference enforces, TwoDBasis::get_sym_idx),
-  rho, grad rho and all XC matrix elements are phi-independent, and the
+  rho, grad rho, tau and all XC matrix elements are phi-independent, and the
   angular factors reduce to REAL products of normalized associated Legendre
   functions Theta_a(theta) = Pbar_{l_a}^{|m_a|}(cos theta). The grid is
-  (element, radial point, theta point), all contractions are batched einsums,
-  and the global Fock assembly is one scatter-add (race-free by construction).
+  (element, radial point, theta point) with a Gauss-Legendre theta rule
+  (interior nodes avoid the sin(theta)=0 endpoints of the m>0 angular
+  derivative products), all contractions are batched einsums, and the global
+  Fock assembly is one scatter-add (race-free by construction).
 
-* XC energies/potentials from helfem_tpu.ops.xc (autodiff vrho/vsigma).
+* XC energies/potentials from helfem_tpu.ops.xc (autodiff vrho/vsigma/vtau).
 
 Grid layout per element e: points (q, t) with weight
     w[e,q,t] = wr[e,q] * r[e,q]^2 * wth[t] * 2*pi.
 """
 
-from dataclasses import dataclass, field
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from helfem_tpu.models.atomic import AtomicBasis, AtomicOperators, _pad_rad, _to4, _from4
-from helfem_tpu.ops.quadrature import gauss_lobatto
+from helfem_tpu.models.atomic import AtomicBasis, _from4, _pad_rad, _to4
+from helfem_tpu.ops.quadrature import gauss_legendre
 from helfem_tpu.ops.spherical import legendre_Pbar, ylm_dtheta
 from helfem_tpu.ops.xc import xc_eval
 
-__all__ = ["DFTGridOps", "build_dft_grid", "eval_fxc", "eval_overlap_grid"]
+__all__ = ["DFTGridOps", "build_dft_grid", "eval_fxc", "eval_overlap_grid", "eval_kinetic_grid"]
 
 
 class DFTGridOps(NamedTuple):
@@ -43,21 +44,24 @@ class DFTGridOps(NamedTuple):
     w2: jnp.ndarray  # [nelem, nq] radial weight incl. r^2 and 2 pi
     wth: jnp.ndarray  # [nt] theta weights (in cos theta)
     TT: jnp.ndarray  # [nang, nang, nt] Theta_a Theta_b * delta_{ma,mb}
-    dTT: jnp.ndarray  # [nang, nang, nt] (Theta'_a Theta_b + Theta_a Theta'_b) * delta
+    dTT: jnp.ndarray  # [nang, nang, nt] (Theta'_a Theta_b + Theta_a Theta'_b)
+    dTT2: jnp.ndarray  # [nang, nang, nt] Theta'_a Theta'_b (for tau)
+    TTm2: jnp.ndarray  # [nang, nang, nt] m_a m_b Theta Theta / sin^2 (for tau)
     gidx: jnp.ndarray  # [nelem, nprim]
 
 
 def build_dft_grid(basis: AtomicBasis, ntheta: int = 0) -> DFTGridOps:
-    """Host-side grid constants. ntheta=0 -> 2*lmax + 12 Lobatto points in
-    cos(theta) (integrates the <=4*lmax degree Legendre products exactly,
-    mirroring the reference's ldft = 4*lmax + 10 default,
+    """Host-side grid constants. ntheta=0 -> 2*lmax + 12 Gauss-Legendre
+    points in cos(theta) (integrates Legendre products of degree 4*lmax+22
+    exactly, beyond the reference's ldft = 4*lmax + 10 default,
     src/atomic/main.cpp:389-396)."""
     if ntheta == 0:
         ntheta = 2 * basis.lmax + 12
-    cth, wth = gauss_lobatto(ntheta)
+    cth, wth = gauss_legendre(ntheta)
     lmax = int(basis.lval.max())
     P = legendre_Pbar(lmax, cth)  # [l, m, nt]
     D = ylm_dtheta(lmax, cth)  # d/dtheta
+    sin2 = 1.0 - cth**2
     nang = basis.nang
     Th = np.zeros((nang, ntheta))
     dTh = np.zeros((nang, ntheta))
@@ -67,6 +71,9 @@ def build_dft_grid(basis: AtomicBasis, ntheta: int = 0) -> DFTGridOps:
     same_m = (basis.mval[:, None] == basis.mval[None, :]).astype(np.float64)
     TT = same_m[:, :, None] * Th[:, None, :] * Th[None, :, :]
     dTT = same_m[:, :, None] * (dTh[:, None, :] * Th[None, :, :] + Th[:, None, :] * dTh[None, :, :])
+    dTT2 = same_m[:, :, None] * dTh[:, None, :] * dTh[None, :, :]
+    mm = (basis.mval[:, None] * basis.mval[None, :]).astype(np.float64)
+    TTm2 = same_m[:, :, None] * mm[:, :, None] * Th[:, None, :] * Th[None, :, :] / sin2[None, None, :]
     rb = basis.rb
     return DFTGridOps(
         bg=jnp.asarray(rb.b),
@@ -76,13 +83,14 @@ def build_dft_grid(basis: AtomicBasis, ntheta: int = 0) -> DFTGridOps:
         wth=jnp.asarray(wth),
         TT=jnp.asarray(TT),
         dTT=jnp.asarray(dTT),
+        dTT2=jnp.asarray(dTT2),
+        TTm2=jnp.asarray(TTm2),
         gidx=jnp.asarray(rb.fem.gidx),
     )
 
 
-def _density_fields(g: DFTGridOps, P4p: jnp.ndarray):
-    """rho, drho/dr, (1/r) drho/dtheta on the [e, q, t] grid from the padded
-    4-index density."""
+def _density_fields(g: DFTGridOps, P4p: jnp.ndarray, need_tau: bool):
+    """rho, drho/dr, (1/r) drho/dtheta [, tau] on the [e, q, t] grid."""
     gi = g.gidx
     Pg = P4p[:, :, gi[:, :, None], gi[:, None, :]]  # [a,b,e,i,j]
     D1 = jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.bg, g.bg)
@@ -90,7 +98,14 @@ def _density_fields(g: DFTGridOps, P4p: jnp.ndarray):
     rho = jnp.einsum("abeq,abt->eqt", D1, g.TT)
     drho_r = jnp.einsum("abeq,abt->eqt", Ddr, g.TT)
     drho_t = jnp.einsum("abeq,abt->eqt", D1, g.dTT) / g.r[:, :, None]
-    return rho, drho_r, drho_t
+    tau = None
+    if need_tau:
+        Ddd = jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.dbg, g.dbg)
+        tau = 0.5 * (
+            jnp.einsum("abeq,abt->eqt", Ddd, g.TT)
+            + jnp.einsum("abeq,abt->eqt", D1, g.dTT2 + g.TTm2) / g.r[:, :, None] ** 2
+        )
+    return rho, drho_r, drho_t, tau
 
 
 def _scatter_f(g: DFTGridOps, Fel: jnp.ndarray, nang: int, nrad: int):
@@ -101,26 +116,29 @@ def _scatter_f(g: DFTGridOps, Fel: jnp.ndarray, nang: int, nrad: int):
 
 
 def eval_fxc(funcs, g: DFTGridOps, Pa, Pb, nrad: int, thr: float = 1e-12):
-    """XC Fock matrices and energy.
-
-    Returns (Fxca, Fxcb, Exc, Nel). jit-compatible for a fixed functional
-    list (close over `funcs`)."""
+    """XC Fock matrices and energy. Returns (Fxca, Fxcb, Exc, Nel).
+    jit-compatible for a fixed functional list (close over `funcs`)."""
     nang = g.TT.shape[0]
     P4a = _pad_rad(_to4(Pa, nang, nrad))
     P4b = _pad_rad(_to4(Pb, nang, nrad))
-    ra, ra_r, ra_t = _density_fields(g, P4a)
-    rb, rb_r, rb_t = _density_fields(g, P4b)
+    mgga = any(f.family == "mgga" for f in funcs)
+    gga = mgga or any(f.family != "lda" for f in funcs)
+    ra, ra_r, ra_t, ta = _density_fields(g, P4a, mgga)
+    rb, rb_r, rb_t, tb = _density_fields(g, P4b, mgga)
     saa = ra_r * ra_r + ra_t * ra_t
     sab = ra_r * rb_r + ra_t * rb_t
     sbb = rb_r * rb_r + rb_t * rb_t
-    e, vra, vrb, vsaa, vsab, vsbb = xc_eval(funcs, ra, rb, saa, sab, sbb, thr)
+    out = xc_eval(funcs, ra, rb, saa, sab, sbb, thr, ta=ta, tb=tb)
+    if mgga:
+        e, vra, vrb, vsaa, vsab, vsbb, vta, vtb = out
+    else:
+        e, vra, vrb, vsaa, vsab, vsbb = out
+        vta = vtb = None
     w = g.w2[:, :, None] * g.wth[None, None, :]
     Exc = jnp.sum(w * e)
     Nel = jnp.sum(w * (ra + rb))
 
-    gga = any(f.family != "lda" for f in funcs)
-
-    def fock_spin(vr, gr, gt):
+    def fock_spin(vr, gr, gt, vt):
         # LDA part: w vr chi_A chi_B
         A1 = jnp.einsum("eqt,abt->abeq", w * vr, g.TT)
         Fel = jnp.einsum("abeq,eqi,eqj->abeij", A1, g.bg, g.bg)
@@ -132,6 +150,14 @@ def eval_fxc(funcs, g: DFTGridOps, Pa, Pb, nrad: int, thr: float = 1e-12):
             # theta gradient part: w g_t (1/r)(Theta_a Theta'_b + ...) b_i b_j
             C1 = jnp.einsum("eqt,abt->abeq", w * gt / g.r[:, :, None], g.dTT)
             Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", C1, g.bg, g.bg)
+        if vt is not None:
+            # 1/2 vtau grad(chi_A).grad(chi_B)
+            T1 = jnp.einsum("eqt,abt->abeq", 0.5 * w * vt, g.TT)
+            Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", T1, g.dbg, g.dbg)
+            T2 = jnp.einsum(
+                "eqt,abt->abeq", 0.5 * w * vt / g.r[:, :, None] ** 2, g.dTT2 + g.TTm2
+            )
+            Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", T2, g.bg, g.bg)
         return Fel
 
     gra = 2.0 * vsaa * ra_r + vsab * rb_r
@@ -139,8 +165,8 @@ def eval_fxc(funcs, g: DFTGridOps, Pa, Pb, nrad: int, thr: float = 1e-12):
     grb = 2.0 * vsbb * rb_r + vsab * ra_r
     gtb = 2.0 * vsbb * rb_t + vsab * ra_t
 
-    Fa = _from4(_scatter_f(g, fock_spin(vra, gra, gta), nang, nrad), nang, nrad)
-    Fb = _from4(_scatter_f(g, fock_spin(vrb, grb, gtb), nang, nrad), nang, nrad)
+    Fa = _from4(_scatter_f(g, fock_spin(vra, gra, gta, vta), nang, nrad), nang, nrad)
+    Fb = _from4(_scatter_f(g, fock_spin(vrb, grb, gtb, vtb), nang, nrad), nang, nrad)
     return Fa, Fb, Exc, Nel
 
 
@@ -152,3 +178,16 @@ def eval_overlap_grid(g: DFTGridOps, nrad: int):
     A1 = jnp.einsum("eqt,abt->abeq", w, g.TT)
     Sel = jnp.einsum("abeq,eqi,eqj->abeij", A1, g.bg, g.bg)
     return _from4(_scatter_f(g, Sel, nang, nrad), nang, nrad)
+
+
+def eval_kinetic_grid(g: DFTGridOps, nrad: int):
+    """Kinetic matrix via the grid: 1/2 int grad(chi_A).grad(chi_B) -- the
+    second half of the reference's grid self-check, and a direct validation
+    of the tau machinery."""
+    nang = g.TT.shape[0]
+    w = g.w2[:, :, None] * g.wth[None, None, :]
+    T1 = jnp.einsum("eqt,abt->abeq", 0.5 * w, g.TT)
+    Tel = jnp.einsum("abeq,eqi,eqj->abeij", T1, g.dbg, g.dbg)
+    T2 = jnp.einsum("eqt,abt->abeq", 0.5 * w / g.r[:, :, None] ** 2, g.dTT2 + g.TTm2)
+    Tel = Tel + jnp.einsum("abeq,eqi,eqj->abeij", T2, g.bg, g.bg)
+    return _from4(_scatter_f(g, Tel, nang, nrad), nang, nrad)

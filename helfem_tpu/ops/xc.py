@@ -26,6 +26,13 @@ __all__ = ["Functional", "get_functional", "xc_eval", "parse_method"]
 _TINY = 1e-30
 
 
+def _clip_zeta(zeta):
+    # keep |zeta| strictly below 1: phi = (1 -+ zeta)^{2/3} has an infinite
+    # rho-derivative at zeta = +-1 (reached exactly when one spin density
+    # rounds away), which would poison the autodiff potentials with NaNs
+    return jnp.clip(zeta, -1.0 + 1e-15, 1.0 - 1e-15)
+
+
 class Functional(NamedTuple):
     name: str
     family: str  # 'lda' or 'gga'
@@ -37,7 +44,7 @@ class Functional(NamedTuple):
 # ----------------------------------------------------------------------------
 
 
-def _ex_slater(ra, rb, saa, sab, sbb):
+def _ex_slater(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
     cx = -0.75 * (6.0 / jnp.pi) ** (1.0 / 3.0)
     return cx * (ra ** (4.0 / 3.0) + rb ** (4.0 / 3.0))
 
@@ -59,9 +66,9 @@ def _vwn_F(x, A, x0, b, c):
     )
 
 
-def _ec_vwn5(ra, rb, saa, sab, sbb):
+def _ec_vwn5(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
     rho = ra + rb
-    zeta = (ra - rb) / rho
+    zeta = _clip_zeta((ra - rb) / rho)
     rs = (3.0 / (4.0 * jnp.pi * rho)) ** (1.0 / 3.0)
     x = jnp.sqrt(rs)
     ecP = _vwn_F(x, 0.0310907, -0.10498, 3.72744, 12.9352)
@@ -100,9 +107,9 @@ def _ec_pw92_eps(rho, zeta):
     return ec0 - mac * fz / fpp0 * (1.0 - z4) + (ec1 - ec0) * fz * z4
 
 
-def _ec_pw92(ra, rb, saa, sab, sbb):
+def _ec_pw92(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
     rho = ra + rb
-    zeta = (ra - rb) / rho
+    zeta = _clip_zeta((ra - rb) / rho)
     return _ec_pw92_eps(rho, zeta) * rho
 
 
@@ -111,7 +118,7 @@ def _ec_pw92(ra, rb, saa, sab, sbb):
 # ----------------------------------------------------------------------------
 
 
-def _ex_pbe(ra, rb, saa, sab, sbb):
+def _ex_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
     kappa = 0.804
     mu = 0.2195149727645171
 
@@ -131,11 +138,11 @@ def _ex_pbe(ra, rb, saa, sab, sbb):
 # ----------------------------------------------------------------------------
 
 
-def _ec_pbe(ra, rb, saa, sab, sbb):
+def _ec_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
     beta = 0.06672455060314922
     gamma = (1.0 - jnp.log(2.0)) / jnp.pi**2
     rho = ra + rb
-    zeta = (ra - rb) / rho
+    zeta = _clip_zeta((ra - rb) / rho)
     eps = _ec_pw92_eps(rho, zeta)
     phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
     sigma = saa + 2.0 * sab + sbb
@@ -155,7 +162,7 @@ def _ec_pbe(ra, rb, saa, sab, sbb):
 # ----------------------------------------------------------------------------
 
 
-def _ex_b88(ra, rb, saa, sab, sbb):
+def _ex_b88(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
     """Becke 1988 gradient-corrected exchange."""
     beta = 0.0042
 
@@ -174,7 +181,7 @@ def _ex_b88(ra, rb, saa, sab, sbb):
 # ----------------------------------------------------------------------------
 
 
-def _ec_lyp(ra, rb, saa, sab, sbb):
+def _ec_lyp(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
     a, b, c, d = 0.04918, 0.132, 0.2533, 0.349
     CF = 0.3 * (3.0 * jnp.pi**2) ** (2.0 / 3.0)
     rho = ra + rb
@@ -197,6 +204,80 @@ def _ec_lyp(ra, rb, saa, sab, sbb):
 
 
 # ----------------------------------------------------------------------------
+# TPSS meta-GGA (Tao-Perdew-Staroverov-Scuseria 2003)
+# ----------------------------------------------------------------------------
+
+
+def _tpss_Fx(p, z, alpha):
+    """TPSS exchange enhancement factor, eqs. (5)-(10) of PRL 91, 146401."""
+    kappa = 0.804
+    b = 0.40
+    c = 1.59096
+    e = 1.537
+    mu = 0.21951
+    qb = 0.45 * (alpha - 1.0) / jnp.sqrt(1.0 + b * alpha * (alpha - 1.0)) + 2.0 * p / 3.0
+    z2 = z * z
+    x = (
+        (10.0 / 81.0 + c * z2 / (1.0 + z2) ** 2) * p
+        + 146.0 / 2025.0 * qb * qb
+        - 73.0 / 405.0 * qb * jnp.sqrt(0.5 * (0.6 * z) ** 2 + 0.5 * p * p + _TINY**2)
+        + (1.0 / kappa) * (10.0 / 81.0) ** 2 * p * p
+        + 2.0 * jnp.sqrt(e) * (10.0 / 81.0) * (0.6 * z) ** 2
+        + e * mu * p**3
+    ) / (1.0 + jnp.sqrt(e) * p) ** 2
+    return 1.0 + kappa - kappa / (1.0 + x / kappa)
+
+
+def _ex_tpss(ra, rb, saa, sab, sbb, ta, tb):
+    def exs(r2, s4, t2):
+        # closed-shell quantities for the 2*rho_s density
+        kf = (3.0 * jnp.pi**2 * r2) ** (1.0 / 3.0)
+        exu = -3.0 * kf / (4.0 * jnp.pi)
+        p = s4 / (4.0 * kf**2 * r2**2 + _TINY)
+        tw = s4 / (8.0 * r2 + _TINY)  # von Weizsaecker
+        tunif = 0.3 * kf**2 * r2
+        tau = jnp.maximum(t2, tw + _TINY)
+        z = jnp.clip(tw / tau, 0.0, 1.0)
+        alpha = jnp.maximum((tau - tw) / (tunif + _TINY), 0.0)
+        return r2 * exu * _tpss_Fx(p, z, alpha)
+
+    return 0.5 * (exs(2.0 * ra, 4.0 * saa, 2.0 * ta) + exs(2.0 * rb, 4.0 * sbb, 2.0 * tb))
+
+
+def _ec_tpss(ra, rb, saa, sab, sbb, ta, tb):
+    """TPSS correlation: revPKZB with the z^3 self-interaction correction."""
+    d = 2.8
+    rho = ra + rb
+    tau = ta + tb
+    sigma = saa + 2.0 * sab + sbb
+    tw = sigma / (8.0 * rho + _TINY)
+    z = jnp.clip(tw / jnp.maximum(tau, tw + _TINY), 0.0, 1.0)
+    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-14, 1.0 - 1e-14)
+    # C(zeta, xi)
+    C0 = 0.53 + 0.87 * zeta**2 + 0.50 * zeta**4 + 2.26 * zeta**6
+    gz2 = 4.0 * (rb**2 * saa - 2.0 * ra * rb * sab + ra**2 * sbb) / (rho**4 + _TINY)
+    kf = (3.0 * jnp.pi**2 * rho) ** (1.0 / 3.0)
+    xi2 = gz2 / (4.0 * kf**2 + _TINY)
+    fz = 0.5 * ((1.0 + zeta) ** (-4.0 / 3.0) + (1.0 - zeta) ** (-4.0 / 3.0))
+    C = C0 / (1.0 + xi2 * fz) ** 4
+    # epsilon_c^PBE of the full density (per particle)
+    eps = _ec_pbe(ra, rb, saa, sab, sbb) / rho
+    # per-spin fully polarized PBE epsilon, tilde constraint. The inputs are
+    # floored at 1e-12: a vanishing spin density enters sumterm with weight
+    # rho_s/rho -> 0 anyway, while autodiff through the PBE kernel at
+    # rho ~ 1e-30 under XLA fusion produces NaNs.
+    ra_s = jnp.maximum(ra, 1e-12)
+    rb_s = jnp.maximum(rb, 1e-12)
+    epsa = _ec_pbe(ra_s, _TINY, saa, 0.0, 0.0) / ra_s
+    epsb = _ec_pbe(rb_s, _TINY, sbb, 0.0, 0.0) / rb_s
+    epsta = jnp.maximum(epsa, eps)
+    epstb = jnp.maximum(epsb, eps)
+    sumterm = (ra * epsta + rb * epstb) / rho
+    epsrev = eps * (1.0 + C * z * z) - (1.0 + C) * z * z * sumterm
+    return rho * epsrev * (1.0 + d * epsrev * z**3)
+
+
+# ----------------------------------------------------------------------------
 # catalog + evaluation
 # ----------------------------------------------------------------------------
 
@@ -208,6 +289,8 @@ _CATALOG = {
     "gga_c_pbe": Functional("gga_c_pbe", "gga", _ec_pbe),
     "gga_x_b88": Functional("gga_x_b88", "gga", _ex_b88),
     "gga_c_lyp": Functional("gga_c_lyp", "gga", _ec_lyp),
+    "mgga_x_tpss": Functional("mgga_x_tpss", "mgga", _ex_tpss),
+    "mgga_c_tpss": Functional("mgga_c_tpss", "mgga", _ec_tpss),
 }
 
 # alias -> (kfrac, [(weight, functional-name), ...])
@@ -217,6 +300,7 @@ _ALIASES = {
     "svwn5": (0.0, [(1.0, "lda_x"), (1.0, "lda_c_vwn")]),
     "pbe": (0.0, [(1.0, "gga_x_pbe"), (1.0, "gga_c_pbe")]),
     "blyp": (0.0, [(1.0, "gga_x_b88"), (1.0, "gga_c_lyp")]),
+    "tpss": (0.0, [(1.0, "mgga_x_tpss"), (1.0, "mgga_c_tpss")]),
     "pbe0": (0.25, [(0.75, "gga_x_pbe"), (1.0, "gga_c_pbe")]),
     "pbeh": (0.25, [(0.75, "gga_x_pbe"), (1.0, "gga_c_pbe")]),
 }
@@ -252,22 +336,25 @@ def parse_method(method: str):
     return [get_functional(p) for p in parts], 0.0
 
 
-def xc_eval(funcs, ra, rb, saa, sab, sbb, thr: float = 1e-12):
+def xc_eval(funcs, ra, rb, saa, sab, sbb, thr: float = 1e-12, ta=None, tb=None):
     """Energy density and potentials on grid arrays.
 
-    Returns (e, vra, vrb, vsaa, vsab, vsbb), all with the shape of ra.
-    Points where rho < thr give exactly zero.
+    Returns (e, vra, vrb, vsaa, vsab, vsbb[, vta, vtb]) -- the tau potentials
+    only when ta/tb are given. Points where rho < thr give exactly zero.
     """
     mask = (ra + rb) > thr
     rs = jnp.where(mask, ra, 1.0)
     rbs = jnp.where(mask, rb, 1.0)
-    args = (
+    args = [
         jnp.maximum(rs, _TINY),
         jnp.maximum(rbs, _TINY),
         jnp.maximum(saa, 0.0),
         sab,
         jnp.maximum(sbb, 0.0),
-    )
+    ]
+    with_tau = ta is not None
+    if with_tau:
+        args += [jnp.maximum(ta, _TINY), jnp.maximum(tb, _TINY)]
 
     def ftot(*a):
         return sum(f.f(*a) for f in funcs) if funcs else jnp.zeros_like(a[0])

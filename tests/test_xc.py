@@ -142,3 +142,51 @@ def test_pbe0_hybrid_consistency():
     r0 = scf_atom(b, 1, 1, method="PBE0", convthr=1e-8, ops=ops)
     assert r0.converged
     assert abs(r0.Exx - 0.25 * rhf.Exx) < 5e-3
+
+
+def test_tpss_h_atom_exactness():
+    """TPSS defining constraints on the exact H density (tau = tau_W):
+    Ex = -0.3125 exactly, Ec = 0 exactly."""
+    import jax.numpy as jnp
+
+    from helfem_tpu.models.atomic_dft import eval_fxc
+    from helfem_tpu.ops.xc import get_functional
+    from helfem_tpu.utils.linalg import build_blocks, density_blocks, eig_blocks
+
+    b = AtomicBasis(Z=1, lmax=0, mmax=0, rmax=40.0, nelem=8, nnodes=12)
+    ops = b.build_operators()
+    blk_idx, blk_sinvh = build_blocks(np.asarray(ops.S), b.sym_blocks(2))
+    E, C = eig_blocks(ops.H0, jnp.asarray(blk_idx), jnp.asarray(blk_sinvh))
+    occ = np.zeros(np.asarray(E).shape)
+    occ[0, 0] = 1.0
+    Pa = density_blocks(C, jnp.asarray(occ), jnp.asarray(blk_idx), ops.S)
+    Pb = jnp.zeros_like(Pa)
+    g = build_dft_grid(b)
+    _, _, Ex, _ = eval_fxc((get_functional("mgga_x_tpss"),), g, Pa, Pb, b.nrad)
+    _, _, Ec, _ = eval_fxc((get_functional("mgga_c_tpss"),), g, Pa, Pb, b.nrad)
+    assert abs(float(Ex) + 0.3125) < 1e-6
+    assert abs(float(Ec)) < 1e-10
+
+
+def test_tpss_scf_atoms():
+    """Self-consistent TPSS: He ~ -2.9096, Ne ~ -128.9811 (literature)."""
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=40.0, nelem=10, nnodes=15)
+    r = scf_atom(b, 1, 1, method="TPSS", convthr=1e-8, maxit=40)
+    assert r.converged
+    assert abs(r.E + 2.9097) < 5e-4
+    b2 = AtomicBasis(Z=10, lmax=1, mmax=1, rmax=40.0, nelem=10, nnodes=15)
+    r2 = scf_atom(b2, 5, 5, method="TPSS", convthr=1e-7, maxit=60)
+    assert r2.converged
+    assert abs(r2.E + 128.9811) < 1e-3
+
+
+def test_grid_kinetic_check():
+    """Grid kinetic matrix vs analytic T (the tau-machinery self-check,
+    reference: src/atomic/main.cpp:411-441)."""
+    from helfem_tpu.models.atomic_dft import eval_kinetic_grid
+
+    b = AtomicBasis(Z=10, lmax=2, mmax=1, rmax=30.0, nelem=6, nnodes=10)
+    g = build_dft_grid(b)
+    T = np.asarray(eval_kinetic_grid(g, b.nrad))
+    Tref = b.kinetic()
+    assert (np.abs(T - Tref) / (1 + np.abs(Tref))).max() < 1e-9
