@@ -22,7 +22,13 @@ from helfem_tpu.models.atomic_dft import build_dft_grid, eval_fxc
 from helfem_tpu.ops.xc import parse_method
 from helfem_tpu.scf.diis import DIIS
 from helfem_tpu.scf.guess import potential
-from helfem_tpu.utils.linalg import _BIG, build_blocks, density_blocks, eig_blocks
+from helfem_tpu.utils.linalg import (
+    _BIG,
+    build_blocks,
+    density_blocks,
+    eig_blocks,
+    eigh_refined,
+)
 
 __all__ = ["scf_atom", "SCFResult", "aufbau_blocks"]
 
@@ -106,6 +112,49 @@ def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1
     return fock
 
 
+def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0, dftthr: float = 1e-12):
+    """One fully on-device restricted SCF iteration: density -> Fock ->
+    C2-DIIS (device circular history) -> blocked eigensolve. Only two scalars
+    (energy, DIIS error) need to reach the host per iteration, removing the
+    per-iteration host DIIS/transfer overhead (the dominant cost on TPU)."""
+    fock = make_fock(funcs, kfrac, nrad, Bz, dftthr)
+
+    @jax.jit
+    def step(ops, g, Vextra, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
+        Pa = density_blocks(C, occ, blk_idx, ops.S)
+        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(ops, g, Vextra, Pa, Pa)
+        Etot = Ekin + Enuc + Ecoul + Exx + Exc + Efield
+        # DIIS error vector in the orthonormal basis
+        FPS = Fa @ Pa @ ops.S
+        err = Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full
+        errmax = jnp.max(jnp.abs(err))
+        H = histF.shape[0]
+        slot = count % H
+        histF = histF.at[slot].set(Fa)
+        histE = histE.at[slot].set(err.ravel())
+        count = count + 1
+        valid = jnp.arange(H) < count
+        B = histE @ histE.T
+        # invalid-slot padding scaled relative to B; solve with the refined
+        # eigh (the raw TPU kernel's error is relative to ||B||)
+        bscale = jnp.max(jnp.where(valid, jnp.diagonal(B), 0.0)) + 1e-300
+        B = jnp.where(valid[:, None] & valid[None, :], B, 1e4 * bscale * jnp.eye(H))
+        w, V = eigh_refined(B)
+        s = jnp.sum(jnp.where(valid[:, None], V, 0.0), axis=0)
+        safe = jnp.abs(s) > 1e-10
+        c = V / jnp.where(safe, s, 1.0)[None, :]
+        cerr = jnp.einsum("ik,ij,jk->k", c, B, c)
+        bad = (~safe) | (jnp.max(jnp.abs(c), axis=0) > 20.0)
+        cerr = jnp.where(bad, jnp.inf, cerr)
+        k = jnp.argmin(cerr)
+        wts = jnp.where(valid, c[:, k], 0.0)
+        Fuse = jnp.einsum("h,hij->ij", wts, histF)
+        E, Cn = eig_blocks(Fuse, blk_idx, blk_sinvh)
+        return Cn, E, histF, histE, count, Etot, errmax, Nel, (Ekin, Enuc, Ecoul, Exx, Exc, Efield)
+
+    return step
+
+
 def scf_atom(
     basis: AtomicBasis,
     nela: int,
@@ -171,9 +220,46 @@ def scf_atom(
     Etot = 0.0
     converged = False
     occa = occb = None
+    warmup = 3 if restricted else maxit
+    fused = None
+    hist = None
+    it = 0
     for it in range(1, maxit + 1):
         occa = aufbau_blocks(Ea, nela)
         occb = occa if restricted else aufbau_blocks(Eb, nelb)
+
+        if restricted and it > warmup:
+            # fused on-device iteration: Fock + device C2-DIIS + eigensolve;
+            # only two scalars cross to the host
+            if fused is None:
+                nhist = 10
+                fused = make_fused_step(tuple(funcs), kfrac, nrad, nhist, Bz, dftthr)
+                Sinvh_full = jnp.asarray(
+                    _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
+                )
+                hist = (
+                    jnp.zeros((nhist, basis.nbf, basis.nbf)),
+                    jnp.zeros((nhist, basis.nbf * basis.nbf)),
+                    jnp.asarray(0),
+                )
+            Ca, Ea_d, hF, hE, cnt, Etot_d, err_d, Nel, comps = fused(
+                ops, g, Vextra, blk_idx, blk_sinvh, Sinvh_full, jnp.asarray(occa), Ca, *hist
+            )
+            hist = (hF, hE, cnt)
+            Ea = np.asarray(Ea_d)
+            Eb, Cb = Ea, Ca
+            Etot = float(Etot_d)
+            err = float(err_d)
+            dE = Etot - Eold
+            Eold = Etot
+            Ekin, Enuc, Ecoul, Exx, Exc, Efield = comps
+            if verbose:
+                print(f"iter {it:3d}  E = {Etot:+.12f}  dE = {dE:+.3e}  diis = {err:.3e} (fused)")
+            if err < convthr and abs(dE) < convthr:
+                converged = True
+                break
+            continue
+
         Pa = density_blocks(Ca, jnp.asarray(occa), blk_idx, ops.S)
         Pb = Pa if restricted else density_blocks(Cb, jnp.asarray(occb), blk_idx, ops.S)
         Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(ops, g, Vextra, Pa, Pb)
