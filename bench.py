@@ -28,8 +28,9 @@ def main():
     basis = AtomicBasis(Z=18, lmax=1, mmax=1, rmax=40.0, nelem=10, nnodes=15)
     ops = basis.build_operators()  # setup (TEI tables etc.) on host
 
-    # warm-up: compile the jitted hot path
-    scf_atom(basis, 9, 9, convthr=1e-9, maxit=2, ops=ops)
+    # warm-up: compile the jitted hot path incl. the fused on-device
+    # iteration (engaged after 3 host warmup iterations)
+    scf_atom(basis, 9, 9, convthr=1e-9, maxit=5, ops=ops)
 
     t0 = time.time()
     res = scf_atom(basis, 9, 9, convthr=1e-9, maxit=60, ops=ops)

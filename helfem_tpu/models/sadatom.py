@@ -19,6 +19,8 @@ l-supermatrix LAPACK solve, src/sadatom/solver.cpp:1132-1200).
 from dataclasses import dataclass, field
 from typing import NamedTuple
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -236,6 +238,7 @@ def aufbau_occs(E: np.ndarray, nel: int, restricted: bool) -> np.ndarray:
     return occs
 
 
+@lru_cache(maxsize=None)
 def make_sad_fock(funcs, kfrac, nl, nrad, dftthr=1e-12):
     @jax.jit
     def fock(ops: SadOps, Pla, Plb, Panga, Pangb):

@@ -13,6 +13,8 @@ LAPACK loop (scf::eig_gsym_sub).
 
 from dataclasses import dataclass
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -77,6 +79,7 @@ def aufbau_blocks(E: np.ndarray, nel: float) -> np.ndarray:
     return occ.reshape(nblk, blen)
 
 
+@lru_cache(maxsize=None)
 def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1e-12):
     """Jitted Fock builder for a fixed method (funcs/kfrac compile-time)."""
 
@@ -112,6 +115,7 @@ def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1
     return fock
 
 
+@lru_cache(maxsize=None)
 def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0, dftthr: float = 1e-12):
     """One fully on-device restricted SCF iteration: density -> Fock ->
     C2-DIIS (device circular history) -> blocked eigensolve. Only two scalars
@@ -166,6 +170,7 @@ def scf_atom(
     verbose: bool = False,
     ops: AtomicOperators | None = None,
     dftthr: float = 1e-12,
+    restricted: int = -1,
     Ez: float = 0.0,
     Qzz: float = 0.0,
     Bz: float = 0.0,
@@ -213,8 +218,17 @@ def scf_atom(
     Ea = np.asarray(Ea)
     Eb, Cb = Ea.copy(), Ca
 
-    restricted = nela == nelb and Bz == 0.0
-    diis = DIIS(np.asarray(ops.S), _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf))
+    # restricted: -1 auto (reference convention: restrict iff nela == nelb);
+    # 1 with nela != nelb runs ROHF via the CUHF Fock update
+    rohf = restricted == 1 and nela != nelb
+    restricted = (nela == nelb and Bz == 0.0) if restricted == -1 else (restricted == 1 and not rohf and Bz == 0.0)
+    Sinvh_np = _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
+    diis = DIIS(np.asarray(ops.S), Sinvh_np)
+    Sh_np = None
+    if rohf:
+        from helfem_tpu.utils.linalg import form_sh, rohf_update
+
+        Sh_np = form_sh(np.asarray(ops.S))
 
     Eold = 0.0
     Etot = 0.0
@@ -273,6 +287,13 @@ def scf_atom(
             (Fa_,) = diis.solve()
             Fb_ = Fa_
         else:
+            if rohf:
+                from helfem_tpu.utils.linalg import rohf_update
+
+                Fa, Fb = rohf_update(
+                    np.asarray(Fa), np.asarray(Fb), np.asarray(Pa + Pb),
+                    Sh_np, Sinvh_np, nela, nelb,
+                )
             err = diis.update(
                 [np.asarray(Fa), np.asarray(Fb)], [np.asarray(Pa), np.asarray(Pb)]
             )

@@ -7,6 +7,8 @@ one padded batched whitened eigh.
 
 from dataclasses import dataclass
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -91,9 +93,10 @@ class DiaSCFResult:
     orbE_a: np.ndarray
 
 
-def make_dia_fock(funcs, kfrac, g=None, dftthr: float = 1e-12):
+@lru_cache(maxsize=None)
+def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12):
     @jax.jit
-    def fock(ops: DiatomicOperators, Pa, Pb):
+    def fock(ops: DiatomicOperators, g, Pa, Pb):
         P = Pa + Pb
         J = coulomb_dia(ops, P)
         Fa = ops.H0 + J
@@ -142,7 +145,7 @@ def scf_diatomic(
         from helfem_tpu.models.diatomic_dft import build_dia_grid
 
         g = build_dia_grid(basis)
-    fock = make_dia_fock(tuple(funcs), kfrac, g)
+    fock = make_dia_fock(tuple(funcs), kfrac)
     Enucrep = basis.Z1 * basis.Z2 / basis.Rbond
 
     Ea, Ca = eig_blocks_dia(ops, ops.H0)
@@ -157,7 +160,7 @@ def scf_diatomic(
         occb = occa if restricted else _aufbau_blocks(Eb, nelb)
         Pa = density_dia(ops, Ca, jnp.asarray(occa))
         Pb = Pa if restricted else density_dia(ops, Cb, jnp.asarray(occb))
-        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, Pa, Pb)
+        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, g, Pa, Pb)
         Etot = float(Ekin + Enuc + Ecoul + Exx + Exc) + Enucrep
         dE = Etot - Eold
         Eold = Etot

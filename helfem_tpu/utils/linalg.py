@@ -125,6 +125,35 @@ def density_blocks(C: jnp.ndarray, occ: jnp.ndarray, blk_idx: jnp.ndarray, S: jn
     return P[:nbf, :nbf]
 
 
+def form_sh(S: np.ndarray) -> np.ndarray:
+    """Symmetric square root S^{1/2}."""
+    w, U = np.linalg.eigh(S)
+    return U @ np.diag(np.sqrt(w)) @ U.T
+
+
+def rohf_update(Fa, Fb, P, Sh, Sinvh, nocca, noccb):
+    """Constrained-UHF (ROHF) Fock update of Tsuchimochi & Scuseria,
+    JCP 134, 064101 (2011) (reference: scf::ROHF_update,
+    src/general/scf_helpers.cpp): flip the sign of the core-virtual blocks
+    of (Fa-Fb)/2 in the natural-orbital basis. Returns updated (Fa, Fb)."""
+    # natural orbitals in increasing-occupation order
+    M = Sh.T @ P @ Sh
+    occs, V = np.linalg.eigh(M)  # ascending
+    C = Sinvh @ V  # AO_to_NO, S-orthonormal columns
+    no_to_ao = V.T @ Sh
+    Delta_NO = C.T @ ((Fa - Fb) / 2.0) @ C
+    n = C.shape[1]
+    Nc = min(nocca, noccb)
+    Na = max(nocca, noccb) - Nc
+    Nv = n - Na - Nc
+    lam = np.zeros_like(Delta_NO)
+    # cores are the LAST Nc columns (highest occupation), virtuals the first Nv
+    lam[n - Nc :, :Nv] = -Delta_NO[n - Nc :, :Nv]
+    lam[:Nv, n - Nc :] = -Delta_NO[:Nv, n - Nc :]
+    lam_AO = no_to_ao.T @ lam @ no_to_ao
+    return Fa + lam_AO, Fb - lam_AO
+
+
 def eig_gsym_m(F: jnp.ndarray, Sinvh_rad: jnp.ndarray, mgroups, nrad: int):
     """Generalized eigensolve on m-symmetry blocks (symm=1).
 
