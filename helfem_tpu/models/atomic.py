@@ -232,6 +232,14 @@ class AtomicBasis:
                 blocks.append(a * self.nrad + np.arange(self.nrad))
         return blocks
 
+    def build_erfc(self, mu: float) -> "ErfcOperators":
+        """erfc short-range TEI tables (reference: TwoDBasis::compute_erfc,
+        src/atomic/TwoDBasis.cpp:781)."""
+        NL = self.NL
+        tei = self.rb.erfc_integral(NL - 1, mu)
+        Lfac = 4.0 * np.pi * mu / (2.0 * np.arange(NL) + 1.0)
+        return ErfcOperators(tei=jnp.asarray(tei), Lfac=jnp.asarray(Lfac))
+
     def build_yukawa(self, lam: float) -> "RSOperators":
         """Yukawa (screened-Coulomb) TEI tables for range-separated exchange
         (reference: TwoDBasis::compute_yukawa, src/atomic/TwoDBasis.cpp:747)."""
@@ -411,3 +419,38 @@ class RSOperators(NamedTuple):
 def rs_exchange(ops: AtomicOperators, rs: RSOperators, P: jnp.ndarray) -> jnp.ndarray:
     """Short-range (Yukawa-attenuated) exchange."""
     return exchange_general(ops, rs.tei, rs.iL, rs.kL, rs.Lfac, P)
+
+
+class ErfcOperators(NamedTuple):
+    """erfc short-range exchange tables (dense over element pairs)."""
+
+    tei: jnp.ndarray  # [NL, nelem, nelem, np, np, np, np]
+    Lfac: jnp.ndarray  # [NL] = 4 pi mu / (2L+1)
+
+
+def erfc_exchange(ops: AtomicOperators, rs: "ErfcOperators", P: jnp.ndarray) -> jnp.ndarray:
+    """Short-range erfc-attenuated exchange: the kernel does not factorize,
+    so all element pairs contract against dense TEI blocks
+    (reference: rs_exchange erfc path, src/atomic/TwoDBasis.cpp:1255-1283)."""
+    nang = ops.G.shape[-1]
+    nrad = ops.Sinvh_rad.shape[0]
+    gi = ops.gidx
+    P4 = _to4(P, nang, nrad)
+    ridx = gi[:, None, :, None]
+    cidx = gi[None, :, None, :]
+
+    def body(K4, xs):
+        GL, LfacL, teiL = xs
+        t1 = jnp.einsum("Mba,adIJ->MbdIJ", GL, P4)
+        R = LfacL * jnp.einsum("Mcd,MbdIJ->bcIJ", GL, t1)
+        Rp = _pad_rad(R)
+        Rw = Rp[:, :, ridx, cidx]  # [b,c,e,f,i,l]
+        # K[j,k] over (e-window, f-window) = sum_il tei[e,f,i,j,k,l] R[i,l]
+        Kpair = jnp.einsum("efijkl,bcefil->bcefjk", teiL, Rw)
+        K4 = K4.at[:, :, ridx, cidx].add(Kpair)
+        return K4, None
+
+    K4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
+    K4, _ = jax.lax.scan(body, K4, (ops.G, rs.Lfac, rs.tei))
+    K4 = K4[:, :, :nrad, :nrad]
+    return -_from4(K4, nang, nrad)

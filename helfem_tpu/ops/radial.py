@@ -239,6 +239,28 @@ class RadialBasis:
             out[:, e] = I + I.transpose(0, 3, 4, 1, 2)
         return out
 
+    def erfc_integral(self, Lmax: int, mu: float) -> np.ndarray:
+        """Dense short-range (erfc) TEI tensor over ALL element pairs
+        [NL, nelem, nelem, np, np, np, np]:
+        int_e int_f B_i B_j(r) Phi_L(mu r, mu r') B_k B_l(r') dr dr'
+        -- the erfc kernel does not factorize (reference:
+        quadrature::erfc_integral, quadrature.cpp:171-222)."""
+        from helfem_tpu.ops.erfc_expn import phi_table
+
+        nelem, nq = self.r.shape
+        nprim = self.fem.nprim
+        NL = Lmax + 1
+        rflat = self.r.ravel()
+        # Phi on the full (point, point') product grid
+        F = phi_table(NL - 1, mu * rflat[:, None], mu * rflat[None, :])
+        F = F.reshape(NL, nelem, nq, nelem, nq)
+        Bw = self.B * self.wr[:, :, None]  # [e, q, i]
+        # pair products with outer weights on the bra side only
+        out = np.einsum(
+            "eqi,eqj,Leqfp,fpk,fpl->Lefijkl", Bw, self.B, F, Bw, self.B, optimize=True
+        )
+        return out
+
     def disjoint_integrals(self, Lmax: int):
         """(disjoint_L, disjoint_m1L): per-element moment matrices
         [NL, nelem, nprim, nprim] of r^L and r^{-L-1}.
