@@ -404,6 +404,119 @@ def sap_potential_table(Z: int, method: str = "lda_x", lmax: int = 3, **kw):
     return r[order], Zeff[order], res
 
 
+def solve_sadatom_unrestricted(
+    basis: SadAtomBasis,
+    nela: int,
+    nelb: int,
+    method: str = "HF",
+    occs_a: np.ndarray | None = None,
+    occs_b: np.ndarray | None = None,
+    maxit: int = 128,
+    convthr: float = 1e-7,
+    guess: str = "TF",
+    verbose: bool = False,
+    ops: SadOps | None = None,
+) -> "SadResult":
+    """Spin-polarized spherically-averaged SCF (reference: uconf_t path,
+    src/sadatom/solver.cpp FockBuild(uconf_t)). Occupations per l channel
+    and spin, capacities 2l+1 per spin; aufbau refreshed between cycles."""
+    if ops is None:
+        ops = basis.build_ops()
+    nl, nrad = basis.lmax + 1, basis.nrad
+    funcs, kfrac = parse_method(method)
+    fock = make_sad_fock(tuple(funcs), kfrac, nl, nrad)
+
+    Vg = jnp.asarray(basis.rb.model_potential(potential(guess, basis.Z)(basis.rb.r)))
+    ll1 = np.arange(nl) * (np.arange(nl) + 1.0)
+    Hg = (ops.at.T + Vg)[None] + jnp.asarray(ll1[:, None, None]) * ops.Tl[None]
+    Eg, Cg = eig_channels(Hg, ops.at.Sinvh_rad)
+    Ea, Ca = np.asarray(Eg), Cg
+    Eb, Cb = Ea.copy(), Cg
+
+    if occs_a is None:
+        occs_a = aufbau_occs(Ea, nela, False)
+    if occs_b is None:
+        occs_b = aufbau_occs(Eb, nelb, False)
+
+    Svec = np.asarray(ops.at.S)
+    Sinvh = np.asarray(ops.at.Sinvh_rad)
+    Eold, Etot, converged = 0.0, 0.0, False
+    hist_F, hist_e = [], []
+    out = None
+    for it in range(1, maxit + 1):
+        Pla, Panga = density_cubes(np.asarray(Ca), occs_a, False)
+        Plb, Pangb = density_cubes(np.asarray(Cb), occs_b, False)
+        Fla, Flb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(
+            ops, jnp.asarray(Pla), jnp.asarray(Plb), jnp.asarray(Panga), jnp.asarray(Pangb)
+        )
+        Etot = float(Ekin + Enuc + Ecoul + Exx + Exc)
+        dE = Etot - Eold
+        Eold = Etot
+        Fa, Fb = np.asarray(Fla), np.asarray(Flb)
+        errv = []
+        for l in range(nl):
+            for F_, P_ in [(Fa[l], Pla[l]), (Fb[l], Plb[l])]:
+                FPS = F_ @ P_ @ Svec
+                errv.append((Sinvh.T @ (FPS - FPS.T) @ Sinvh).ravel())
+        errv = np.concatenate(errv)
+        err = np.abs(errv).max()
+        hist_F.append((Fa, Fb))
+        hist_e.append(errv)
+        if len(hist_F) > 10:
+            hist_F.pop(0)
+            hist_e.pop(0)
+        if verbose:
+            print(f"  it {it:3d} E={Etot:+.10f} dE={dE:+.2e} err={err:.2e}")
+        if err < convthr and abs(dE) < convthr and it > 1:
+            converged = True
+        if converged or it == maxit:
+            out = (Etot, float(Ekin), float(Ecoul), float(Exx), float(Exc))
+            break
+        nh = len(hist_F)
+        if nh > 1 and err < 0.1:
+            B = np.array([[np.dot(a, b) for b in hist_e] for a in hist_e])
+            w, V = np.linalg.eigh(B)
+            best, beste = None, np.inf
+            for k in range(nh):
+                c = V[:, k]
+                s = c.sum()
+                if abs(s) < 1e-10 or np.max(np.abs(c / s)) > 20:
+                    continue
+                c = c / s
+                ee = c @ B @ c
+                if ee < beste:
+                    beste, best = ee, c
+            if best is not None:
+                Fa = sum(best[i] * hist_F[i][0] for i in range(nh))
+                Fb = sum(best[i] * hist_F[i][1] for i in range(nh))
+        elif nh > 1:
+            Fa = 0.5 * Fa + 0.5 * hist_F[-2][0]
+            Fb = 0.5 * Fb + 0.5 * hist_F[-2][1]
+        Ea_, Ca = eig_channels(jnp.asarray(Fa), ops.at.Sinvh_rad)
+        Eb_, Cb = eig_channels(jnp.asarray(Fb), ops.at.Sinvh_rad)
+        Ea, Eb = np.asarray(Ea_), np.asarray(Eb_)
+        occs_a = aufbau_occs(Ea, nela, False)
+        occs_b = aufbau_occs(Eb, nelb, False)
+
+    Etot, Ekin, Ecoul, Exx, Exc = out
+    return SadResult(
+        converged=converged,
+        E=Etot,
+        occs=occs_a,
+        occs_b=occs_b,
+        Ekin=Ekin,
+        Ecoul=Ecoul,
+        Exx=Exx,
+        Exc=Exc,
+        orbE=Ea,
+        orbs=np.asarray(Ca),
+        Pl=Pla,
+        Plb=Plb,
+        orbE_b=Eb,
+        orbs_b=np.asarray(Cb),
+    )
+
+
 def solve_sadatom(
     basis: SadAtomBasis,
     nel: int | None = None,

@@ -133,6 +133,7 @@ def scf_diatomic(
     convthr: float = 1e-7,
     verbose: bool = False,
     ops: DiatomicOperators | None = None,
+    guess: str = "core",
 ) -> DiaSCFResult:
     from helfem_tpu.ops.xc import parse_method
 
@@ -148,7 +149,13 @@ def scf_diatomic(
     fock = make_dia_fock(tuple(funcs), kfrac)
     Enucrep = basis.Z1 * basis.Z2 / basis.Rbond
 
-    Ea, Ca = eig_blocks_dia(ops, ops.H0)
+    if guess == "core":
+        Hguess = ops.H0
+    else:
+        from helfem_tpu.models.diatomic_tools import guess_hamiltonian_dia
+
+        Hguess = jnp.asarray(guess_hamiltonian_dia(basis, guess))
+    Ea, Ca = eig_blocks_dia(ops, Hguess)
     Ea = np.asarray(Ea)
     Eb, Cb = Ea.copy(), Ca
     restricted = nela == nelb

@@ -64,3 +64,23 @@ def test_sap_table_neon():
     assert res.converged
     assert zeff[0] > 9.0
     assert abs(zeff[-1]) < 0.5
+
+
+def test_unrestricted_li_exact():
+    """s-only atoms are exactly spherical: sad-UHF Li == true UHF limit."""
+    from helfem_tpu.models.sadatom import solve_sadatom_unrestricted
+
+    b = SadAtomBasis(Z=3, lmax=1)
+    r = solve_sadatom_unrestricted(b, 2, 1, method="HF", convthr=1e-8)
+    assert r.converged
+    assert abs(r.E + 7.432751) < 1e-6
+    assert list(r.occs) == [2, 0] and list(r.occs_b) == [1, 0]
+
+
+def test_unrestricted_nitrogen_config():
+    from helfem_tpu.models.sadatom import solve_sadatom_unrestricted
+
+    b = SadAtomBasis(Z=7, lmax=1, nelem=8, nnodes=12)
+    r = solve_sadatom_unrestricted(b, 5, 2, method="SVWN", convthr=1e-7)
+    assert r.converged
+    assert list(r.occs) == [2, 3] and list(r.occs_b) == [2, 0]
