@@ -148,6 +148,8 @@ class RadialBasis:
         recurrence (reference: quadrature.cpp:60-126). Stable because only
         ratio powers (r'/r_q)^L <= 1 appear.
         """
+        from helfem_tpu.utils.native import tei_inelement as native_tei
+
         nelem, nq = self.r.shape
         nprim = self.fem.nprim
         NL = Lmax + 1
@@ -165,6 +167,13 @@ class RadialBasis:
             xpoly = (rp - self.fem.mids[e]) / (0.5 * self.fem.lengths[e])
             Bin = self.fem.poly.eval(xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
             Bin = Bin * self.fem.mask[e][None, None, :]
+            # native (C++) path when available
+            nat = native_tei(
+                rq, rp, w[None, :] * hlen[:, None], self.wr[e], self.B[e], Bin, NL
+            )
+            if nat is not None:
+                out[:, e] = nat
+                continue
             # segment integrals for all L: weight w_q' * hlen_p * (r'/r_p)^L / r_p
             ratio = rp / hi[:, None]  # <= 1
             wseg = (
