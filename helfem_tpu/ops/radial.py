@@ -167,13 +167,17 @@ class RadialBasis:
             xpoly = (rp - self.fem.mids[e]) / (0.5 * self.fem.lengths[e])
             Bin = self.fem.poly.eval(xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
             Bin = Bin * self.fem.mask[e][None, None, :]
-            # native (C++) path when available
-            nat = native_tei(
-                rq, rp, w[None, :] * hlen[:, None], self.wr[e], self.B[e], Bin, NL
-            )
-            if nat is not None:
-                out[:, e] = nat
-                continue
+            # native (C++) path, opt-in: beats numpy on multi-core hosts
+            # (OpenMP over L); on single-core boxes numpy's BLAS wins
+            import os
+
+            if os.environ.get("HELFEM_NATIVE", "0") == "1":
+                nat = native_tei(
+                    rq, rp, w[None, :] * hlen[:, None], self.wr[e], self.B[e], Bin, NL
+                )
+                if nat is not None:
+                    out[:, e] = nat
+                    continue
             # segment integrals for all L: weight w_q' * hlen_p * (r'/r_p)^L / r_p
             ratio = rp / hi[:, None]  # <= 1
             wseg = (
