@@ -168,17 +168,65 @@ class AtomicBasis:
         out += B * B / 8.0 * np.kron(S2, self.rb.radial_integral(2))
         return out
 
-    def confinement(self, N: int, R: float, iconf: int = 1, shift: float = 0.0) -> np.ndarray:
+    def confinement(self, N, R: float, iconf: int = 1, shift: float = 0.0) -> np.ndarray:
         """Confinement potentials (reference: RadialBasis.cpp:361-455):
-        1 polynomial ((r-shift)/R)^N, 3 barrier V0*theta(r-R)."""
+        1 polynomial ((r-shift)/R)^N, 2 exponential
+        N! (e^x - sum_{k<N} x^k/k!) with x=(r-shift)/R, 3 barrier
+        V0*theta(r-R) (N reused as the height), 4 Junquera
+        V0 e^{-(rmax-shift)/(r-shift)} / (rmax-r)^N (N, V0=R slot)."""
+        import math
+
         r = self.rb.r
         if iconf == 1:
-            Vr = np.where(r > shift, ((r - shift) / R) ** N, 0.0)
+            Vr = np.where(r > shift, ((r - shift) / R) ** int(N), 0.0)
+        elif iconf == 2:
+            x = np.where(r > shift, (r - shift) / R, 0.0)
+            s = np.zeros_like(x)
+            fact = 1.0
+            xk = np.ones_like(x)
+            for k in range(int(N)):
+                s += xk / fact
+                fact *= k + 1
+                xk = xk * x
+            Vr = np.where(r > shift, fact * (np.exp(x) - s), 0.0)
         elif iconf == 3:
-            Vr = np.where(r > R, float(N), 0.0)  # N reused as barrier height
+            Vr = np.where(r > R, float(N), 0.0)
+        elif iconf == 4:
+            rc = self.rmax
+            with np.errstate(over="ignore", divide="ignore"):
+                Vr = np.where(
+                    r > shift,
+                    R * np.exp(-(rc - shift) / np.maximum(r - shift, 1e-300))
+                    / np.maximum(rc - r, 1e-300) ** int(N),
+                    0.0,
+                )
         else:
             raise NotImplementedError(f"confinement type {iconf}")
         return np.kron(np.eye(self.nang), self.rb.model_potential(Vr))
+
+    def nuclear_offcenter(self, Zl: int, Zr: int, Rhalf: float) -> np.ndarray:
+        """Attraction to off-center charges Zr at +Rhalf z and Zl at -Rhalf z,
+        by multipole expansion (reference: TwoDBasis::nuclear off-center path,
+        src/atomic/TwoDBasis.cpp:378-454; RadialBasis::nuclear_offcenter).
+        Most accurate when an element boundary sits at r = Rhalf (the
+        reference's form_grid inserts one, src/atomic/basis.cpp:70-117)."""
+        from helfem_tpu.ops.gaunt import gaunt_coefficient
+
+        Lmax = 2 * self.lmax
+        out = np.zeros((self.nbf, self.nbf))
+        r = self.rb.r
+        for L in range(0, Lmax + 1):
+            zfac = Zr + (-1) ** L * Zl
+            if zfac == 0:
+                continue
+            with np.errstate(over="ignore", divide="ignore"):
+                fr = np.where(r <= Rhalf, r**L / Rhalf ** (L + 1), Rhalf**L / r ** (L + 1))
+            rad = -np.sqrt(4.0 * np.pi / (2 * L + 1)) * zfac * self.rb.model_potential(fr)
+            A = self._angular_matrix(
+                lambda la, ma, lb, mb, L=L: gaunt_coefficient(la, ma, L, 0, lb, mb)
+            )
+            out += np.kron(A, rad)
+        return out
 
     def nuclear_model(self, model: str, Rrms: float) -> np.ndarray:
         """Finite-nucleus attraction matrices (reference: libhelfem

@@ -181,6 +181,9 @@ def scf_atom(
     shift_conf: float = 0.0,
     finitenuc: str = "point",
     Rrms: float = 0.0,
+    Zl: int = 0,
+    Zr: int = 0,
+    Rmid: float = 0.0,
 ) -> SCFResult:
     """Restricted/unrestricted SCF. method: 'HF', 'LDA', 'SVWN', 'PBE', or
     an 'x_func,c_func' pair of functional names."""
@@ -204,10 +207,12 @@ def scf_atom(
     if iconf:
         N = conf_N if iconf != 3 else conf_barrier
         Vextra += basis.confinement(N, conf_R, iconf, shift_conf)
+    if (Zl or Zr) and Rmid > 0.0:
+        Vextra += basis.nuclear_offcenter(Zl, Zr, Rmid)
     Vextra = jnp.asarray(Vextra)
 
-    # symmetry blocks: (l,m) unless an electric field couples l channels
-    symm = 1 if (Ez != 0.0 or Qzz != 0.0) else 2
+    # symmetry blocks: (l,m) unless a field/off-center term couples l channels
+    symm = 1 if (Ez != 0.0 or Qzz != 0.0 or ((Zl or Zr) and Rmid > 0.0)) else 2
     blk_idx_np, blk_sinvh_np = build_blocks(np.asarray(ops.S), basis.sym_blocks(symm))
     blk_idx = jnp.asarray(blk_idx_np)
     blk_sinvh = jnp.asarray(blk_sinvh_np)
