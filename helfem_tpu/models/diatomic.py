@@ -316,8 +316,7 @@ class DiatomicBasis:
         Bin = np.empty((nelem, nq, nq, nprim))
         for e in range(nelem):
             xpoly = (mu_in[e] - self.fem.mids[e]) / (0.5 * self.fem.lengths[e])
-            Bin[e] = self.fem.poly.eval(xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
-            Bin[e] *= self.fem.mask[e][None, None, :]
+            Bin[e] = self.fem.eval_element(e, xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
         seg_hlen = np.empty((nelem, nq))
         for e in range(nelem):
             lo = np.concatenate([[self.fem.bval[e]], self.mu[e][:-1]])

@@ -84,7 +84,7 @@ def eval_density_points(basis: DiatomicBasis, P: np.ndarray, z, rho):
     for k in range(len(z)):
         e = eidx[k]
         x = (mu[k] - fem.mids[e]) / (0.5 * fem.lengths[e])
-        vals = fem.poly.eval(np.array([x]), 0)[0][0] * fem.mask[e]
+        vals = fem.eval_element(e, np.array([x]), 0)[0][0]
         Bv[k][fem.gidx[e]] += vals
     Bv = Bv[:, :nrad]
     lmax = int(basis.lval.max())

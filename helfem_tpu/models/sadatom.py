@@ -361,8 +361,7 @@ def coulomb_screening(basis: SadAtomBasis, Prad: np.ndarray) -> np.ndarray:
         mid, hlen = 0.5 * (lo + hi), 0.5 * (hi - lo)
         rp = mid[:, None] + hlen[:, None] * rb.xq[None, :]
         xpoly = (rp - rb.fem.mids[e]) / (0.5 * rb.fem.lengths[e])
-        Bin = rb.fem.poly.eval(xpoly.ravel(), 0)[0].reshape(nq, nq, -1)
-        Bin = Bin * rb.fem.mask[e][None, None, :]
+        Bin = rb.fem.eval_element(e, xpoly.ravel(), 0)[0].reshape(nq, nq, -1)
         dens = np.einsum("ij,pqi,pqj->pq", Pg[e], Bin, Bin)
         seg0 = np.einsum("pq,q,p->p", dens, rb.wq, hlen)  # int B B over segment
         segm1 = np.einsum("pq,pq,q,p->p", dens, 1.0 / rp, rb.wq, hlen)

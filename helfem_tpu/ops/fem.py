@@ -3,7 +3,7 @@
 TPU-native redesign of FiniteElementBasis
 (libhelfem/src/FiniteElementBasis.cpp, include/FiniteElementBasis.h):
 
-* The reference drops the first/last basis function per boundary conditions by
+* The reference drops boundary basis functions per boundary conditions by
   index surgery and loops over elements under OpenMP. Here every element keeps
   the full fixed [nprim] function slot layout; dropped functions have their
   basis-value columns ZEROED and their global index mapped to a trash slot
@@ -11,6 +11,9 @@ TPU-native redesign of FiniteElementBasis
   global assembly is one scatter-add -- XLA/TPU friendly and race-free by
   construction (replacing the per-element-buffer + serial reduction of
   FiniteElementBasis::matrix_element, FiniteElementBasis.cpp:327-349).
+
+* Adjacent elements share `noverlap` functions (1 for nodal LIP/Legendre,
+  nder+1 for Hermite bases, which share value AND derivative DOFs).
 
 * Host-side table building in numpy f64 (from longdouble polynomial
   evaluation); device-side contraction helpers in jnp where needed per SCF
@@ -21,8 +24,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from helfem_tpu.ops.polynomials import LIPBasis
-
 __all__ = ["FEMBasis"]
 
 
@@ -30,18 +31,21 @@ __all__ = ["FEMBasis"]
 class FEMBasis:
     """Element partition + shape functions with boundary conditions.
 
-    Global continuous functions: adjacent elements share one function
-    (noverlap=1 for LIP). Global function g(e, i) = e*(nprim-1) + i, with the
-    first (if drop_first) and last (if drop_last) global functions removed.
-    """
+    Global function g(e, i) = e*(nprim - noverlap) + i; boundary conditions
+    remove the left/right edge value DOF (drop_first/drop_last) and
+    optionally the edge derivative DOFs (drop_first_deriv/drop_last_deriv,
+    Hermite bases only)."""
 
-    poly: LIPBasis
+    poly: object
     bval: np.ndarray  # element boundaries [nelem+1]
     drop_first: bool = True
     drop_last: bool = True
+    drop_first_deriv: bool = False
+    drop_last_deriv: bool = False
 
     nelem: int = field(init=False)
     nprim: int = field(init=False)
+    noverlap: int = field(init=False)
     nbf: int = field(init=False)
     gidx: np.ndarray = field(init=False)  # [nelem, nprim] -> global index or nbf (trash)
     mask: np.ndarray = field(init=False)  # [nelem, nprim] 1.0 kept / 0.0 dropped
@@ -50,15 +54,36 @@ class FEMBasis:
         self.bval = np.asarray(self.bval, dtype=np.float64)
         self.nelem = len(self.bval) - 1
         self.nprim = self.poly.nprim
-        nfull = self.nelem * (self.nprim - 1) + 1
-        self.nbf = nfull - int(self.drop_first) - int(self.drop_last)
+        self.noverlap = getattr(self.poly, "noverlap", 1)
+        v = self.noverlap
+        nfull = self.nelem * (self.nprim - v) + v
+
+        dropped_global = set()
+        if self.drop_first:
+            dropped_global.update(self.poly.left_dofs(deriv=False))
+        if self.drop_first_deriv:
+            dropped_global.update(self.poly.left_dofs(deriv=True))
+        off = (self.nelem - 1) * (self.nprim - v)
+        if self.drop_last:
+            dropped_global.update(off + i for i in self.poly.right_dofs(deriv=False))
+        if self.drop_last_deriv:
+            dropped_global.update(off + i for i in self.poly.right_dofs(deriv=True))
+
+        # renumber kept functions consecutively
+        newidx = np.full(nfull, -1, dtype=np.int64)
+        c = 0
+        for gfull in range(nfull):
+            if gfull not in dropped_global:
+                newidx[gfull] = c
+                c += 1
+        self.nbf = c
 
         e = np.arange(self.nelem)[:, None]
         i = np.arange(self.nprim)[None, :]
-        g = e * (self.nprim - 1) + i - int(self.drop_first)
-        dropped = (g < 0) | (g >= self.nbf)
-        self.gidx = np.where(dropped, self.nbf, g).astype(np.int32)
-        self.mask = np.where(dropped, 0.0, 1.0)
+        gfull = e * (self.nprim - v) + i
+        g = newidx[gfull]
+        self.gidx = np.where(g < 0, self.nbf, g).astype(np.int32)
+        self.mask = np.where(g < 0, 0.0, 1.0)
 
     # --- geometry -----------------------------------------------------------
     @property
@@ -74,19 +99,28 @@ class FEMBasis:
         return self.mids[:, None] + 0.5 * self.lengths[:, None] * np.asarray(x)[None, :]
 
     # --- evaluation ---------------------------------------------------------
-    def eval_dnf(self, x: np.ndarray, nder: int = 0) -> np.ndarray:
-        """Basis values/derivatives on the element-stacked grid.
+    def eval_element(self, e: int, x: np.ndarray, nder: int = 0) -> np.ndarray:
+        """Basis values/derivatives of element e at primitive points x:
+        [nder+1, nq, nprim], with d/dr chain-rule scaling and masked columns.
+        (reference: PolynomialBasis::eval_dnf, PolynomialBasis.cpp:161-179)"""
+        half = 0.5 * self.lengths[e]
+        vals = self.poly.eval(x, nder, element_length=half)
+        scale = (1.0 / half) ** np.arange(nder + 1)
+        return vals * scale[:, None, None] * self.mask[e][None, None, :]
 
-        Returns [nder+1, nelem, nq, nprim]; derivative order k is scaled by
-        (2/length_e)^k (chain rule of the x -> r map), dropped columns zeroed.
-        (reference: PolynomialBasis::eval_dnf, PolynomialBasis.cpp:161-179)
-        """
-        vals = self.poly.eval(x, nder)  # [nder+1, nq, nprim]
-        scale = (2.0 / self.lengths)[None, :, None, None] ** np.arange(nder + 1)[
-            :, None, None, None
-        ]
-        out = vals[:, None, :, :] * scale
-        return out * self.mask[None, :, None, :]
+    def eval_element_div(self, e: int, x: np.ndarray, x0: float, nder: int = 0) -> np.ndarray:
+        """Like eval_element but of f(x)/(x - x0) (for the b = B/r basis);
+        dropped columns masked."""
+        half = 0.5 * self.lengths[e]
+        vals = self.poly.eval_div(x, x0, nder, element_length=half)
+        scale = (1.0 / half) ** np.arange(nder + 1)
+        return vals * scale[:, None, None] * self.mask[e][None, None, :]
+
+    def eval_dnf(self, x: np.ndarray, nder: int = 0) -> np.ndarray:
+        """Element-stacked basis values/derivatives [nder+1, nelem, nq, nprim]."""
+        return np.stack(
+            [self.eval_element(e, x, nder) for e in range(self.nelem)], axis=1
+        )
 
     # --- assembly -----------------------------------------------------------
     def assemble(self, elmat: np.ndarray) -> np.ndarray:

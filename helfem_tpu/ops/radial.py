@@ -77,14 +77,13 @@ class RadialBasis:
         b[1:] = self.B[1:] / r
         db[1:] = self.dB[1:] / r - self.B[1:] / r**2
         d2b[1:] = self.d2B[1:] / r - 2 * self.dB[1:] / r**2 + 2 * self.B[1:] / r**3
-        # element 0: exact division by the (x+1) root; scale by 2/len per
-        # derivative order plus one for the 1/r itself
-        g = self.fem.poly.eval_div(self.xq, -1.0, 2)  # [3, nq, nprim]
-        s = 2.0 / self.fem.lengths[0]
-        m = self.fem.mask[0][None, :]
-        b[0] = g[0] * s * m
-        db[0] = g[1] * s**2 * m
-        d2b[0] = g[2] * s**3 * m
+        # element 0: exact/stable division by the (x+1) root; the FEM layer
+        # applies the d/dr chain rule, leaving one extra 1/half for 1/r
+        g = self.fem.eval_element_div(0, self.xq, -1.0, 2)  # [3, nq, nprim]
+        half = 0.5 * self.fem.lengths[0]
+        b[0] = g[0] / half
+        db[0] = g[1] / half
+        d2b[0] = g[2] / half
         return b, db, d2b
 
     # --- generic quadrature contraction ----------------------------------------
@@ -125,16 +124,16 @@ class RadialBasis:
     # --- nuclear values --------------------------------------------------------
     def bf_at_origin(self) -> np.ndarray:
         """b_i(0) = B_i'(0) for functions of the first element, global [nbf]."""
-        g = self.fem.poly.eval_div(np.array([-1.0]), -1.0, 0)[0, 0]  # [nprim]
+        g = self.fem.eval_element_div(0, np.array([-1.0]), -1.0, 0)[0, 0]
         vals = np.zeros((self.fem.nelem, self.fem.nprim))
-        vals[0] = g * (2.0 / self.fem.lengths[0]) * self.fem.mask[0]
+        vals[0] = g / (0.5 * self.fem.lengths[0])
         return self.fem.assemble_vec(vals)
 
     def dbf_at_origin(self) -> np.ndarray:
         """b_i'(0), global [nbf] (for the density-gradient cusp check)."""
-        g = self.fem.poly.eval_div(np.array([-1.0]), -1.0, 1)[1, 0]
+        g = self.fem.eval_element_div(0, np.array([-1.0]), -1.0, 1)[1, 0]
         vals = np.zeros((self.fem.nelem, self.fem.nprim))
-        vals[0] = g * (2.0 / self.fem.lengths[0]) ** 2 * self.fem.mask[0]
+        vals[0] = g / (0.5 * self.fem.lengths[0])
         return self.fem.assemble_vec(vals)
 
     # --- two-electron integrals --------------------------------------------------
@@ -165,8 +164,7 @@ class RadialBasis:
             rp = mid[:, None] + hlen[:, None] * x[None, :]  # [nq_seg, nq_in]
             # basis values at inner points (mask via fem.eval path)
             xpoly = (rp - self.fem.mids[e]) / (0.5 * self.fem.lengths[e])
-            Bin = self.fem.poly.eval(xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
-            Bin = Bin * self.fem.mask[e][None, None, :]
+            Bin = self.fem.eval_element(e, xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
             # native (C++) path, opt-in: beats numpy on multi-core hosts
             # (OpenMP over L); on single-core boxes numpy's BLAS wins
             import os
@@ -235,8 +233,7 @@ class RadialBasis:
             mid, hlen = 0.5 * (lo + hi), 0.5 * (hi - lo)
             rp = mid[:, None] + hlen[:, None] * x[None, :]
             xpoly = (rp - self.fem.mids[e]) / (0.5 * self.fem.lengths[e])
-            Bin = self.fem.poly.eval(xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
-            Bin = Bin * self.fem.mask[e][None, None, :]
+            Bin = self.fem.eval_element(e, xpoly.ravel(), 0)[0].reshape(nq, nq, nprim)
             iv_in = bessel_il(lam * rp.ravel(), Lmax).reshape(NL, nq, nq)
             kv_out = bessel_kl(lam * rq, Lmax)  # [NL, nq]
             # inner segment weights: w * hlen * i_L(lam r') * k_L(lam r_p)

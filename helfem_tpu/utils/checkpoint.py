@@ -61,8 +61,8 @@ def cross_radial_overlap(rb_new, rb_old) -> np.ndarray:
             r = mid + hl * xq
             xa = (r - fa.mids[ie]) / (0.5 * fa.lengths[ie])
             xb = (r - fb.mids[je]) / (0.5 * fb.lengths[je])
-            Ba = fa.poly.eval(xa, 0)[0] * fa.mask[ie][None, :]
-            Bb = fb.poly.eval(xb, 0)[0] * fb.mask[je][None, :]
+            Ba = fa.eval_element(ie, xa, 0)[0]
+            Bb = fb.eval_element(je, xb, 0)[0]
             blk = np.einsum("qi,q,qj->ij", Ba, wq * hl, Bb)
             S[np.ix_(fa.gidx[ie], fb.gidx[je])] += blk
     return S[: fa.nbf, : fb.nbf]

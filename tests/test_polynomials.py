@@ -43,3 +43,31 @@ def test_lip_eval_div_exact():
         # d/dx (f/(x+1)) = f'/(x+1) - f/(x+1)^2
         dref = f[1][:, i] / (x + 1) - f[0][:, i] / (x + 1) ** 2
         assert np.allclose(g[1][:, i], dref, rtol=1e-9, atol=1e-12)
+
+
+def test_basis_families_harmonic():
+    """Legendre spectral (3), HIP (5), general HIP (6, 8): harmonic spectrum."""
+    from helfem_tpu.ops.fem import FEMBasis
+
+    for pb, nn in [(3, 12), (5, 6), (6, 12), (8, 5)]:
+        poly = get_basis(pb, nn)
+        fem = FEMBasis(poly, np.linspace(-10.0, 10.0, 13))
+        xq, wq = chebyshev(70)
+        S = fem.matrix_element(0, 0, xq, wq)
+        T = 0.5 * fem.matrix_element(1, 1, xq, wq)
+        V = 0.5 * fem.matrix_element(0, 0, xq, wq, f=fem.coords(xq) ** 2)
+        w, U = np.linalg.eigh(S)
+        Sinvh = U @ np.diag(w**-0.5) @ U.T
+        E = np.linalg.eigvalsh(Sinvh @ (T + V) @ Sinvh)
+        assert np.abs(E[:8] - (np.arange(8) + 0.5)).max() < 1e-9, pb
+
+
+def test_he_hf_hip_basis():
+    """Full SCF with the Hermite basis (noverlap=2 global C1 continuity)."""
+    from helfem_tpu.models.atomic import AtomicBasis
+    from helfem_tpu.scf.atomic_scf import scf_atom
+
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=40.0, nelem=10, nnodes=8, primbas=5)
+    r = scf_atom(b, 1, 1, convthr=1e-9)
+    assert r.converged
+    assert abs(r.E + 2.8616799956) < 1e-9
