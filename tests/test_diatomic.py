@@ -51,3 +51,21 @@ def test_grid_overlap_dia():
     d = np.diag(Sref).copy()
     d[d == 0] = 1
     assert (np.abs(S - Sref) / np.sqrt(np.outer(d, d))).max() < 1e-12
+
+
+def test_n2_hf_regression():
+    """N2 HF smoke/regression at a small discretization (converged value at
+    lmax=12 is -108.993818, within 8 uEh of the HF limit -108.9938255;
+    this small config regression-pins the pipeline)."""
+    b = DiatomicBasis(Z1=7, Z2=7, Rbond=2.068, lmax=(6, 6), rmax=25.0, nelem=5, nnodes=8)
+    r = scf_diatomic(b, 7, 7, convthr=1e-7, maxit=40, guess="SAP")
+    assert r.converged
+    assert abs(r.E + 108.5312159188) < 1e-6
+
+
+def test_n2_pbe_smoke():
+    """N2 PBE end-to-end (BASELINE config 5, DFT side)."""
+    b = DiatomicBasis(Z1=7, Z2=7, Rbond=2.068, lmax=(5, 5), rmax=25.0, nelem=5, nnodes=8)
+    r = scf_diatomic(b, 7, 7, method="PBE", convthr=1e-6, maxit=40, guess="SAP")
+    assert r.converged
+    assert -110.0 < r.E < -107.0  # lmax=5 truncation is ~1.8 Eh
