@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from helfem_tpu.models.atomic import AtomicOperators, coulomb, exchange
 from helfem_tpu.utils.linalg import eigh_refined
 
-__all__ = ["make_mesh", "pad_ops_for_mesh", "sharded_scf_step"]
+__all__ = ["make_mesh", "pad_ops_for_mesh", "sharded_scf_step", "sharded_dia_fock"]
 
 
 def make_mesh(n_devices: int) -> Mesh:
@@ -142,3 +142,92 @@ def sharded_scf_step(mesh: Mesh, ops: AtomicOperators, kfrac: float = 1.0):
         return Fa, Fb, Ea, Ca, Eb, Cb, Ekin + Enuc + Ecoul + Exx
 
     return step, ops
+
+
+def sharded_dia_fock(mesh: Mesh, ops, kfrac: float = 1.0):
+    """Diatomic Fock build sharded over the (L,M) channel axes: each device
+    scans its shard of the signed-LM channels (J) / of the flattened
+    (channel, bra-shell) steps (K); partial J/K psum over 'ch'.
+
+    The radial TEI tables stay replicated (they are indexed dynamically by
+    channel inside the scans); returns (fock_fn, ops_padded)."""
+    from helfem_tpu.models.diatomic import DiatomicOperators, coulomb_dia, exchange_dia
+
+    n = mesh.devices.size
+
+    def padn(x, axis=0):
+        pad = (-x.shape[axis]) % n
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    # pad the sharded step axes. An explicit all-zero Gaunt channel is
+    # appended first, and padded exchange steps point their signed-channel
+    # lookups (step_sp/step_sm) at it so they contribute exactly nothing.
+    nLM = ops.GmLM.shape[0]
+    zrow = jnp.zeros((1,) + ops.GmLM.shape[1:])
+    GmLM = jnp.concatenate([ops.GmLM, zrow])
+    GpLM = jnp.concatenate([ops.GpLM, zrow])
+    LM_ilm = jnp.concatenate([ops.LM_ilm, jnp.zeros(1, ops.LM_ilm.dtype)])
+    zch = nLM  # index of the zero channel
+    nsteps = ops.step_ilm.shape[0]
+    pad_steps = (-nsteps) % n
+    ops = ops._replace(
+        GmLM=padn(GmLM),
+        GpLM=padn(GpLM),
+        LM_ilm=padn(LM_ilm),
+        step_ilm=padn(ops.step_ilm),
+        step_b=padn(ops.step_b),
+        step_sp=jnp.concatenate(
+            [ops.step_sp, jnp.full(pad_steps, zch, ops.step_sp.dtype)]
+        ),
+        step_sm=jnp.concatenate(
+            [ops.step_sm, jnp.full(pad_steps, zch, ops.step_sm.dtype)]
+        ),
+        step_wm=padn(ops.step_wm),
+    )
+
+    nLMp = ops.GmLM.shape[0]
+    nstepp = ops.step_ilm.shape[0]
+    lm_chunk = nLMp // n
+    st_chunk = nstepp // n
+
+    def fock_shard(ops_r, Pa, Pb):
+        # All tables are replicated; each device slices its chunk of the
+        # J channel scan and the K step scan (the exchange channel lookups
+        # step_sp/step_sm index the FULL GmLM table, so it must stay whole).
+        i = jax.lax.axis_index("ch")
+
+        def sl(x, chunk):
+            return jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=0)
+
+        ops_j = ops_r._replace(
+            GmLM=sl(ops_r.GmLM, lm_chunk),
+            GpLM=sl(ops_r.GpLM, lm_chunk),
+            LM_ilm=sl(ops_r.LM_ilm, lm_chunk),
+        )
+        ops_k = ops_r._replace(
+            step_ilm=sl(ops_r.step_ilm, st_chunk),
+            step_b=sl(ops_r.step_b, st_chunk),
+            step_sp=sl(ops_r.step_sp, st_chunk),
+            step_sm=sl(ops_r.step_sm, st_chunk),
+            step_wm=sl(ops_r.step_wm, st_chunk),
+        )
+        Ptot = Pa + Pb
+        J = jax.lax.psum(coulomb_dia(ops_j, Ptot), "ch")
+        Ka = kfrac * jax.lax.psum(exchange_dia(ops_k, Pa), "ch")
+        Kb = kfrac * jax.lax.psum(exchange_dia(ops_k, Pb), "ch")
+        Fa = ops_r.H0 + J + Ka
+        Fb = ops_r.H0 + J + Kb
+        return Fa, Fb, 0.5 * jnp.vdot(Ptot, J), 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
+
+    fock_sm = jax.shard_map(
+        fock_shard,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), ops), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(lambda Pa, Pb: fock_sm(ops, Pa, Pb)), ops

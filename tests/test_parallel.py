@@ -38,3 +38,23 @@ def test_sharded_step_matches_single(ndev):
     assert np.abs(np.asarray(Fa) - np.asarray(Fref)).max() < 1e-10
     Eref, Cref = eig_gsym_lm(Fref, ops.Sinvh_rad)
     assert np.abs(np.asarray(Ea) - np.asarray(Eref)).max() < 1e-8
+
+
+def test_sharded_dia_fock_matches(ndev=4):
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from helfem_tpu.models.diatomic import DiatomicBasis, coulomb_dia, exchange_dia
+    from helfem_tpu.parallel.mesh import sharded_dia_fock
+
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=1.4, lmax=(3,), rmax=15.0, nelem=3, nnodes=6)
+    ops = b.build_operators()
+    mesh = make_mesh(ndev)
+    fock, ops_pad = sharded_dia_fock(mesh, ops, kfrac=1.0)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((b.nbf, b.nbf)) * 0.05
+    Pa = jnp.asarray(X @ X.T)
+    Fa, Fb, Ecoul, Exx = fock(Pa, Pa)
+    J = coulomb_dia(ops, Pa + Pa)
+    K = exchange_dia(ops, Pa)
+    Fref = ops.H0 + J + K
+    assert np.abs(np.asarray(Fa) - np.asarray(Fref)).max() < 1e-10
