@@ -23,6 +23,9 @@ def parse_nela_nelb(Z: int, Q: int, M: int, nela: int, nelb: int):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="helfem-atomic", description=__doc__)
     p.add_argument("--Z", required=True, help="nuclear charge (number or symbol)")
+    p.add_argument("--Zl", default="", help="left off-center charge")
+    p.add_argument("--Zr", default="", help="right off-center charge")
+    p.add_argument("--Rmid", type=float, default=0.0, help="off-center distance")
     p.add_argument("--nela", type=int, default=0)
     p.add_argument("--nelb", type=int, default=0)
     p.add_argument("--Q", type=int, default=0, help="charge state")
@@ -63,7 +66,9 @@ def main(argv=None):
     from helfem_tpu.utils.elements import HARTREE_IN_EV, get_Z
 
     Z = get_Z(args.Z)
-    nela, nelb = parse_nela_nelb(Z, args.Q, args.M, args.nela, args.nelb)
+    Zl = get_Z(args.Zl) if args.Zl else 0
+    Zr = get_Z(args.Zr) if args.Zr else 0
+    nela, nelb = parse_nela_nelb(Z + Zl + Zr, args.Q, args.M, args.nela, args.nelb)
     guess = {0: "core", 1: "GSZ", 2: "SAP", 3: "TF"}[args.iguess]
     nucmodel = {0: "point", 1: "point", 2: "gaussian", 3: "spherical", 4: "hollow"}[args.finitenuc]
 
@@ -73,12 +78,34 @@ def main(argv=None):
     )
     print(f"Running {args.method} on Z={Z} with {nela}+{nelb} electrons, "
           f"{basis.nbf} basis functions ({basis.nang} angular x {basis.nrad} radial)")
+    from helfem_tpu.ops.xc import parse_method as _pm
+
+    funcs, _ = _pm(args.method)
+    if funcs:
+        # grid-accuracy self-check, as the reference prints
+        # (src/atomic/main.cpp:411-441)
+        import numpy as _np
+
+        from helfem_tpu.models.atomic_dft import (
+            build_dft_grid, eval_kinetic_grid, eval_overlap_grid,
+        )
+
+        gch = build_dft_grid(basis)
+        S = basis.overlap()
+        dS = _np.abs(_np.asarray(eval_overlap_grid(gch, basis.nrad)) - S)
+        nrm = _np.sqrt(_np.outer(_np.diag(S), _np.diag(S)))
+        print(f"Error in overlap matrix evaluated through xc grid is {(_np.linalg.norm(dS/nrm)):e}")
+        T = basis.kinetic()
+        dT = _np.abs(_np.asarray(eval_kinetic_grid(gch, basis.nrad)) - T) / (1 + _np.abs(T))
+        print(f"Relative error in kinetic matrix evaluated through xc grid is {(_np.linalg.norm(dT)):e}")
+
     res = scf_atom(
         basis, nela, nelb, method=args.method, maxit=args.maxit,
         convthr=args.convthr, guess=guess, verbose=True, dftthr=args.dftthr,
         Ez=args.Ez, Qzz=args.Qzz, Bz=args.Bz, iconf=args.iconf,
         conf_N=args.conf_N, conf_R=args.conf_R, conf_barrier=args.conf_barrier,
         shift_conf=args.shift_conf, finitenuc=nucmodel, Rrms=args.Rrms,
+        Zl=Zl, Zr=Zr, Rmid=args.Rmid,
     )
     print()
     for name, val in [

@@ -385,6 +385,54 @@ def xc_screening(basis: SadAtomBasis, Prad: np.ndarray, funcs) -> np.ndarray:
     return r * np.asarray(vra)
 
 
+def vdw_radius(basis: SadAtomBasis, Prad: np.ndarray, threshold: float = 0.001) -> float:
+    """Radius where the electron density drops to `threshold` (the van der
+    Waals radius criterion; reference: sadatom TwoDBasis::vdw_radius,
+    src/sadatom/basis.cpp:1043-1100). Bisection on the outermost crossing."""
+    r, n, _, _, _ = radial_density(basis, Prad)
+    order = np.argsort(r)
+    r, n = r[order], n[order]
+    above = np.nonzero(n > threshold)[0]
+    if len(above) == 0:
+        return 0.0
+    i = above[-1]
+    if i + 1 >= len(r):
+        return r[-1]
+    # linear interpolation in log density between the bracketing points
+    r1, r2 = r[i], r[i + 1]
+    n1, n2 = n[i], max(n[i + 1], 1e-300)
+    t = (np.log(threshold) - np.log(n1)) / (np.log(n2) - np.log(n1))
+    return float(r1 + t * (r2 - r1))
+
+
+def electron_count_radius(basis: SadAtomBasis, Prad: np.ndarray, nel_inside: float) -> float:
+    """Radius enclosing `nel_inside` electrons (reference: sadatom
+    electron-count radius solver)."""
+    r, n, _, _, w = radial_density(basis, Prad)
+    order = np.argsort(r)
+    r, nw = r[order], (n * w)[order]
+    cum = np.cumsum(nw)
+    idx = np.searchsorted(cum, nel_inside)
+    if idx >= len(r):
+        return r[-1]
+    return float(r[idx])
+
+
+def xc_potential_table(basis: SadAtomBasis, Pla, Plb, funcs):
+    """(r, vxc_a, vxc_b) on the radial grid for potential export (reference:
+    SCFSolver::XCPotential -> xcpot.dat). LDA-family potentials only."""
+    if any(f.family != "lda" for f in funcs):
+        raise NotImplementedError("potential export: LDA-family only")
+    import jax.numpy as jnp
+
+    r, na, *_ = radial_density(basis, Pla.sum(axis=0))
+    _, nb, *_ = radial_density(basis, Plb.sum(axis=0))
+    z = jnp.zeros_like(jnp.asarray(na))
+    _, vra, vrb, *_ = xc_eval(funcs, jnp.asarray(na), jnp.asarray(nb), z, z, z)
+    order = np.argsort(r)
+    return r[order], np.asarray(vra)[order], np.asarray(vrb)[order]
+
+
 def sap_potential_table(Z: int, method: str = "lda_x", lmax: int = 3, **kw):
     """Generate the SAP effective-charge table for element Z by solving the
     spherically-averaged atom, regenerating the reference's tabulated
