@@ -339,6 +339,50 @@ def scf_atom(
     )
 
 
+def atomic_analysis(basis: AtomicBasis, res: SCFResult, symm: int = 2) -> dict:
+    """Post-SCF analysis (reference: src/atomic/main.cpp:1000-1059):
+    <r^n> moments of the occupied orbitals, electron density and density
+    gradient at the nucleus, and the cusp condition -n'(0)/(2 Z n(0))."""
+    import jax.numpy as jnp
+
+    from helfem_tpu.utils.linalg import build_blocks
+
+    blk_idx, _ = build_blocks(basis.overlap(), basis.sym_blocks(symm))
+    nbf = basis.nbf
+
+    def full_P(C, occ):
+        P = np.zeros((nbf + 1, nbf + 1))
+        Pb = np.einsum("bpk,bk,bqk->bpq", np.asarray(C), occ, np.asarray(C))
+        for b in range(blk_idx.shape[0]):
+            P[np.ix_(blk_idx[b], blk_idx[b])] += Pb[b]
+        return P[:nbf, :nbf]
+
+    Pa = full_P(res.orbs_a, res.occ_a)
+    Pb = full_P(res.orbs_b, res.occ_b) if res.orbs_b is not None else Pa
+    P = Pa + Pb
+    out = {}
+    for n in (-1, 1, 2, 3):
+        out[f"<r^{n}>"] = float(np.vdot(P, np.kron(np.eye(basis.nang), basis.rb.radial_integral(n))))
+    # nuclear density: only s shells contribute; rho(0) = |sum_i c_i b_i(0) Y00|^2
+    b0 = basis.rb.bf_at_origin()
+    db0 = basis.rb.dbf_at_origin()
+    s_shells = np.nonzero((basis.lval == 0) & (basis.mval == 0))[0]
+    B0 = np.zeros(nbf)
+    dB0 = np.zeros(nbf)
+    for a in s_shells:
+        B0[a * basis.nrad : (a + 1) * basis.nrad] = b0
+        dB0[a * basis.nrad : (a + 1) * basis.nrad] = db0
+    y00sq = 1.0 / (4.0 * np.pi)
+    n0 = float(B0 @ P @ B0) * y00sq
+    dn0 = 2.0 * float(dB0 @ P @ B0) * y00sq
+    out["density_at_nucleus"] = n0
+    out["density_gradient_at_nucleus"] = dn0
+    out["cusp"] = -dn0 / (2.0 * basis.Z * n0) if n0 > 0 else 0.0
+    out["dipole_z"] = -float(np.vdot(P, basis.dipole_z()))
+    out["quadrupole_zz"] = -float(np.vdot(P, basis.quadrupole_zz()))
+    return out
+
+
 def _full_sinvh(blk_idx: np.ndarray, blk_sinvh: np.ndarray, nbf: int) -> np.ndarray:
     out = np.zeros((nbf + 1, nbf + 1))
     for b in range(blk_idx.shape[0]):

@@ -42,3 +42,18 @@ def test_closed_shell_hf(el, Z, nel):
     assert res.converged
     assert abs(res.E - HF_LIMIT[el]) < 1e-6
     assert abs(-res.E / res.Ekin - 1.0) < 1e-7
+
+
+def test_atomic_analysis_hydrogen():
+    """Post-SCF analysis exact values for H: <r>=1.5, rho(0)=1/pi, cusp=1
+    (reference printouts, src/atomic/main.cpp:1000-1059)."""
+    import numpy as np
+
+    from helfem_tpu.scf.atomic_scf import atomic_analysis
+
+    b = AtomicBasis(Z=1, lmax=0, mmax=0, rmax=40.0, nelem=10, nnodes=12)
+    r = scf_atom(b, 1, 0, convthr=1e-9)
+    a = atomic_analysis(b, r)
+    assert abs(a["<r^1>"] - 1.5) < 1e-8
+    assert abs(a["density_at_nucleus"] - 1 / np.pi) < 1e-8
+    assert abs(a["cusp"] - 1.0) < 1e-7
