@@ -445,7 +445,7 @@ def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> 
         return K4, None
 
     K4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
-    K4, _ = jax.lax.scan(body, K4, (ops.G, Lfacv, tei, U, V))
+    K4, _ = jax.lax.scan(body, K4, (ops.G, Lfacv, tei, U, V), unroll=True)
     K4 = K4[:, :, :nrad, :nrad]
     return -_from4(K4, nang, nrad)
 

@@ -79,6 +79,13 @@ def aufbau_blocks(E: np.ndarray, nel: float) -> np.ndarray:
     return occ.reshape(nblk, blen)
 
 
+@jax.jit
+def _diis_error(F, P, S, Sinvh):
+    FPS = F @ P @ S
+    e = Sinvh.T @ (FPS - FPS.T) @ Sinvh
+    return e.ravel()
+
+
 @lru_cache(maxsize=None)
 def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1e-12):
     """Jitted Fock builder for a fixed method (funcs/kfrac compile-time)."""
@@ -228,6 +235,7 @@ def scf_atom(
     rohf = restricted == 1 and nela != nelb
     restricted = (nela == nelb and Bz == 0.0) if restricted == -1 else (restricted == 1 and not rohf and Bz == 0.0)
     Sinvh_np = _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
+    Sinvh_dev = jnp.asarray(Sinvh_np)
     diis = DIIS(np.asarray(ops.S), Sinvh_np)
     Sh_np = None
     if rohf:
@@ -239,7 +247,7 @@ def scf_atom(
     Etot = 0.0
     converged = False
     occa = occb = None
-    warmup = 3 if restricted else maxit
+    warmup = 2 if restricted else maxit
     fused = None
     hist = None
     it = 0
@@ -288,7 +296,8 @@ def scf_atom(
         Eold = Etot
 
         if restricted:
-            err = diis.update([np.asarray(Fa)], [np.asarray(Pa)])
+            ev = _diis_error(Fa, Pa, ops.S, Sinvh_dev)
+            err = diis.update_with_error([np.asarray(Fa)], np.asarray(ev))
             (Fa_,) = diis.solve()
             Fb_ = Fa_
         else:

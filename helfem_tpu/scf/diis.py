@@ -34,6 +34,12 @@ class DIIS:
         """Push Fock/density matrices (list per spin channel). Returns the
         DIIS error (max norm over channels)."""
         errv = np.concatenate([self._error(F, P).ravel() for F, P in zip(Fs, Ps)])
+        return self.update_with_error(Fs, errv)
+
+    def update_with_error(self, Fs, errv):
+        """Push Fock matrices with a precomputed error vector (for drivers
+        that evaluate the commutator on device)."""
+        errv = np.asarray(errv).ravel()
         self.Fs.append([np.asarray(F).copy() for F in Fs])
         self.errs.append(errv)
         if len(self.Fs) > self.max_hist:
