@@ -191,9 +191,16 @@ def scf_atom(
     Zl: int = 0,
     Zr: int = 0,
     Rmid: float = 0.0,
+    occs: dict | None = None,
+    perturb: float = 0.0,
+    seed: int = 0,
 ) -> SCFResult:
     """Restricted/unrestricted SCF. method: 'HF', 'LDA', 'SVWN', 'PBE', or
-    an 'x_func,c_func' pair of functional names."""
+    an 'x_func,c_func' pair of functional names.
+
+    occs: optional {(l, m): (na, nb)} per-symmetry enforced occupations
+    (the reference's readocc mechanism); perturb/seed: random orthogonal
+    rotation of the guess orbitals (reference: --perturb/--seed)."""
     if ops is None:
         ops = basis.build_operators()
     nrad = basis.nrad
@@ -228,7 +235,26 @@ def scf_atom(
     Hg = jnp.asarray(basis.kinetic() + basis.model_potential(potential(guess, basis.Z))) + Vextra
     Ea, Ca = eig_blocks(Hg, blk_idx, blk_sinvh)
     Ea = np.asarray(Ea)
+    if perturb:
+        from helfem_tpu.utils.linalg import perturbation_matrix
+
+        R = perturbation_matrix(Ca.shape[-1], perturb, seed)
+        Ca = jnp.einsum("bpk,kq->bpq", Ca, jnp.asarray(R))
     Eb, Cb = Ea.copy(), Ca
+
+    # per-symmetry enforced occupations (readocc): map (l, m) -> block row
+    occ_fix = None
+    if occs is not None:
+        if symm != 2:
+            raise ValueError("fixed occupations need (l,m) symmetry blocks")
+        occ_fix = np.zeros((2, blk_idx_np.shape[0], blk_idx_np.shape[1]))
+        for a in range(basis.nang):
+            key = (int(basis.lval[a]), int(basis.mval[a]))
+            if key in occs:
+                na_, nb_ = occs[key]
+                for s_, nocc in enumerate((na_, nb_)):
+                    for k in range(int(nocc)):
+                        occ_fix[s_, a, k] = 1.0
 
     # restricted: -1 auto (reference convention: restrict iff nela == nelb);
     # 1 with nela != nelb runs ROHF via the CUHF Fock update
@@ -252,8 +278,14 @@ def scf_atom(
     hist = None
     it = 0
     for it in range(1, maxit + 1):
-        occa = aufbau_blocks(Ea, nela)
-        occb = occa if restricted else aufbau_blocks(Eb, nelb)
+        if occ_fix is not None:
+            occa = occ_fix[0] * (2.0 if restricted else 1.0)
+            occb = occ_fix[0] if restricted else occ_fix[1]
+            if restricted:
+                occa = occ_fix[0]
+        else:
+            occa = aufbau_blocks(Ea, nela)
+            occb = occa if restricted else aufbau_blocks(Eb, nelb)
 
         if restricted and it > warmup:
             # fused on-device iteration: Fock + device C2-DIIS + eigensolve;

@@ -125,6 +125,20 @@ def density_blocks(C: jnp.ndarray, occ: jnp.ndarray, blk_idx: jnp.ndarray, S: jn
     return P[:nbf, :nbf]
 
 
+def perturbation_matrix(n: int, magnitude: float, seed: int = 0) -> np.ndarray:
+    """Random orthogonal perturbation rotation (reference:
+    scf::perturbation_matrix): expm of a random antisymmetric matrix with
+    the given magnitude."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    A = magnitude * (A - A.T) / 2.0
+    w, V = np.linalg.eig(A)  # antisymmetric: imaginary spectrum
+    R = (V @ np.diag(np.exp(w)) @ np.linalg.inv(V)).real
+    # clean up to strict orthogonality
+    U, _, Vt = np.linalg.svd(R)
+    return U @ Vt
+
+
 def form_sh(S: np.ndarray) -> np.ndarray:
     """Symmetric square root S^{1/2}."""
     w, U = np.linalg.eigh(S)

@@ -57,3 +57,16 @@ def test_atomic_analysis_hydrogen():
     assert abs(a["<r^1>"] - 1.5) < 1e-8
     assert abs(a["density_at_nucleus"] - 1 / np.pi) < 1e-8
     assert abs(a["cusp"] - 1.0) < 1e-7
+
+
+def test_fixed_occupations_and_perturbation():
+    """readocc-style enforced occupations + random orthogonal guess
+    perturbation: Be ground configuration reproduces aufbau; an enforced
+    1s2 2p2 configuration converges to a higher (excited) solution."""
+    b = AtomicBasis(Z=4, lmax=1, mmax=0, rmax=30.0, nelem=8, nnodes=10)
+    r1 = scf_atom(b, 2, 2, convthr=1e-8)
+    r2 = scf_atom(b, 2, 2, convthr=1e-8, occs={(0, 0): (2, 2)}, perturb=0.01)
+    assert abs(r1.E - r2.E) < 1e-10
+    r3 = scf_atom(b, 2, 2, convthr=1e-7, occs={(0, 0): (1, 1), (1, 0): (1, 1)}, maxit=80)
+    assert r3.converged
+    assert r3.E > r1.E + 0.1
