@@ -28,6 +28,9 @@ class DiaGridOps(NamedTuple):
     invh: jnp.ndarray  # [nelem, nq, nt] 1/h
     TT: jnp.ndarray  # [nang, nang, nt] Theta_a Theta_b delta_{ma mb}
     dTT: jnp.ndarray  # [nang, nang, nt] d/deta products
+    dTT2: jnp.ndarray  # [nang, nang, nt] (1-eta^2) Theta'_a Theta'_b (tau)
+    TTm2: jnp.ndarray  # [nang, nang, nt] m_a m_b Theta Theta / (1-eta^2) (tau)
+    invhphi2: jnp.ndarray  # [nelem, nq] 1/(Rh^2 sinh^2 mu) (tau phi term)
     sqeta: jnp.ndarray  # [nt] sqrt(1 - eta^2)
     gidx: jnp.ndarray
 
@@ -49,6 +52,9 @@ def build_dia_grid(basis, neta: int = 0) -> DiaGridOps:
     same_m = (basis.mval[:, None] == basis.mval[None, :]).astype(np.float64)
     TT = same_m[:, :, None] * Th[:, None, :] * Th[None, :, :]
     dTT = same_m[:, :, None] * (dTh[:, None, :] * Th[None, :, :] + Th[:, None, :] * dTh[None, :, :])
+    dTT2 = same_m[:, :, None] * (1.0 - eta**2)[None, None, :] * dTh[:, None, :] * dTh[None, :, :]
+    mm = (basis.mval[:, None] * basis.mval[None, :]).astype(np.float64)
+    TTm2 = same_m[:, :, None] * mm[:, :, None] * Th[:, None, :] * Th[None, :, :] / (1.0 - eta**2)[None, None, :]
     Rh = basis.Rhalf
     ch = np.cosh(basis.mu)
     sh = np.sinh(basis.mu)
@@ -62,12 +68,15 @@ def build_dia_grid(basis, neta: int = 0) -> DiaGridOps:
         invh=jnp.asarray(invh),
         TT=jnp.asarray(TT),
         dTT=jnp.asarray(dTT),
+        dTT2=jnp.asarray(dTT2),
+        TTm2=jnp.asarray(TTm2),
+        invhphi2=jnp.asarray(1.0 / (Rh**2 * sh**2)),
         sqeta=jnp.asarray(sx),
         gidx=jnp.asarray(basis.fem.gidx),
     )
 
 
-def _fields_dia(g: DiaGridOps, P4p: jnp.ndarray):
+def _fields_dia(g: DiaGridOps, P4p: jnp.ndarray, need_tau: bool = False):
     gi = g.gidx
     Pg = P4p[:, :, gi[:, :, None], gi[:, None, :]]
     D1 = jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.Bg, g.Bg)
@@ -75,7 +84,15 @@ def _fields_dia(g: DiaGridOps, P4p: jnp.ndarray):
     rho = jnp.einsum("abeq,abt->eqt", D1, g.TT)
     drho_u = jnp.einsum("abeq,abt->eqt", Dmu, g.TT) * g.invh
     drho_v = jnp.einsum("abeq,abt->eqt", D1, g.dTT) * (g.sqeta[None, None, :] * g.invh)
-    return rho, drho_u, drho_v
+    tau = None
+    if need_tau:
+        Ddd = jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.dBg, g.dBg)
+        tau = 0.5 * (
+            jnp.einsum("abeq,abt->eqt", Ddd, g.TT) * g.invh**2
+            + jnp.einsum("abeq,abt->eqt", D1, g.dTT2) * g.invh**2
+            + jnp.einsum("abeq,abt->eqt", D1, g.TTm2) * g.invhphi2[:, :, None]
+        )
+    return rho, drho_u, drho_v, tau
 
 
 def eval_fxc_dia(funcs, g: DiaGridOps, ops, Pa, Pb, thr: float = 1e-12):
@@ -87,17 +104,23 @@ def eval_fxc_dia(funcs, g: DiaGridOps, ops, Pa, Pb, thr: float = 1e-12):
         P4 = P.reshape(nang, nrad, nang, nrad).transpose(0, 2, 1, 3)
         return jnp.pad(P4, ((0, 0), (0, 0), (0, 1), (0, 1)))
 
-    ra, ua, va = _fields_dia(g, to4p(Pa))
-    rb, ub, vb = _fields_dia(g, to4p(Pb))
+    mgga = any(f.family == "mgga" for f in funcs)
+    gga = mgga or any(f.family != "lda" for f in funcs)
+    ra, ua, va, ta = _fields_dia(g, to4p(Pa), mgga)
+    rb, ub, vb, tb = _fields_dia(g, to4p(Pb), mgga)
     saa = ua * ua + va * va
     sab = ua * ub + va * vb
     sbb = ub * ub + vb * vb
-    e, vra, vrb, vsaa, vsab, vsbb = xc_eval(funcs, ra, rb, saa, sab, sbb, thr)
+    out = xc_eval(funcs, ra, rb, saa, sab, sbb, thr, ta=ta, tb=tb)
+    if mgga:
+        e, vra, vrb, vsaa, vsab, vsbb, vta, vtb = out
+    else:
+        e, vra, vrb, vsaa, vsab, vsbb = out
+        vta = vtb = None
     Exc = jnp.sum(g.w * e)
     Nel = jnp.sum(g.w * (ra + rb))
-    gga = any(f.family != "lda" for f in funcs)
 
-    def fock(vr, gu, gv):
+    def fock(vr, gu, gv, vt):
         A1 = jnp.einsum("eqt,abt->abeq", g.w * vr, g.TT)
         Fel = jnp.einsum("abeq,eqi,eqj->abeij", A1, g.Bg, g.Bg)
         if gga:
@@ -108,6 +131,14 @@ def eval_fxc_dia(funcs, g: DiaGridOps, ops, Pa, Pb, thr: float = 1e-12):
                 "eqt,abt->abeq", g.w * gv * g.invh * g.sqeta[None, None, :], g.dTT
             )
             Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", C1, g.Bg, g.Bg)
+        if vt is not None:
+            T1 = jnp.einsum("eqt,abt->abeq", 0.5 * g.w * vt * g.invh**2, g.TT)
+            Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", T1, g.dBg, g.dBg)
+            T2 = jnp.einsum("eqt,abt->abeq", 0.5 * g.w * vt * g.invh**2, g.dTT2)
+            T2 = T2 + jnp.einsum(
+                "eqt,abt->abeq", 0.5 * g.w * vt * g.invhphi2[:, :, None], g.TTm2
+            )
+            Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", T2, g.Bg, g.Bg)
         gi = g.gidx
         F4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
         F4 = F4.at[:, :, gi[:, :, None], gi[:, None, :]].add(Fel)
@@ -118,8 +149,8 @@ def eval_fxc_dia(funcs, g: DiaGridOps, ops, Pa, Pb, thr: float = 1e-12):
     gub = 2.0 * vsbb * ub + vsab * ua
     gvb = 2.0 * vsbb * vb + vsab * va
     m2 = ops.shellmask.reshape(-1)
-    Fa = fock(vra, gua, gva) * m2[:, None] * m2[None, :]
-    Fb = fock(vrb, gub, gvb) * m2[:, None] * m2[None, :]
+    Fa = fock(vra, gua, gva, vta) * m2[:, None] * m2[None, :]
+    Fb = fock(vrb, gub, gvb, vtb) * m2[:, None] * m2[None, :]
     return Fa, Fb, Exc, Nel
 
 

@@ -153,42 +153,70 @@ def sad_exchange(ops: SadOps, Pang: jnp.ndarray) -> jnp.ndarray:
 
 
 def sad_xc(funcs, ops: SadOps, Pla, Plb, thr: float = 1e-12):
-    """Radial XC: returns (Fxc_a, Fxc_b [nrad,nrad], Exc, Nel).
+    """Radial XC: returns (Fxc_a, Fxc_b, Exc, Nel); the Fock contribution is
+    a single radial matrix for LDA/GGA and an [nl, nrad, nrad] cube for
+    meta-GGAs (the vtau term carries the l(l+1) centrifugal piece).
 
     Density n_s(r) = sum_l P^s_l[I,J] b_I b_J / (4 pi)."""
     gi = ops.at.gidx
     nrad = ops.at.Sinvh_rad.shape[0]
+    nl = ops.totcoup.shape[1]
+    mgga = any(f.family == "mgga" for f in funcs)
+    fourpi = 4.0 * jnp.pi
 
     def fields(Pl):
         Pr = jnp.sum(Pl, axis=0)
         Pp = jnp.pad(Pr, ((0, 1), (0, 1)))
         Pg = Pp[gi[:, :, None], gi[:, None, :]]
-        n = jnp.einsum("eij,eqi,eqj->eq", Pg, ops.bg, ops.bg) / (4.0 * jnp.pi)
-        dn = 2.0 * jnp.einsum("eij,eqi,eqj->eq", Pg, ops.dbg, ops.bg) / (4.0 * jnp.pi)
-        return n, dn
+        n = jnp.einsum("eij,eqi,eqj->eq", Pg, ops.bg, ops.bg) / fourpi
+        dn = 2.0 * jnp.einsum("eij,eqi,eqj->eq", Pg, ops.dbg, ops.bg) / fourpi
+        tau = None
+        if mgga:
+            Plp = jnp.pad(Pl, ((0, 0), (0, 1), (0, 1)))
+            Plg = Plp[:, gi[:, :, None], gi[:, None, :]]
+            ll1 = (jnp.arange(nl) * (jnp.arange(nl) + 1.0))[:, None, None, None]
+            tau = 0.5 * (
+                jnp.einsum("leij,eqi,eqj->eq", Plg, ops.dbg, ops.dbg)
+                + jnp.einsum(
+                    "leij,leqi,eqj->eq", Plg, ll1 * ops.bg[None] / ops.r[None, :, :, None] ** 2, ops.bg
+                )
+            ) / fourpi
+        return n, dn, tau
 
-    na, dna = fields(Pla)
-    nb, dnb = fields(Plb)
-    e, vra, vrb, vsaa, vsab, vsbb = xc_eval(
-        funcs, na, nb, dna * dna, dna * dnb, dnb * dnb, thr
-    )
+    na, dna, ta = fields(Pla)
+    nb, dnb, tb = fields(Plb)
+    out = xc_eval(funcs, na, nb, dna * dna, dna * dnb, dnb * dnb, thr, ta=ta, tb=tb)
+    if mgga:
+        e, vra, vrb, vsaa, vsab, vsbb, vta, vtb = out
+    else:
+        e, vra, vrb, vsaa, vsab, vsbb = out
+        vta = vtb = None
     Exc = jnp.sum(ops.w2 * e)
     Nel = jnp.sum(ops.w2 * (na + nb))
 
     gga = any(f.family != "lda" for f in funcs)
 
-    def fock(vr, gr):
-        w = ops.w2 / (4.0 * jnp.pi)
+    def fock(vr, gr, vt):
+        w = ops.w2 / fourpi
         Fel = jnp.einsum("eq,eqi,eqj->eij", w * vr, ops.bg, ops.bg)
         if gga:
             rad = jnp.einsum("eq,eqi,eqj->eij", w * gr, ops.dbg, ops.bg)
             Fel = Fel + rad + jnp.swapaxes(rad, 1, 2)
         F = jnp.zeros((nrad + 1, nrad + 1))
         F = F.at[gi[:, :, None], gi[:, None, :]].add(Fel)
-        return F[:nrad, :nrad]
+        F = F[:nrad, :nrad]
+        if vt is None:
+            return F
+        # per-l vtau terms
+        Fl1 = jnp.einsum("eq,eqi,eqj->eij", 0.5 * w * vt, ops.dbg, ops.dbg)
+        Fl2 = jnp.einsum("eq,eqi,eqj->eij", 0.5 * w * vt / ops.r**2, ops.bg, ops.bg)
+        F1 = jnp.zeros((nrad + 1, nrad + 1)).at[gi[:, :, None], gi[:, None, :]].add(Fl1)[:nrad, :nrad]
+        F2 = jnp.zeros((nrad + 1, nrad + 1)).at[gi[:, :, None], gi[:, None, :]].add(Fl2)[:nrad, :nrad]
+        ll1 = (jnp.arange(nl) * (jnp.arange(nl) + 1.0))[:, None, None]
+        return F[None] + F1[None] + ll1 * F2[None]
 
-    Fa = fock(vra, 2.0 * vsaa * dna + vsab * dnb)
-    Fb = fock(vrb, 2.0 * vsbb * dnb + vsab * dna)
+    Fa = fock(vra, 2.0 * vsaa * dna + vsab * dnb, vta)
+    Fb = fock(vrb, 2.0 * vsbb * dnb + vsab * dna, vtb)
     return Fa, Fb, Exc, Nel
 
 
@@ -260,8 +288,10 @@ def make_sad_fock(funcs, kfrac, nl, nrad, dftthr=1e-12):
         Nel = 0.0
         if funcs:
             XCa, XCb, Exc, Nel = sad_xc(funcs, ops, Pla, Plb, dftthr)
-            Fla = Fla + XCa[None]
-            Flb = Flb + XCb[None]
+            if XCa.ndim == 2:
+                XCa, XCb = XCa[None], XCb[None]
+            Fla = Fla + XCa
+            Flb = Flb + XCb
         Ekin = jnp.vdot(Pr, ops.at.T) + jnp.vdot(Pl, kc)
         Enuc = jnp.vdot(Pr, ops.at.Vnuc)
         Ecoul = 0.5 * jnp.vdot(Pr, J)

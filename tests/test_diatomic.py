@@ -69,3 +69,35 @@ def test_n2_pbe_smoke():
     r = scf_diatomic(b, 7, 7, method="PBE", convthr=1e-6, maxit=40, guess="SAP")
     assert r.converged
     assert -110.0 < r.E < -107.0  # lmax=5 truncation is ~1.8 Eh
+
+
+def test_tau_matches_kinetic_dia():
+    """Integral of the grid tau equals Tr(P T) (machine precision)."""
+    import jax.numpy as jnp
+
+    from helfem_tpu.models.diatomic_dft import _fields_dia, build_dia_grid
+
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=2.0, lmax=(3, 3), rmax=15.0, nelem=4, nnodes=8)
+    ops = b.build_operators()
+    g = build_dia_grid(b)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((b.nbf, b.nbf)) * 0.1
+    m = np.asarray(ops.shellmask).reshape(-1)
+    P = (X @ X.T) * np.outer(m, m)
+    nang, nrad = b.nang, b.nrad
+    P4p = jnp.pad(
+        jnp.asarray(P).reshape(nang, nrad, nang, nrad).transpose(0, 2, 1, 3),
+        ((0, 0), (0, 0), (0, 1), (0, 1)),
+    )
+    rho, u, v, tau = _fields_dia(g, P4p, True)
+    Tgrid = float(jnp.sum(g.w * tau))
+    Tref = float(np.vdot(P, np.asarray(ops.T)))
+    assert abs(Tgrid - Tref) < 1e-10 * abs(Tref)
+
+
+def test_he_tpss_cross_code():
+    """He computed as diatomic (Z2=0) with TPSS matches the atomic TPSS."""
+    b = DiatomicBasis(Z1=2, Z2=0, Rbond=2.0, lmax=(8,), rmax=30.0, nelem=6, nnodes=10)
+    r = scf_diatomic(b, 1, 1, method="TPSS", convthr=1e-7, maxit=40, guess="SAP")
+    assert r.converged
+    assert abs(r.E + 2.9096644) < 2e-6

@@ -84,3 +84,11 @@ def test_unrestricted_nitrogen_config():
     r = solve_sadatom_unrestricted(b, 5, 2, method="SVWN", convthr=1e-7)
     assert r.converged
     assert list(r.occs) == [2, 3] and list(r.occs_b) == [2, 0]
+
+
+def test_sad_tpss_matches_atomic():
+    """He spherically-averaged TPSS == atomic TPSS (-2.9096644)."""
+    b = SadAtomBasis(Z=2, lmax=0, nelem=10, nnodes=15)
+    r = solve_sadatom(b, method="TPSS", convthr=1e-7, search=False)
+    assert r.converged
+    assert abs(r.E + 2.9096644496) < 1e-8
