@@ -70,3 +70,12 @@ def test_fixed_occupations_and_perturbation():
     r3 = scf_atom(b, 2, 2, convthr=1e-7, occs={(0, 0): (1, 1), (1, 0): (1, 1)}, maxit=80)
     assert r3.converged
     assert r3.E > r1.E + 0.1
+
+
+def test_krypton_hf():
+    """Heavy closed-shell atom: Kr HF limit -2752.054977 (robustness of the
+    guess + DIIS across the periodic table; Xe also verified manually)."""
+    b = AtomicBasis(Z=36, lmax=2, mmax=2, rmax=40.0, nelem=8, nnodes=12, zexp=2.5)
+    res = scf_atom(b, 18, 18, convthr=1e-7, maxit=60)
+    assert res.converged
+    assert abs(res.E + 2752.054977) < 2e-4
