@@ -166,6 +166,35 @@ def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
     return step
 
 
+@lru_cache(maxsize=None)
+def make_fused_chunk(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
+                     Bz: float = 0.0, dftthr: float = 1e-12):
+    """`nsteps` fused SCF iterations in ONE jitted lax.scan: amortizes the
+    per-call dispatch latency (~60 ms on the TPU plugin) across iterations.
+    Occupations are frozen within a chunk (the host refreshes them between
+    chunks)."""
+    step = make_fused_step(funcs, kfrac, nrad, nhist, Bz, dftthr)
+    # reuse the single-step trace inside a scan
+    inner = step.__wrapped__ if hasattr(step, "__wrapped__") else step
+
+    @jax.jit
+    def chunk(ops, g, Vextra, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
+        def body(carry, _):
+            C, histF, histE, count = carry
+            Cn, E, histF, histE, count, Etot, errmax, Nel, comps = inner(
+                ops, g, Vextra, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count
+            )
+            return (Cn, histF, histE, count), (E, Etot, errmax, Nel, comps)
+
+        (C, histF, histE, count), (Es, Etots, errs, Nels, comps) = jax.lax.scan(
+            body, (C, histF, histE, count), None, length=nsteps
+        )
+        last = jax.tree.map(lambda x: x[-1], comps)
+        return C, Es[-1], histF, histE, count, Etots, errs, Nels[-1], last
+
+    return chunk
+
+
 def scf_atom(
     basis: AtomicBasis,
     nela: int,
@@ -288,11 +317,14 @@ def scf_atom(
             occb = occa if restricted else aufbau_blocks(Eb, nelb)
 
         if restricted and it > warmup:
-            # fused on-device iteration: Fock + device C2-DIIS + eigensolve;
-            # only two scalars cross to the host
+            # fused on-device chunk: CH iterations of Fock + device C2-DIIS +
+            # eigensolve in ONE jit call (amortizes the ~60 ms per-dispatch
+            # latency of the TPU plugin); per-iteration (E, err) arrays come
+            # back for host-side convergence checks
             if fused is None:
                 nhist = 10
-                fused = make_fused_step(tuple(funcs), kfrac, nrad, nhist, Bz, dftthr)
+                CH = 4
+                fused = make_fused_chunk(tuple(funcs), kfrac, nrad, nhist, CH, Bz, dftthr)
                 Sinvh_full = jnp.asarray(
                     _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
                 )
@@ -301,21 +333,26 @@ def scf_atom(
                     jnp.zeros((nhist, basis.nbf * basis.nbf)),
                     jnp.asarray(0),
                 )
-            Ca, Ea_d, hF, hE, cnt, Etot_d, err_d, Nel, comps = fused(
+            Ca, Ea_d, hF, hE, cnt, Etots, errs, Nel, comps = fused(
                 ops, g, Vextra, blk_idx, blk_sinvh, Sinvh_full, jnp.asarray(occa), Ca, *hist
             )
             hist = (hF, hE, cnt)
             Ea = np.asarray(Ea_d)
             Eb, Cb = Ea, Ca
-            Etot = float(Etot_d)
-            err = float(err_d)
-            dE = Etot - Eold
-            Eold = Etot
+            Etots = np.asarray(Etots)
+            errs = np.asarray(errs)
             Ekin, Enuc, Ecoul, Exx, Exc, Efield = comps
-            if verbose:
-                print(f"iter {it:3d}  E = {Etot:+.12f}  dE = {dE:+.3e}  diis = {err:.3e} (fused)")
-            if err < convthr and abs(dE) < convthr:
-                converged = True
+            for k in range(len(Etots)):
+                Etot = float(Etots[k])
+                err = float(errs[k])
+                dE = Etot - Eold
+                Eold = Etot
+                if verbose:
+                    print(f"iter {it + k:3d}  E = {Etot:+.12f}  dE = {dE:+.3e}  diis = {err:.3e} (fused)")
+                if err < convthr and abs(dE) < convthr:
+                    converged = True
+                    break
+            if converged or it + len(Etots) - 1 >= maxit:
                 break
             continue
 
