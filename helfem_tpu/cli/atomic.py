@@ -119,6 +119,12 @@ def main(argv=None):
     if len(res.orbE_a) > nela and nela > 0:
         gap = (res.orbE_a[nela] - res.orbE_a[nela - 1]) * HARTREE_IN_EV
         print(f"HOMO-LUMO gap: {gap:.3f} eV")
+    if res.orbsym_a is not None and nela > 0:
+        nshow = min(nela + 2, len(res.orbE_a))
+        print("occupied + lowest virtual orbital energies:")
+        for i in range(nshow):
+            tag = "occ" if i < nela else "vir"
+            print(f"  {i + 1:3d} {res.orbsym_a[i]:>8s}  % .9f  {tag}" % res.orbE_a[i])
     if not res.converged:
         print("WARNING: SCF did not converge!")
     if args.save:

@@ -280,6 +280,21 @@ class AtomicBasis:
                 blocks.append(a * self.nrad + np.arange(self.nrad))
         return blocks
 
+    def sym_labels(self, symm: int = 2) -> list[str]:
+        """Human-readable label per sym_blocks entry (used for orbital
+        symmetry printouts, cf. reference orbital tables in
+        src/atomic/main.cpp)."""
+        spd = "spdfghikl"
+        if symm == 0:
+            return ["all"]
+        if symm == 1:
+            return [f"m={m:+d}" for m in np.unique(self.mval)]
+        return [
+            f"{spd[self.lval[a]] if self.lval[a] < len(spd) else 'l' + str(self.lval[a])}"
+            f"(m={self.mval[a]:+d})"
+            for a in range(self.nang)
+        ]
+
     def build_erfc(self, mu: float) -> "ErfcOperators":
         """erfc short-range TEI tables (reference: TwoDBasis::compute_erfc,
         src/atomic/TwoDBasis.cpp:781)."""

@@ -39,6 +39,27 @@ def radial_STO(r: np.ndarray, l: int, zeta) -> np.ndarray:
     return pref[None, :] * r[:, None] ** l * np.exp(-zeta[None, :] * r[:, None])
 
 
+def importance_profile(rb, c_occ: np.ndarray, l: int, expn: np.ndarray, kind: str = "GTO") -> np.ndarray:
+    """I(alpha) = sum_i |<g_alpha | psi_i>|^2 over occupied radial orbitals
+    c_occ [nbf, nocc] of channel l (reference: sadatom gto/sto importance
+    profiles, src/sadatom/solver.cpp)."""
+    ov = _test_overlaps(rb, l, expn, kind)  # [nexp, nbf]
+    proj = ov @ c_occ  # [nexp, nocc]
+    return np.sum(proj**2, axis=1)
+
+
+def _test_overlaps(rb, l: int, expn: np.ndarray, kind: str) -> np.ndarray:
+    f = radial_GTO if kind.upper() == "GTO" else radial_STO
+    gv = np.stack([f(rb.r[e], l, expn) for e in range(rb.fem.nelem)])
+    w = rb.wr * rb.r**2
+    ov_el = np.einsum("eqa,eq,eqi->eai", gv, w, rb.b, optimize=True)
+    nbf = rb.fem.nbf
+    ov = np.zeros((len(expn), nbf + 1))
+    for e in range(rb.fem.nelem):
+        ov[:, rb.fem.gidx[e]] += ov_el[e]
+    return ov[:, :nbf]
+
+
 def completeness_profile(rb, l: int, expn: np.ndarray, kind: str = "GTO") -> np.ndarray:
     """Y(alpha) = sum_{mn} <g_a|b_m> (S^-1)_{mn} <b_n|g_a> for the radial FEM
     basis rb (atomic RadialBasis): 1 means the test function is exactly

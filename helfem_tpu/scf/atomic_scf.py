@@ -53,6 +53,8 @@ class SCFResult:
     orbE_b: np.ndarray | None = None
     orbs_b: np.ndarray | None = None
     occ_b: np.ndarray | None = None
+    orbsym_a: list[str] | None = None  # symmetry label per orbE_a entry
+    orbsym_b: list[str] | None = None
 
 
 def aufbau_blocks(E: np.ndarray, nel: float) -> np.ndarray:
@@ -396,6 +398,15 @@ def scf_atom(
             Eb, Cb = eig_blocks(jnp.asarray(Fb_), blk_idx, blk_sinvh)
             Eb = np.asarray(Eb)
 
+    labels = basis.sym_labels(symm)
+
+    def _sorted_syms(E):
+        """Block label per sorted eigenvalue (padded _BIG slots dropped)."""
+        flat = E.ravel()
+        order = np.argsort(flat)
+        order = order[flat[order] < _BIG / 2]
+        return [labels[i // E.shape[1]] for i in order]
+
     oe = np.sort(Ea.ravel())
     return SCFResult(
         converged=converged,
@@ -414,6 +425,8 @@ def scf_atom(
         orbE_b=None if restricted else np.sort(np.asarray(Eb).ravel()),
         orbs_b=None if restricted else np.asarray(Cb),
         occ_b=None if restricted else occb,
+        orbsym_a=_sorted_syms(Ea),
+        orbsym_b=None if restricted else _sorted_syms(np.asarray(Eb)),
     )
 
 
