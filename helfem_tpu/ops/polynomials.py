@@ -279,6 +279,8 @@ def get_basis(primbas: int, nnodes: int):
       4  LIP at Gauss-Lobatto nodes (default)
       5  HIP (value+derivative DOFs) at Gauss-Lobatto nodes
       6..11  general HIP with nder = id-6 continuous derivatives
+      100/101  LIP/HIP at Chebyshev-Lobatto (extreme) nodes
+               x_i = -cos(pi i/(n-1)), endpoints included
     """
     from helfem_tpu.ops.quadrature import gauss_lobatto
 
@@ -293,4 +295,11 @@ def get_basis(primbas: int, nnodes: int):
     if 6 <= primbas <= 11:
         x, _ = gauss_lobatto(nnodes)
         return HIPBasis(nodes=x, nder=primbas - 6, id=primbas)
+    if primbas in (100, 101):
+        i = np.arange(nnodes, dtype=LD)
+        x = -np.cos(np.pi * i / LD(nnodes - 1))
+        x[0], x[-1] = -1.0, 1.0
+        if primbas == 100:
+            return LIPBasis(nodes=x.astype(float), id=100)
+        return HIPBasis(nodes=x.astype(float), nder=1, id=101)
     raise NotImplementedError(f"primbas={primbas} not implemented")

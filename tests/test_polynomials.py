@@ -62,6 +62,29 @@ def test_basis_families_harmonic():
         assert np.abs(E[:8] - (np.arange(8) + 0.5)).max() < 1e-9, pb
 
 
+def test_chebyshev_node_bases():
+    """primbas 100/101: LIP/HIP at Chebyshev-Lobatto extreme points
+    x_i = -cos(pi i/(n-1)) (reference: PolynomialBasis.cpp:62-82)."""
+    b = get_basis(100, 9)
+    assert b.nodes[0] == -1.0 and b.nodes[-1] == 1.0
+    assert np.allclose(b.nodes, -np.cos(np.pi * np.arange(9) / 8), atol=1e-15)
+    # cardinality + partition of unity still hold (any node set)
+    assert np.allclose(b.eval(b.nodes, 0)[0], np.eye(9), atol=1e-12)
+    x = np.linspace(-1, 1, 57)
+    assert np.allclose(b.eval(x, 1)[0].sum(axis=1), 1.0, atol=1e-12)
+    h = get_basis(101, 6)
+    assert h.noverlap == 2 and h.nodes[0] == -1.0
+
+    # full SCF: He HF limit reproduced with the Chebyshev-node LIP basis
+    from helfem_tpu.models.atomic import AtomicBasis
+    from helfem_tpu.scf.atomic_scf import scf_atom
+
+    ab = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=40.0, nelem=10, nnodes=12, primbas=100)
+    r = scf_atom(ab, 1, 1, convthr=1e-9)
+    assert r.converged
+    assert abs(r.E + 2.8616799956) < 1e-8
+
+
 def test_he_hf_hip_basis():
     """Full SCF with the Hermite basis (noverlap=2 global C1 continuity)."""
     from helfem_tpu.models.atomic import AtomicBasis
