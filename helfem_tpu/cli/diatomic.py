@@ -24,6 +24,9 @@ def main(argv=None):
     p.add_argument("--maxit", type=int, default=50)
     p.add_argument("--convthr", type=float, default=1e-7)
     p.add_argument("--method", default="HF")
+    p.add_argument("--guess", default="core", help="core|SAP|TF|GSZ")
+    p.add_argument("--save", default="", help="write npz checkpoint")
+    p.add_argument("--load", default="", help="warm start from npz checkpoint")
     args = p.parse_args(argv)
 
     import jax
@@ -47,10 +50,32 @@ def main(argv=None):
     print(f"Running {args.method} on Z1={Z1} Z2={Z2} R={R} with {nela}+{nelb} electrons")
     print(f"{basis.nang} angular shells x {basis.nrad} radial functions; "
           f"{len(basis.lm_map)} (L,|M|) channels")
+    P0a = P0b = None
+    if args.load:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from helfem_tpu.scf.diatomic_scf import density_dia
+        from helfem_tpu.utils.checkpoint import load_diatomic
+
+        bold, d = load_diatomic(args.load)
+        if bold.nbf != basis.nbf:
+            raise SystemExit("--load checkpoint basis does not match")
+        ops0 = basis.build_operators()
+        P0a = np.asarray(density_dia(ops0, jnp.asarray(d["orbs_a"]), jnp.asarray(d["occ_a"])))
+        if d["orbs_b"].size:
+            P0b = np.asarray(density_dia(ops0, jnp.asarray(d["orbs_b"]), jnp.asarray(d["occ_b"])))
+        print(f"warm start from {args.load} (E = {float(d['E']):.9f})")
     res = scf_diatomic(
         basis, nela, nelb, method=args.method, maxit=args.maxit,
-        convthr=args.convthr, verbose=True,
+        convthr=args.convthr, verbose=True, guess=args.guess,
+        P0a=P0a, P0b=P0b,
     )
+    if args.save:
+        from helfem_tpu.utils.checkpoint import save_diatomic
+
+        save_diatomic(args.save, basis, res)
+        print(f"checkpoint saved to {args.save}")
     print()
     for name, val in [
         ("Kinetic", res.Ekin), ("Nuclear attraction", res.Enucattr),

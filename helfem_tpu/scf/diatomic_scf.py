@@ -91,6 +91,11 @@ class DiaSCFResult:
     Exx: float
     Exc: float
     orbE_a: np.ndarray
+    orbs_a: np.ndarray | None = None  # [nblk, blen, blen] block orbitals
+    occ_a: np.ndarray | None = None  # [nblk, blen]
+    orbE_b: np.ndarray | None = None
+    orbs_b: np.ndarray | None = None
+    occ_b: np.ndarray | None = None
 
 
 @lru_cache(maxsize=None)
@@ -134,6 +139,8 @@ def scf_diatomic(
     verbose: bool = False,
     ops: DiatomicOperators | None = None,
     guess: str = "core",
+    P0a: np.ndarray | None = None,
+    P0b: np.ndarray | None = None,
 ) -> DiaSCFResult:
     from helfem_tpu.ops.xc import parse_method
 
@@ -149,16 +156,30 @@ def scf_diatomic(
     fock = make_dia_fock(tuple(funcs), kfrac)
     Enucrep = basis.Z1 * basis.Z2 / basis.Rbond
 
-    if guess == "core":
-        Hguess = ops.H0
-    else:
-        from helfem_tpu.models.diatomic_tools import guess_hamiltonian_dia
-
-        Hguess = jnp.asarray(guess_hamiltonian_dia(basis, guess))
-    Ea, Ca = eig_blocks_dia(ops, Hguess)
-    Ea = np.asarray(Ea)
-    Eb, Cb = Ea.copy(), Ca
     restricted = nela == nelb
+    if P0a is not None:
+        # warm start from a density (e.g. a loaded checkpoint): build the
+        # Fock of the supplied density and diagonalize it as the guess
+        # (reference --load restart, src/diatomic/main.cpp).
+        P0b_ = P0a if P0b is None else P0b
+        Fg_a, Fg_b, *_ = fock(ops, g, jnp.asarray(P0a), jnp.asarray(P0b_))
+        Ea, Ca = eig_blocks_dia(ops, Fg_a)
+        Ea = np.asarray(Ea)
+        if restricted:
+            Eb, Cb = Ea.copy(), Ca
+        else:
+            Eb, Cb = eig_blocks_dia(ops, Fg_b)
+            Eb = np.asarray(Eb)
+    else:
+        if guess == "core":
+            Hguess = ops.H0
+        else:
+            from helfem_tpu.models.diatomic_tools import guess_hamiltonian_dia
+
+            Hguess = jnp.asarray(guess_hamiltonian_dia(basis, guess))
+        Ea, Ca = eig_blocks_dia(ops, Hguess)
+        Ea = np.asarray(Ea)
+        Eb, Cb = Ea.copy(), Ca
     diis = DIIS(np.asarray(ops.S), _full_sinvh(ops, nbf))
 
     Eold, Etot, converged = 0.0, 0.0, False
@@ -195,6 +216,7 @@ def scf_diatomic(
             Eb = np.asarray(Eb)
 
     oe = np.sort(Ea.ravel())
+    eb = np.sort(np.asarray(Eb).ravel())
     return DiaSCFResult(
         converged=converged,
         niter=it,
@@ -206,6 +228,11 @@ def scf_diatomic(
         Exx=float(Exx),
         Exc=float(Exc),
         orbE_a=oe[oe < _BIG / 2],
+        orbs_a=np.asarray(Ca),
+        occ_a=occa,
+        orbE_b=None if restricted else eb[eb < _BIG / 2],
+        orbs_b=None if restricted else np.asarray(Cb),
+        occ_b=None if restricted else occb,
     )
 
 

@@ -9,7 +9,16 @@ reference's --load path, src/atomic/main.cpp:508-609).
 
 import numpy as np
 
-__all__ = ["save_atomic", "load_atomic", "cross_radial_overlap", "project_orbitals"]
+__all__ = [
+    "save_atomic", "load_atomic",
+    "save_diatomic", "load_diatomic",
+    "save_sadatom", "load_sadatom",
+    "cross_radial_overlap", "project_orbitals",
+]
+
+
+def _opt(x):
+    return x if x is not None else np.zeros(0)
 
 
 def save_atomic(path: str, basis, res) -> None:
@@ -18,12 +27,10 @@ def save_atomic(path: str, basis, res) -> None:
         kind="atomic",
         Z=basis.Z, lmax=basis.lmax, mmax=basis.mmax, rmax=basis.rmax,
         nelem=basis.nelem, nnodes=basis.nnodes, nquad=basis.nquad,
-        igrid=basis.igrid, zexp=basis.zexp,
+        igrid=basis.igrid, zexp=basis.zexp, primbas=basis.primbas,
         converged=res.converged, E=res.E,
         orbE_a=res.orbE_a, orbs_a=res.orbs_a, occ_a=res.occ_a,
-        orbE_b=res.orbE_b if res.orbE_b is not None else np.zeros(0),
-        orbs_b=res.orbs_b if res.orbs_b is not None else np.zeros(0),
-        occ_b=res.occ_b if res.occ_b is not None else np.zeros(0),
+        orbE_b=_opt(res.orbE_b), orbs_b=_opt(res.orbs_b), occ_b=_opt(res.occ_b),
     )
 
 
@@ -36,6 +43,67 @@ def load_atomic(path: str):
         Z=int(d["Z"]), lmax=int(d["lmax"]), mmax=int(d["mmax"]),
         rmax=float(d["rmax"]), nelem=int(d["nelem"]), nnodes=int(d["nnodes"]),
         nquad=int(d["nquad"]), igrid=int(d["igrid"]), zexp=float(d["zexp"]),
+        primbas=int(d["primbas"]) if "primbas" in d else 4,
+    )
+    return basis, dict(d)
+
+
+def save_diatomic(path: str, basis, res) -> None:
+    """Diatomic checkpoint: basis definition + block orbitals/occupations
+    (reference: HDF5 checkpoint in src/diatomic/main.cpp --save)."""
+    np.savez(
+        path,
+        kind="diatomic",
+        Z1=basis.Z1, Z2=basis.Z2, Rbond=basis.Rbond,
+        lmax=np.asarray(basis.lmax, dtype=np.int64),
+        rmax=basis.rmax, nelem=basis.nelem, nnodes=basis.nnodes,
+        nquad=basis.nquad, igrid=basis.igrid, zexp=basis.zexp,
+        converged=res.converged, E=res.E,
+        orbE_a=res.orbE_a, orbs_a=_opt(res.orbs_a), occ_a=_opt(res.occ_a),
+        orbE_b=_opt(res.orbE_b), orbs_b=_opt(res.orbs_b), occ_b=_opt(res.occ_b),
+    )
+
+
+def load_diatomic(path: str):
+    """Returns (basis, data-dict). Use density_dia(ops, orbs_a, occ_a) to
+    rebuild the density and scf_diatomic(..., P0a=...) to warm-start."""
+    from helfem_tpu.models.diatomic import DiatomicBasis
+
+    d = np.load(path, allow_pickle=False)
+    basis = DiatomicBasis(
+        Z1=int(d["Z1"]), Z2=int(d["Z2"]), Rbond=float(d["Rbond"]),
+        lmax=tuple(int(l) for l in d["lmax"]),
+        rmax=float(d["rmax"]), nelem=int(d["nelem"]), nnodes=int(d["nnodes"]),
+        nquad=int(d["nquad"]), igrid=int(d["igrid"]), zexp=float(d["zexp"]),
+    )
+    return basis, dict(d)
+
+
+def save_sadatom(path: str, basis, res) -> None:
+    """Spherically-averaged-atom checkpoint (reference: gensap result files,
+    src/sadatom/main.cpp)."""
+    np.savez(
+        path,
+        kind="sadatom",
+        Z=basis.Z, lmax=basis.lmax, rmax=basis.rmax,
+        nelem=basis.nelem, nnodes=basis.nnodes, nquad=basis.nquad,
+        igrid=basis.igrid, zexp=basis.zexp,
+        converged=res.converged, E=res.E,
+        occs=res.occs, occs_b=_opt(res.occs_b),
+        orbE=res.orbE, orbs=res.orbs, Pl=res.Pl,
+        Plb=_opt(res.Plb), orbE_b=_opt(res.orbE_b), orbs_b=_opt(res.orbs_b),
+    )
+
+
+def load_sadatom(path: str):
+    """Returns (basis, data-dict); Pl/Plb are the per-l density matrices."""
+    from helfem_tpu.models.sadatom import SadAtomBasis
+
+    d = np.load(path, allow_pickle=False)
+    basis = SadAtomBasis(
+        Z=int(d["Z"]), lmax=int(d["lmax"]), rmax=float(d["rmax"]),
+        nelem=int(d["nelem"]), nnodes=int(d["nnodes"]), nquad=int(d["nquad"]),
+        igrid=int(d["igrid"]), zexp=float(d["zexp"]),
     )
     return basis, dict(d)
 
