@@ -3,9 +3,11 @@
 C2-DIIS (Sorensen-Osterby) with an SVD-based solve, as in the reference
 (src/general/diis.cpp), for restricted and unrestricted SCF. The error vector
 is the orthonormal-basis commutator Sinvh^T (F P S - S P F) Sinvh
-(reference: diis.cpp error metric). ADIIS energy-model weighting is planned;
-plain damped Roothaan steps are used until the DIIS error drops below
-`diis_eps`.
+(reference: diis.cpp error metric). Far from convergence (error above
+`diis_eps`) the extrapolation weights come from the ADIIS energy model
+(Hu & Yang, J. Chem. Phys. 132, 054109 (2010); reference: the ADIIS branch
+of diis.cpp) when density history is available, with a damped Roothaan step
+as the fallback.
 
 Host-side numpy: the stacks are tiny (history <= ~10 matrices).
 """
@@ -16,13 +18,16 @@ __all__ = ["DIIS"]
 
 
 class DIIS:
-    def __init__(self, S, Sinvh, max_hist: int = 10, diis_eps: float = 0.1, damp: float = 0.5):
+    def __init__(self, S, Sinvh, max_hist: int = 10, diis_eps: float = 0.1, damp: float = 0.5,
+                 adiis: bool = True):
         self.S = np.asarray(S)
         self.Sinvh = np.asarray(Sinvh)
         self.max_hist = max_hist
         self.diis_eps = diis_eps
         self.damp = damp
+        self.adiis = adiis
         self.Fs: list[list[np.ndarray]] = []
+        self.Ps: list[list[np.ndarray]] = []
         self.errs: list[np.ndarray] = []
 
     def _error(self, F, P):
@@ -34,18 +39,56 @@ class DIIS:
         """Push Fock/density matrices (list per spin channel). Returns the
         DIIS error (max norm over channels)."""
         errv = np.concatenate([self._error(F, P).ravel() for F, P in zip(Fs, Ps)])
-        return self.update_with_error(Fs, errv)
+        return self.update_with_error(Fs, errv, Ps=Ps)
 
-    def update_with_error(self, Fs, errv):
+    def update_with_error(self, Fs, errv, Ps=None):
         """Push Fock matrices with a precomputed error vector (for drivers
         that evaluate the commutator on device)."""
         errv = np.asarray(errv).ravel()
         self.Fs.append([np.asarray(F).copy() for F in Fs])
+        self.Ps.append(None if Ps is None else [np.asarray(P).copy() for P in Ps])
         self.errs.append(errv)
         if len(self.Fs) > self.max_hist:
             self.Fs.pop(0)
+            self.Ps.pop(0)
             self.errs.pop(0)
         return float(np.max(np.abs(errv)))
+
+    def _adiis_weights(self):
+        """Simplex-constrained minimizer of the ADIIS energy model
+        f(c) = 2 sum_i c_i <P_i - P_n, F_n> + sum_ij c_i c_j <P_i - P_n, F_j - F_n>
+        via the c_i = x_i^2 / sum x^2 parameterization (BFGS on x)."""
+        from scipy.optimize import minimize
+
+        n = len(self.Fs)
+        nch = len(self.Fs[0])
+        Pn, Fn = self.Ps[-1], self.Fs[-1]
+        dP = [[self.Ps[i][ch] - Pn[ch] for ch in range(nch)] for i in range(n)]
+        dF = [[self.Fs[j][ch] - Fn[ch] for ch in range(nch)] for j in range(n)]
+        d = np.array([sum(np.vdot(dP[i][ch], Fn[ch]).real for ch in range(nch)) for i in range(n)])
+        H = np.array([
+            [sum(np.vdot(dP[i][ch], dF[j][ch]).real for ch in range(nch)) for j in range(n)]
+            for i in range(n)
+        ])
+        Hs = H + H.T
+
+        def fg(x):
+            x2 = x * x
+            s = x2.sum()
+            c = x2 / s
+            gc = 2.0 * d + Hs @ c
+            gx = (2.0 * x / s) * (gc - c @ gc)
+            return 2.0 * c @ d + 0.5 * c @ Hs @ c, gx
+
+        best_c, best_f = None, np.inf
+        for x0 in (np.ones(n), np.r_[np.full(n - 1, 0.1), 1.0]):
+            r = minimize(fg, x0, jac=True, method="BFGS",
+                         options={"maxiter": 200, "gtol": 1e-10})
+            c = r.x**2 / (r.x**2).sum()
+            f = 2.0 * c @ d + 0.5 * c @ Hs @ c
+            if f < best_f:
+                best_f, best_c = f, c
+        return best_c
 
     def solve(self):
         """Extrapolated Fock matrices (C2-DIIS: eigenvector of the error-overlap
@@ -55,7 +98,14 @@ class DIIS:
             return self.Fs[-1]
         err = float(np.max(np.abs(self.errs[-1])))
         if err > self.diis_eps:
-            # not in the DIIS basin yet: damped Roothaan step
+            # not in the DIIS basin yet: ADIIS energy-model weights when the
+            # density history is available, damped Roothaan otherwise
+            if self.adiis and all(P is not None for P in self.Ps):
+                c = self._adiis_weights()
+                return [
+                    sum(c[i] * self.Fs[i][ch] for i in range(n))
+                    for ch in range(len(self.Fs[0]))
+                ]
             if n >= 2:
                 return [
                     (1 - self.damp) * Fn + self.damp * Fo
