@@ -20,6 +20,9 @@ def main(argv=None):
     p.add_argument("--method", default="lda_x", help="xc method for the SAP potential")
     p.add_argument("--nosearch", action="store_true", help="skip occupation search")
     p.add_argument("--output", default="", help="result_<El>.dat path (default auto)")
+    p.add_argument("--unrestricted", action="store_true",
+                   help="spin-polarized solve; writes resultU/M/W/S/s_<El>.dat variants")
+    p.add_argument("--M", type=int, default=0, help="spin multiplicity 2S+1 (0 = auto)")
     args = p.parse_args(argv)
 
     import jax
@@ -30,8 +33,10 @@ def main(argv=None):
         SadAtomBasis,
         coulomb_screening,
         kinetic_energy_density,
+        potential_table,
         radial_density,
         solve_sadatom,
+        solve_sadatom_unrestricted,
         xc_screening,
     )
     from helfem_tpu.ops.xc import parse_method
@@ -67,6 +72,37 @@ def main(argv=None):
     path = args.output or f"result_{SYMBOLS[Z]}.dat"
     np.savetxt(path, out[order])
     print(f"SAP potential written to {path}")
+
+    if args.unrestricted:
+        # spin-polarized solve + the five potential variants
+        # (reference: src/sadatom/main.cpp:738-767)
+        if args.M > 0:
+            mults = [args.M]
+        else:
+            # minimal-spin upward scan, same parity as the electron count
+            m0 = 1 if Z % 2 == 0 else 2
+            mults = [m for m in (m0, m0 + 2, m0 + 4) if m <= Z + 1]
+        best = None
+        for M in mults:
+            nela = (Z + M - 1) // 2
+            nelb = Z - nela
+            r_u = solve_sadatom_unrestricted(
+                basis, nela, nelb, method=args.method,
+                maxit=args.maxit, convthr=args.convthr,
+            )
+            print(f"M = {M}: E = {r_u.E:.9f} (converged = {r_u.converged})")
+            if r_u.converged and (best is None or r_u.E < best[1].E):
+                best = (M, r_u)
+        if best is None:
+            raise SystemExit("unrestricted solve did not converge")
+        M, r_u = best
+        print(f"selected multiplicity {M}, E = {r_u.E:.9f}")
+        for tag, mode in [("U", "mean"), ("M", "average"), ("W", "weighted"),
+                          ("S", "highspin"), ("s", "lowspin")]:
+            tab = potential_table(basis, r_u.Pl, r_u.Plb, funcs, mode=mode)
+            vpath = f"result{tag}_{SYMBOLS[Z]}.dat"
+            np.savetxt(vpath, tab)
+            print(f"{mode} potential written to {vpath}")
     return res
 
 

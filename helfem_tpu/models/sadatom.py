@@ -415,6 +415,65 @@ def xc_screening(basis: SadAtomBasis, Prad: np.ndarray, funcs) -> np.ndarray:
     return r * np.asarray(vra)
 
 
+def xc_screening_polarized(basis: SadAtomBasis, Prad_a: np.ndarray, Prad_b: np.ndarray, funcs):
+    """(r*vxc_a, r*vxc_b) for spin-polarized densities (LDA-family; reference:
+    sadatom TwoDBasis::xc_screening(Pa,Pb,...), src/sadatom/basis.cpp)."""
+    import jax.numpy as jnp
+
+    if any(f.family != "lda" for f in funcs):
+        raise NotImplementedError("xc_screening: only LDA-family potentials")
+    r, na, *_ = radial_density(basis, Prad_a)
+    _, nb, *_ = radial_density(basis, Prad_b)
+    z = jnp.zeros_like(jnp.asarray(na))
+    _, vra, vrb, *_ = xc_eval(funcs, jnp.asarray(na), jnp.asarray(nb), z, z, z)
+    return r * np.asarray(vra), r * np.asarray(vrb)
+
+
+def potential_table(
+    basis: SadAtomBasis,
+    Pla: np.ndarray,
+    Plb: np.ndarray,
+    funcs,
+    mode: str = "average",
+    dftthr: float = 1e-12,
+):
+    """9-column SAP potential table (r, rho, drho/dr, lapl rho, tau,
+    r*V_H, r*v_xc, w, Z - Zeff), sorted by r. The spin-resolved xc column
+    follows the reference's potential variants
+    (src/sadatom/solver.cpp:1414-1571):
+
+      average   restricted v_xc of the total density (AveragePotential)
+      mean      mean of the spin-resolved potentials (UnrestrictedPotential)
+      weighted  density-weighted spin average (WeightedPotential)
+      highspin  restricted v_xc of 2*rho_alpha (HighSpinPotential)
+      lowspin   restricted v_xc of 2*rho_beta (LowSpinPotential)
+    """
+    Pa, Pb = Pla.sum(axis=0), Plb.sum(axis=0)
+    P = Pa + Pb
+    r, na, dna, lna, wt = radial_density(basis, Pa)
+    _, nb, dnb, lnb, _ = radial_density(basis, Pb)
+    tau = kinetic_energy_density(basis, Pla) + kinetic_energy_density(basis, Plb)
+    vcoul = coulomb_screening(basis, P)
+    if mode == "average":
+        vxc = xc_screening(basis, P, funcs)
+    elif mode == "mean":
+        va, vb = xc_screening_polarized(basis, Pa, Pb, funcs)
+        vxc = 0.5 * (va + vb)
+    elif mode == "weighted":
+        va, vb = xc_screening_polarized(basis, Pa, Pb, funcs)
+        n = na + nb
+        vxc = np.where(n > dftthr, (va * na + vb * nb) / np.maximum(n, dftthr), 0.0)
+    elif mode == "highspin":
+        vxc = xc_screening(basis, 2.0 * Pa, funcs)
+    elif mode == "lowspin":
+        vxc = xc_screening(basis, 2.0 * Pb, funcs)
+    else:
+        raise ValueError(f"unknown potential mode {mode}")
+    zeff = basis.Z - (vcoul + vxc)
+    out = np.column_stack([r, na + nb, dna + dnb, lna + lnb, tau, vcoul, vxc, wt, zeff])
+    return out[np.argsort(r)]
+
+
 def vdw_radius(basis: SadAtomBasis, Prad: np.ndarray, threshold: float = 0.001) -> float:
     """Radius where the electron density drops to `threshold` (the van der
     Waals radius criterion; reference: sadatom TwoDBasis::vdw_radius,

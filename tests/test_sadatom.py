@@ -92,3 +92,52 @@ def test_sad_tpss_matches_atomic():
     r = solve_sadatom(b, method="TPSS", convthr=1e-7, search=False)
     assert r.converged
     assert abs(r.E + 2.9096644496) < 1e-8
+
+
+def test_potential_variants_closed_shell_agree():
+    """For a closed shell (Ne, M=1) rho_a == rho_b, so all five potential
+    variants coincide; tau column integrates to the kinetic energy."""
+    import numpy as np
+
+    from helfem_tpu.models.sadatom import potential_table, solve_sadatom_unrestricted
+    from helfem_tpu.ops.xc import parse_method
+
+    b = SadAtomBasis(Z=10, lmax=1, nelem=8, nnodes=10)
+    r = solve_sadatom_unrestricted(b, 5, 5, method="SVWN", convthr=1e-7)
+    assert r.converged
+    funcs, _ = parse_method("SVWN")
+    tabs = {
+        m: potential_table(b, r.Pl, r.Plb, funcs, mode=m)
+        for m in ("average", "mean", "weighted", "highspin", "lowspin")
+    }
+    ref = tabs["average"][:, 6]
+    for m in ("mean", "weighted", "highspin", "lowspin"):
+        assert np.abs(tabs[m][:, 6] - ref).max() < 1e-10, m
+    t = tabs["average"]
+    # integral checks: density -> Nel, tau -> Ekin, 0.5 rho vcoul -> Ecoul
+    assert abs(np.sum(t[:, 7] * t[:, 1]) - 10.0) < 1e-8
+    assert abs(np.sum(t[:, 7] * t[:, 4]) - r.Ekin) < 1e-7
+    # vcoul column comes from segment quadrature -> ~1e-6 agreement
+    assert abs(np.sum(0.5 * t[:, 7] * t[:, 1] * t[:, 5] / t[:, 0]) - r.Ecoul) < 1e-5
+
+
+def test_potential_variants_open_shell_order():
+    """Open shell (N): high-spin sees the alpha density doubled so its
+    screening differs from low-spin; weighted lies between them at large
+    rho_a - rho_b contrast."""
+    import numpy as np
+
+    from helfem_tpu.models.sadatom import potential_table, solve_sadatom_unrestricted
+    from helfem_tpu.ops.xc import parse_method
+
+    b = SadAtomBasis(Z=7, lmax=1, nelem=8, nnodes=12)
+    r = solve_sadatom_unrestricted(b, 5, 2, method="SVWN", convthr=1e-7)
+    assert r.converged
+    funcs, _ = parse_method("SVWN")
+    hi = potential_table(b, r.Pl, r.Plb, funcs, mode="highspin")
+    lo = potential_table(b, r.Pl, r.Plb, funcs, mode="lowspin")
+    wt = potential_table(b, r.Pl, r.Plb, funcs, mode="weighted")
+    assert np.abs(hi[:, 6] - lo[:, 6]).max() > 1e-3
+    # all give the same density/coulomb columns
+    assert np.abs(hi[:, 1] - lo[:, 1]).max() < 1e-12
+    assert np.abs(hi[:, 5] - wt[:, 5]).max() < 1e-12
