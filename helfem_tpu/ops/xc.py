@@ -35,8 +35,10 @@ def _clip_zeta(zeta):
 
 class Functional(NamedTuple):
     name: str
-    family: str  # 'lda' or 'gga'
-    f: Callable  # (ra, rb, saa, sab, sbb) -> energy per volume
+    family: str  # 'lda', 'gga' or 'mgga'
+    f: Callable  # (ra, rb, saa, sab, sbb[, ta, tb], **params) -> energy per volume
+    params: tuple = ()  # sorted ((key, value), ...) overrides, hashable
+    # (reference: libxc ext_params via --x_pars/--c_pars, src/atomic/main.cpp:107-108)
 
 
 # ----------------------------------------------------------------------------
@@ -118,9 +120,8 @@ def _ec_pw92(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
 # ----------------------------------------------------------------------------
 
 
-def _ex_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
-    kappa = 0.804
-    mu = 0.2195149727645171
+def _ex_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0, *,
+            kappa=0.804, mu=0.2195149727645171):
 
     def exs(r2, s2x4):
         # E_x[rho] for the closed-shell density 2*rho_s with sigma 4*sigma_ss
@@ -138,8 +139,8 @@ def _ex_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
 # ----------------------------------------------------------------------------
 
 
-def _ec_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
-    beta = 0.06672455060314922
+def _ec_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0, *,
+            beta=0.06672455060314922):
     gamma = (1.0 - jnp.log(2.0)) / jnp.pi**2
     rho = ra + rb
     zeta = _clip_zeta((ra - rb) / rho)
@@ -162,9 +163,8 @@ def _ec_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
 # ----------------------------------------------------------------------------
 
 
-def _ex_b88(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
+def _ex_b88(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0, *, beta=0.0042):
     """Becke 1988 gradient-corrected exchange."""
-    beta = 0.0042
 
     def exs(r, s):
         r43 = r ** (4.0 / 3.0)
@@ -293,16 +293,20 @@ _CATALOG = {
     "mgga_c_tpss": Functional("mgga_c_tpss", "mgga", _ec_tpss),
 }
 
-# alias -> (kfrac, [(weight, functional-name), ...])
+# alias -> (kfrac, [(weight, functional-name, params-dict), ...])
 _ALIASES = {
-    "lda": (0.0, [(1.0, "lda_x"), (1.0, "lda_c_pw")]),
-    "svwn": (0.0, [(1.0, "lda_x"), (1.0, "lda_c_vwn")]),
-    "svwn5": (0.0, [(1.0, "lda_x"), (1.0, "lda_c_vwn")]),
-    "pbe": (0.0, [(1.0, "gga_x_pbe"), (1.0, "gga_c_pbe")]),
-    "blyp": (0.0, [(1.0, "gga_x_b88"), (1.0, "gga_c_lyp")]),
-    "tpss": (0.0, [(1.0, "mgga_x_tpss"), (1.0, "mgga_c_tpss")]),
-    "pbe0": (0.25, [(0.75, "gga_x_pbe"), (1.0, "gga_c_pbe")]),
-    "pbeh": (0.25, [(0.75, "gga_x_pbe"), (1.0, "gga_c_pbe")]),
+    "lda": (0.0, [(1.0, "lda_x", {}), (1.0, "lda_c_pw", {})]),
+    "svwn": (0.0, [(1.0, "lda_x", {}), (1.0, "lda_c_vwn", {})]),
+    "svwn5": (0.0, [(1.0, "lda_x", {}), (1.0, "lda_c_vwn", {})]),
+    "pbe": (0.0, [(1.0, "gga_x_pbe", {}), (1.0, "gga_c_pbe", {})]),
+    "blyp": (0.0, [(1.0, "gga_x_b88", {}), (1.0, "gga_c_lyp", {})]),
+    "tpss": (0.0, [(1.0, "mgga_x_tpss", {}), (1.0, "mgga_c_tpss", {})]),
+    "pbe0": (0.25, [(0.75, "gga_x_pbe", {}), (1.0, "gga_c_pbe", {})]),
+    "pbeh": (0.25, [(0.75, "gga_x_pbe", {}), (1.0, "gga_c_pbe", {})]),
+    # parameter-override variants (Zhang-Yang revPBE; Perdew et al. PBEsol)
+    "revpbe": (0.0, [(1.0, "gga_x_pbe", {"kappa": 1.245}), (1.0, "gga_c_pbe", {})]),
+    "pbesol": (0.0, [(1.0, "gga_x_pbe", {"mu": 10.0 / 81.0}),
+                     (1.0, "gga_c_pbe", {"beta": 0.046})]),
 }
 
 
@@ -313,17 +317,58 @@ def get_functional(name: str) -> Functional:
     return _CATALOG[key]
 
 
+def with_params(f: Functional, **overrides) -> Functional:
+    """Functional with named parameter overrides (the TPU-native equivalent
+    of the reference's libxc ext_params files, src/atomic/main.cpp:107-108).
+    Keys are validated against the functional's keyword parameters."""
+    if not overrides:
+        return f
+    import inspect
+
+    valid = {
+        k for k, p in inspect.signature(f.f).parameters.items()
+        if p.kind == inspect.Parameter.KEYWORD_ONLY
+    }
+    bad = set(overrides) - valid
+    if bad:
+        raise ValueError(f"{f.name} has no parameters {sorted(bad)}; valid: {sorted(valid)}")
+    params = dict(f.params)
+    params.update(overrides)
+    tag = ",".join(f"{k}={v:g}" for k, v in sorted(params.items()))
+    return Functional(f"{f.name}[{tag}]", f.family, f.f, tuple(sorted(params.items())))
+
+
 def scale_functional(w: float, f: Functional) -> Functional:
     if w == 1.0:
         return f
-    return Functional(f"{w}*{f.name}", f.family, lambda *a, _f=f.f, _w=w: _w * _f(*a))
+    return Functional(
+        f"{w}*{f.name}", f.family,
+        lambda *a, _f=f.f, _w=w, **kw: _w * _f(*a, **kw),
+        f.params,
+    )
+
+
+def _parse_part(part: str) -> Functional:
+    """'name' or 'name[k=v,k=v]' -> Functional with overrides."""
+    if "[" in part:
+        if not part.endswith("]"):
+            raise ValueError(f"malformed functional spec '{part}'")
+        name, argstr = part[:-1].split("[", 1)
+        kv = {}
+        for item in argstr.split(","):
+            k, v = item.split("=")
+            kv[k.strip()] = float(v)
+        return with_params(get_functional(name), **kv)
+    return get_functional(part)
 
 
 @lru_cache(maxsize=None)
 def parse_method(method: str):
     """Parse a method string as the reference does (src/general/dftfuncs.cpp
     parse_xc_func): 'HF', a composite alias ('PBE', 'LDA', 'SVWN', 'PBE0',
-    'BLYP'), or an 'x_func,c_func' pair of functional names.
+    'BLYP', 'revPBE', 'PBEsol'), or an 'x_func,c_func' pair of functional
+    names, each optionally with bracketed parameter overrides, e.g.
+    'gga_x_pbe[kappa=1.245],gga_c_pbe'.
 
     Returns (funcs: list[Functional], kfrac: float)."""
     m = method.strip().lower()
@@ -331,9 +376,24 @@ def parse_method(method: str):
         return [], 1.0
     if m in _ALIASES:
         kfrac, parts = _ALIASES[m]
-        return [scale_functional(w, _CATALOG[k]) for w, k in parts], kfrac
-    parts = [p for p in m.split(",") if p and p != "none"]
-    return [get_functional(p) for p in parts], 0.0
+        return [
+            scale_functional(w, with_params(_CATALOG[k], **pv)) for w, k, pv in parts
+        ], kfrac
+    # bracket-aware comma split: 'a[k=1,m=2],b' -> ['a[k=1,m=2]', 'b']
+    parts, depth, cur = [], 0, ""
+    for ch in m:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    parts.append(cur)
+    parts = [p for p in parts if p and p != "none"]
+    return [_parse_part(p) for p in parts], 0.0
 
 
 def xc_eval(funcs, ra, rb, saa, sab, sbb, thr: float = 1e-12, ta=None, tb=None):
@@ -357,7 +417,9 @@ def xc_eval(funcs, ra, rb, saa, sab, sbb, thr: float = 1e-12, ta=None, tb=None):
         args += [jnp.maximum(ta, _TINY), jnp.maximum(tb, _TINY)]
 
     def ftot(*a):
-        return sum(f.f(*a) for f in funcs) if funcs else jnp.zeros_like(a[0])
+        if not funcs:
+            return jnp.zeros_like(a[0])
+        return sum(f.f(*a, **dict(f.params)) for f in funcs)
 
     e, vjp = jax.vjp(ftot, *args)
     grads = vjp(jnp.ones_like(e))

@@ -190,3 +190,55 @@ def test_grid_kinetic_check():
     T = np.asarray(eval_kinetic_grid(g, b.nrad))
     Tref = b.kinetic()
     assert (np.abs(T - Tref) / (1 + np.abs(Tref))).max() < 1e-9
+
+
+def test_parameter_overrides_exact_limits():
+    """gga_x_pbe[mu=0] is exactly LDA exchange (Fx=1); gga_c_pbe[beta=0] is
+    exactly PW92 (H=0). Validates the override plumbing end to end."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from helfem_tpu.ops.xc import parse_method, with_params, xc_eval
+
+    ra = jnp.asarray(np.abs(np.random.default_rng(1).standard_normal(50)) + 0.01)
+    rb = 0.7 * ra
+    s = jnp.asarray(np.abs(np.random.default_rng(2).standard_normal(50)))
+
+    fx0, _ = parse_method("gga_x_pbe[mu=0]")
+    flda, _ = parse_method("lda_x")
+    e1 = xc_eval(fx0, ra, rb, s, 0.3 * s, s)[0]
+    e2 = xc_eval(flda, ra, rb, s, 0.3 * s, s)[0]
+    assert np.abs(np.asarray(e1 - e2)).max() < 1e-13
+
+    fc0, _ = parse_method("gga_c_pbe[beta=0]")
+    fpw, _ = parse_method("lda_c_pw")
+    e3 = xc_eval(fc0, ra, rb, s, 0.3 * s, s)[0]
+    e4 = xc_eval(fpw, ra, rb, s, 0.3 * s, s)[0]
+    assert np.abs(np.asarray(e3 - e4)).max() < 1e-12
+
+    # bracket-aware split with two params + second functional
+    funcs, kfrac = parse_method("gga_x_pbe[kappa=1.245,mu=0.3],gga_c_pbe")
+    assert len(funcs) == 2 and kfrac == 0.0
+    assert dict(funcs[0].params) == {"kappa": 1.245, "mu": 0.3}
+
+    # aliases
+    frev, _ = parse_method("revPBE")
+    assert dict(frev[0].params)["kappa"] == 1.245
+    fsol, _ = parse_method("PBEsol")
+    assert abs(dict(fsol[0].params)["mu"] - 10.0 / 81.0) < 1e-15
+
+    # invalid key rejected
+    with pytest.raises(ValueError):
+        with_params(flda[0], kappa=1.0)
+
+
+def test_revpbe_he_energy_direction():
+    """revPBE (kappa=1.245) gives stronger exchange than PBE -> lower E."""
+    from helfem_tpu.models.atomic import AtomicBasis
+    from helfem_tpu.scf.atomic_scf import scf_atom
+
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=30.0, nelem=8, nnodes=10)
+    e_pbe = scf_atom(b, 1, 1, method="PBE", convthr=1e-7).E
+    e_rev = scf_atom(b, 1, 1, method="revPBE", convthr=1e-7).E
+    assert e_rev < e_pbe - 1e-3
