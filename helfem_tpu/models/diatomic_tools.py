@@ -128,3 +128,102 @@ def density_grid(basis: DiatomicBasis, P: np.ndarray, nz: int = 100, nrho: int =
     Z, R = np.meshgrid(z, rho, indexing="ij")
     n = eval_density_points(basis, P, Z.ravel(), R.ravel()).reshape(nz, nrho)
     return z, rho, n
+
+
+# ----------------------------------------------------------------------------
+# Core-basis determination (reference: src/diatomic/corebasis.cpp)
+# ----------------------------------------------------------------------------
+
+# Z at which each new (n,l) shell opens in the Madelung filling order,
+# mapped to l (standard periodic-table chemistry).
+_SHELL_OPEN = [
+    (1, 0), (3, 0), (5, 1), (11, 0), (13, 1), (19, 0), (21, 2), (31, 1),
+    (37, 0), (39, 2), (49, 1), (55, 0), (57, 3), (71, 2), (81, 1), (87, 0),
+    (89, 3), (103, 2), (113, 1),
+]
+
+
+def num_orbs(Z1: int, Z2: int) -> list[int]:
+    """Number of occupied orbitals per m-type (sigma, pi, delta, phi) for the
+    separated-atom limit (reference: num_orbs, src/general/elements.cpp:48-79):
+    each open (n,l) shell of either atom contributes one orbital to every
+    m-type <= l."""
+    counts = [0, 0, 0, 0]
+    for Z in (Z1, Z2):
+        for z0, l in _SHELL_OPEN:
+            if Z >= z0:
+                for m in range(l + 1):
+                    counts[m] += 1
+    while counts and counts[-1] == 0:
+        counts.pop()
+    return counts
+
+
+def core_channel_energies(basis: DiatomicBasis, norb_per_m: dict) -> dict:
+    """Sum of the lowest norb one-electron (core Hamiltonian) eigenvalues per
+    |m| channel, from a generalized symmetric eigensolve on the masked
+    channel subspace."""
+    import scipy.linalg
+
+    H0 = basis.kinetic() + basis.nuclear()
+    S = basis.overlap()
+    mask = basis.shell_mask().reshape(-1) > 0
+    mrow = np.repeat(basis.mval, basis.nrad)
+    out = {}
+    for m, norb in norb_per_m.items():
+        idx = np.nonzero(mask & (mrow == m))[0]
+        w = scipy.linalg.eigh(
+            H0[np.ix_(idx, idx)], S[np.ix_(idx, idx)], eigvals_only=True
+        )
+        out[m] = float(np.sum(w[:norb]))
+    return out
+
+
+def core_basis_scan(
+    Z1: int,
+    Z2: int,
+    Rbond: float,
+    thresh: int = 8,
+    nadd: int = 2,
+    rmax: float = 40.0,
+    nelem: int = 1,
+    nnodes: int = 15,
+    igrid: int = 4,
+    zexp: float = 1.0,
+    verbose: bool = False,
+):
+    """Determine the per-m lmax needed to converge the occupied core orbitals
+    to a series of thresholds 1e-1 .. 1e-thresh (reference: corebasis.cpp
+    main loop). Returns list of (threshold, lmax-per-m tuple)."""
+    norbs = num_orbs(Z1, Z2)
+    nm = len(norbs)
+    lmax = [m for m in range(nm)]  # minimal start: one function per channel
+    results = []
+
+    def energies(lm):
+        b = DiatomicBasis(
+            Z1=Z1, Z2=Z2, Rbond=Rbond, lmax=tuple(lm), rmax=rmax,
+            nelem=nelem, nnodes=nnodes, igrid=igrid, zexp=zexp,
+        )
+        return core_channel_energies(b, {m: norbs[m] for m in range(nm)})
+
+    E = energies(lmax)
+    for ithr in range(1, thresh + 1):
+        thr = 10.0 ** (-ithr)
+        for m in range(nm - 1, -1, -1):
+            while lmax[m] < 60:
+                trial = list(lmax)
+                trial[m] += nadd
+                # channels are nested: lmax must not increase with m-type
+                for mm in range(m):
+                    trial[mm] = max(trial[mm], trial[m])
+                Et = energies(trial)
+                dE = E[m] - Et[m]
+                if verbose:
+                    print(f"thr=1e-{ithr} m={m}: lmax {lmax[m]} -> {trial[m]}, dE = {dE:.3e}")
+                if abs(dE) < thr:
+                    break
+                lmax = trial
+                E = Et
+        results.append((thr, tuple(lmax)))
+    return results

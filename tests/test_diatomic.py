@@ -101,3 +101,26 @@ def test_he_tpss_cross_code():
     r = scf_diatomic(b, 1, 1, method="TPSS", convthr=1e-7, maxit=40, guess="SAP")
     assert r.converged
     assert abs(r.E + 2.9096644) < 2e-6
+
+
+def test_core_basis_scan_h2plus():
+    """corebasis equivalent: per-m lmax scan on the one-electron problem.
+    The converged sigma eigenvalue must hit the exact H2+ value at R=2."""
+    from helfem_tpu.models.diatomic_tools import (
+        core_basis_scan,
+        core_channel_energies,
+        num_orbs,
+    )
+
+    assert num_orbs(1, 1) == [2]
+    assert num_orbs(7, 7) == [6, 2]  # N2: 1s,2s,2p0 x2 sigma; 2p+-1 x2 pi
+    res = core_basis_scan(1, 1, 2.0, thresh=6, nnodes=12, rmax=20.0)
+    thrs = [t for t, _ in res]
+    lms = [lm[0] for _, lm in res]
+    assert thrs[0] == 1e-1 and thrs[-1] == 1e-6
+    assert all(b >= a for a, b in zip(lms, lms[1:]))  # monotone growth
+    # converged ground sigma at the final lmax: exact H2+ 1s sigma_g
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=2.0, lmax=(max(lms[-1], 10),),
+                      rmax=20.0, nelem=3, nnodes=14)
+    E = core_channel_energies(b, {0: 1})
+    assert abs(E[0] + 1.1026342144949) < 1e-8
