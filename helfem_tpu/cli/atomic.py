@@ -45,7 +45,8 @@ def main(argv=None):
     p.add_argument("--Qzz", type=float, default=0.0)
     p.add_argument("--Bz", type=float, default=0.0)
     p.add_argument("--iguess", type=int, default=2, help="0 core, 1 GSZ, 2 SAP, 3 TF")
-    p.add_argument("--finitenuc", type=int, default=0, help="0 point, 2 gaussian, 3 spherical, 4 hollow")
+    p.add_argument("--finitenuc", type=int, default=0,
+                   help="0 point, 2 gaussian, 3 spherical, 4 hollow, 5 regularized (Gygi; Rrms = a)")
     p.add_argument("--Rrms", type=float, default=0.0)
     p.add_argument("--iconf", type=int, default=0)
     p.add_argument("--conf_N", type=int, default=0)
@@ -70,7 +71,8 @@ def main(argv=None):
     Zr = get_Z(args.Zr) if args.Zr else 0
     nela, nelb = parse_nela_nelb(Z + Zl + Zr, args.Q, args.M, args.nela, args.nelb)
     guess = {0: "core", 1: "GSZ", 2: "SAP", 3: "TF"}[args.iguess]
-    nucmodel = {0: "point", 1: "point", 2: "gaussian", 3: "spherical", 4: "hollow"}[args.finitenuc]
+    nucmodel = {0: "point", 1: "point", 2: "gaussian", 3: "spherical",
+                4: "hollow", 5: "regularized"}[args.finitenuc]
 
     basis = AtomicBasis(
         Z=Z, lmax=args.lmax, mmax=args.mmax, rmax=args.Rmax, nelem=args.nelem,

@@ -248,6 +248,11 @@ class AtomicBasis:
             Vr = np.where(r >= R0, -Z / r, -Z * (3.0 - (r / R0) ** 2) / (2.0 * R0))
         elif model == "hollow":
             Vr = np.where(r >= Rrms, -Z / r, -Z / Rrms)
+        elif model == "regularized":
+            # Gygi regularized nucleus; here Rrms is the width parameter a
+            from helfem_tpu.ops.gygi import gygi_V
+
+            Vr = gygi_V(Z, Rrms, r)
         else:
             raise ValueError(model)
         return np.kron(np.eye(self.nang), self.rb.model_potential(Vr))
