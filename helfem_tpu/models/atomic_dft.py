@@ -48,6 +48,9 @@ class DFTGridOps(NamedTuple):
     dTT2: jnp.ndarray  # [nang, nang, nt] Theta'_a Theta'_b (for tau)
     TTm2: jnp.ndarray  # [nang, nang, nt] m_a m_b Theta Theta / sin^2 (for tau)
     gidx: jnp.ndarray  # [nelem, nprim]
+    d2bg: jnp.ndarray  # [nelem, nq, nprim] radial d2b/dr2 (for lapl)
+    LTT: jnp.ndarray  # [nang, nang, nt] angular laplacian of Theta_a Theta_b:
+    #   2 Theta'_a Theta'_b + (2 m^2/sin^2 - l_a(l_a+1) - l_b(l_b+1)) TT
 
 
 def build_dft_grid(basis: AtomicBasis, ntheta: int = 0) -> DFTGridOps:
@@ -74,6 +77,8 @@ def build_dft_grid(basis: AtomicBasis, ntheta: int = 0) -> DFTGridOps:
     dTT2 = same_m[:, :, None] * dTh[:, None, :] * dTh[None, :, :]
     mm = (basis.mval[:, None] * basis.mval[None, :]).astype(np.float64)
     TTm2 = same_m[:, :, None] * mm[:, :, None] * Th[:, None, :] * Th[None, :, :] / sin2[None, None, :]
+    ll = basis.lval * (basis.lval + 1.0)
+    LTT = 2.0 * dTT2 + 2.0 * TTm2 - (ll[:, None] + ll[None, :])[:, :, None] * TT
     rb = basis.rb
     return DFTGridOps(
         bg=jnp.asarray(rb.b),
@@ -86,11 +91,13 @@ def build_dft_grid(basis: AtomicBasis, ntheta: int = 0) -> DFTGridOps:
         dTT2=jnp.asarray(dTT2),
         TTm2=jnp.asarray(TTm2),
         gidx=jnp.asarray(rb.fem.gidx),
+        d2bg=jnp.asarray(rb.d2b),
+        LTT=jnp.asarray(LTT),
     )
 
 
-def _density_fields(g: DFTGridOps, P4p: jnp.ndarray, need_tau: bool):
-    """rho, drho/dr, (1/r) drho/dtheta [, tau] on the [e, q, t] grid."""
+def _density_fields(g: DFTGridOps, P4p: jnp.ndarray, need_tau: bool, need_lapl: bool = False):
+    """rho, drho/dr, (1/r) drho/dtheta [, tau][, lapl] on the [e, q, t] grid."""
     gi = g.gidx
     Pg = P4p[:, :, gi[:, :, None], gi[:, None, :]]  # [a,b,e,i,j]
     D1 = jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.bg, g.bg)
@@ -98,14 +105,23 @@ def _density_fields(g: DFTGridOps, P4p: jnp.ndarray, need_tau: bool):
     rho = jnp.einsum("abeq,abt->eqt", D1, g.TT)
     drho_r = jnp.einsum("abeq,abt->eqt", Ddr, g.TT)
     drho_t = jnp.einsum("abeq,abt->eqt", D1, g.dTT) / g.r[:, :, None]
-    tau = None
-    if need_tau:
+    tau = lapl = None
+    if need_tau or need_lapl:
         Ddd = jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.dbg, g.dbg)
+    if need_tau:
         tau = 0.5 * (
             jnp.einsum("abeq,abt->eqt", Ddd, g.TT)
             + jnp.einsum("abeq,abt->eqt", D1, g.dTT2 + g.TTm2) / g.r[:, :, None] ** 2
         )
-    return rho, drho_r, drho_t, tau
+    if need_lapl:
+        # lapl = rho_rr + (2/r) rho_r + (1/r^2) * angular laplacian
+        D2r = 2.0 * jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.d2bg, g.bg) + 2.0 * Ddd
+        lapl = (
+            jnp.einsum("abeq,abt->eqt", D2r, g.TT)
+            + 2.0 * drho_r / g.r[:, :, None]
+            + jnp.einsum("abeq,abt->eqt", D1, g.LTT) / g.r[:, :, None] ** 2
+        )
+    return rho, drho_r, drho_t, tau, lapl
 
 
 def _scatter_f(g: DFTGridOps, Fel: jnp.ndarray, nang: int, nrad: int):
@@ -121,24 +137,27 @@ def eval_fxc(funcs, g: DFTGridOps, Pa, Pb, nrad: int, thr: float = 1e-12):
     nang = g.TT.shape[0]
     P4a = _pad_rad(_to4(Pa, nang, nrad))
     P4b = _pad_rad(_to4(Pb, nang, nrad))
-    mgga = any(f.family == "mgga" for f in funcs)
+    lapl = any(f.family == "mggal" for f in funcs)
+    mgga = lapl or any(f.family == "mgga" for f in funcs)
     gga = mgga or any(f.family != "lda" for f in funcs)
-    ra, ra_r, ra_t, ta = _density_fields(g, P4a, mgga)
-    rb, rb_r, rb_t, tb = _density_fields(g, P4b, mgga)
+    ra, ra_r, ra_t, ta, la = _density_fields(g, P4a, mgga, lapl)
+    rb, rb_r, rb_t, tb, lb = _density_fields(g, P4b, mgga, lapl)
     saa = ra_r * ra_r + ra_t * ra_t
     sab = ra_r * rb_r + ra_t * rb_t
     sbb = rb_r * rb_r + rb_t * rb_t
-    out = xc_eval(funcs, ra, rb, saa, sab, sbb, thr, ta=ta, tb=tb)
-    if mgga:
+    out = xc_eval(funcs, ra, rb, saa, sab, sbb, thr, ta=ta, tb=tb, la=la, lb=lb)
+    vta = vtb = vla = vlb = None
+    if lapl:
+        e, vra, vrb, vsaa, vsab, vsbb, vta, vtb, vla, vlb = out
+    elif mgga:
         e, vra, vrb, vsaa, vsab, vsbb, vta, vtb = out
     else:
         e, vra, vrb, vsaa, vsab, vsbb = out
-        vta = vtb = None
     w = g.w2[:, :, None] * g.wth[None, None, :]
     Exc = jnp.sum(w * e)
     Nel = jnp.sum(w * (ra + rb))
 
-    def fock_spin(vr, gr, gt, vt):
+    def fock_spin(vr, gr, gt, vt, vl):
         # LDA part: w vr chi_A chi_B
         A1 = jnp.einsum("eqt,abt->abeq", w * vr, g.TT)
         Fel = jnp.einsum("abeq,eqi,eqj->abeij", A1, g.bg, g.bg)
@@ -158,6 +177,19 @@ def eval_fxc(funcs, g: DFTGridOps, Pa, Pb, nrad: int, thr: float = 1e-12):
                 "eqt,abt->abeq", 0.5 * w * vt / g.r[:, :, None] ** 2, g.dTT2 + g.TTm2
             )
             Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", T2, g.bg, g.bg)
+        if vl is not None:
+            # vlapl grad^2(chi_A chi_B): radial second-derivative products
+            # (symmetrized), the 2/r first-derivative term, and the angular
+            # laplacian table
+            L1 = jnp.einsum("eqt,abt->abeq", w * vl, g.TT)
+            r2 = jnp.einsum("abeq,eqi,eqj->abeij", L1, g.d2bg, g.bg)
+            Fel = Fel + r2 + jnp.swapaxes(jnp.swapaxes(r2, 0, 1), 3, 4)
+            Fel = Fel + 2.0 * jnp.einsum("abeq,eqi,eqj->abeij", L1, g.dbg, g.dbg)
+            L2 = jnp.einsum("eqt,abt->abeq", 2.0 * w * vl / g.r[:, :, None], g.TT)
+            r1 = jnp.einsum("abeq,eqi,eqj->abeij", L2, g.dbg, g.bg)
+            Fel = Fel + r1 + jnp.swapaxes(jnp.swapaxes(r1, 0, 1), 3, 4)
+            L3 = jnp.einsum("eqt,abt->abeq", w * vl / g.r[:, :, None] ** 2, g.LTT)
+            Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", L3, g.bg, g.bg)
         return Fel
 
     gra = 2.0 * vsaa * ra_r + vsab * rb_r
@@ -165,8 +197,8 @@ def eval_fxc(funcs, g: DFTGridOps, Pa, Pb, nrad: int, thr: float = 1e-12):
     grb = 2.0 * vsbb * rb_r + vsab * ra_r
     gtb = 2.0 * vsbb * rb_t + vsab * ra_t
 
-    Fa = _from4(_scatter_f(g, fock_spin(vra, gra, gta, vta), nang, nrad), nang, nrad)
-    Fb = _from4(_scatter_f(g, fock_spin(vrb, grb, gtb, vtb), nang, nrad), nang, nrad)
+    Fa = _from4(_scatter_f(g, fock_spin(vra, gra, gta, vta, vla), nang, nrad), nang, nrad)
+    Fb = _from4(_scatter_f(g, fock_spin(vrb, grb, gtb, vtb, vlb), nang, nrad), nang, nrad)
     return Fa, Fb, Exc, Nel
 
 

@@ -278,6 +278,68 @@ def _ec_tpss(ra, rb, saa, sab, sbb, ta, tb):
 
 
 # ----------------------------------------------------------------------------
+# BR89 exchange (laplacian-level meta-GGA)
+# ----------------------------------------------------------------------------
+
+
+def _br89_solve_x(y):
+    """Invert y = x exp(-2x/3)/(x-2).
+
+    g is monotone and bijective on each branch: (0,2) -> (-inf, 0) and
+    (2, inf) -> (0, inf). Bisection (gradient-stopped) + Newton polish in
+    log form, so the derivative flows through the converged Newton step
+    (the implicit-function derivative)."""
+    neg = y < 0.0
+    ys = jnp.where(jnp.abs(y) > 1e-300, y, jnp.where(neg, -1e-300, 1e-300))
+
+    def g(x):
+        return x * jnp.exp(-2.0 * x / 3.0) / (x - 2.0)
+
+    lo = jnp.where(neg, 1e-10, 2.0 + 1e-10)
+    hi = jnp.where(neg, 2.0 - 1e-10, 600.0)
+
+    def body(carry, _):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        # g decreases on both branches: 0- -> -inf on (0,2), +inf -> 0+ on
+        # (2,inf), so g(mid) > y always means x must grow
+        too_small = g(mid) > ys
+        lo = jnp.where(too_small, mid, lo)
+        hi = jnp.where(too_small, hi, mid)
+        return (lo, hi), None
+
+    (lo, hi), _ = jax.lax.scan(body, (lo, hi), None, length=80)
+    x = jax.lax.stop_gradient(0.5 * (lo + hi))
+    # Newton on h(x) = ln|g(x)| - ln|y|: h' = 1/x - 2/3 - 1/(x-2)
+    for _ in range(3):
+        h = jnp.log(jnp.abs(g(x))) - jnp.log(jnp.abs(ys))
+        hp = 1.0 / x - 2.0 / 3.0 - 1.0 / (x - 2.0)
+        x = x - h / hp
+    return x
+
+
+def _ex_br89(ra, rb, saa, sab, sbb, ta, tb, la, lb, *, gamma=0.8):
+    """Becke-Roussel 1989 exchange (PRA 38, 3761): model the exchange hole
+    by a displaced exponential matched to the exact small-separation
+    expansion. Exact for one-electron (hydrogenic) densities. Inputs use
+    tau WITH the 1/2 convention; BR's tau = 2*tau_here."""
+
+    def exs(r, s, t, l):
+        D = 2.0 * t - 0.25 * s / (r + _TINY)
+        Q = (l - 2.0 * gamma * D) / 6.0
+        Qs = jnp.where(jnp.abs(Q) > _TINY, Q, _TINY)
+        y = (2.0 / 3.0) * jnp.pi ** (2.0 / 3.0) * r ** (5.0 / 3.0) / Qs
+        x = _br89_solve_x(y)
+        ex = jnp.exp(-x)
+        b3 = x**3 * ex / (8.0 * jnp.pi * r + _TINY)
+        b = jnp.cbrt(b3)
+        U = -(1.0 - ex - 0.5 * x * ex) / (b + _TINY)
+        return 0.5 * r * U
+
+    return exs(ra, saa, ta, la) + exs(rb, sbb, tb, lb)
+
+
+# ----------------------------------------------------------------------------
 # catalog + evaluation
 # ----------------------------------------------------------------------------
 
@@ -291,6 +353,7 @@ _CATALOG = {
     "gga_c_lyp": Functional("gga_c_lyp", "gga", _ec_lyp),
     "mgga_x_tpss": Functional("mgga_x_tpss", "mgga", _ex_tpss),
     "mgga_c_tpss": Functional("mgga_c_tpss", "mgga", _ec_tpss),
+    "mgga_x_br89": Functional("mgga_x_br89", "mggal", _ex_br89),
 }
 
 # alias -> (kfrac, [(weight, functional-name, params-dict), ...])
@@ -396,12 +459,18 @@ def parse_method(method: str):
     return [_parse_part(p) for p in parts], 0.0
 
 
-def xc_eval(funcs, ra, rb, saa, sab, sbb, thr: float = 1e-12, ta=None, tb=None):
+_NARGS = {"lda": 5, "gga": 5, "mgga": 7, "mggal": 9}
+
+
+def xc_eval(funcs, ra, rb, saa, sab, sbb, thr: float = 1e-12, ta=None, tb=None,
+            la=None, lb=None):
     """Energy density and potentials on grid arrays.
 
-    Returns (e, vra, vrb, vsaa, vsab, vsbb[, vta, vtb]) -- the tau potentials
-    only when ta/tb are given. Points where rho < thr give exactly zero.
-    """
+    Returns (e, vra, vrb, vsaa, vsab, vsbb[, vta, vtb][, vla, vlb]) -- the
+    tau potentials only when ta/tb are given, the density-laplacian
+    potentials only when la/lb are given (laplacian-level meta-GGAs,
+    family 'mggal'; reference: the do_lapl path of src/atomic/dftgrid.cpp).
+    Points where rho < thr give exactly zero."""
     mask = (ra + rb) > thr
     rs = jnp.where(mask, ra, 1.0)
     rbs = jnp.where(mask, rb, 1.0)
@@ -413,16 +482,24 @@ def xc_eval(funcs, ra, rb, saa, sab, sbb, thr: float = 1e-12, ta=None, tb=None):
         jnp.maximum(sbb, 0.0),
     ]
     with_tau = ta is not None
+    with_lapl = la is not None
     if with_tau:
         args += [jnp.maximum(ta, _TINY), jnp.maximum(tb, _TINY)]
+    if with_lapl:
+        if not with_tau:
+            args += [jnp.zeros_like(la), jnp.zeros_like(la)]
+        args += [la, lb]
 
     def ftot(*a):
         if not funcs:
             return jnp.zeros_like(a[0])
-        return sum(f.f(*a, **dict(f.params)) for f in funcs)
+        return sum(f.f(*a[: _NARGS[f.family]], **dict(f.params)) for f in funcs)
 
     e, vjp = jax.vjp(ftot, *args)
     grads = vjp(jnp.ones_like(e))
     z = jnp.zeros_like(e)
     out = [jnp.where(mask, x, z) for x in (e, *grads)]
+    if with_lapl and not with_tau:
+        # drop the dummy tau slots
+        out = out[:6] + out[8:]
     return tuple(out)
