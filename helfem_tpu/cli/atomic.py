@@ -74,10 +74,14 @@ def main(argv=None):
     nucmodel = {0: "point", 1: "point", 2: "gaussian", 3: "spherical",
                 4: "hollow", 5: "regularized"}[args.finitenuc]
 
+    from helfem_tpu.utils.timer import Timer
+
+    timer = Timer()
     basis = AtomicBasis(
         Z=Z, lmax=args.lmax, mmax=args.mmax, rmax=args.Rmax, nelem=args.nelem,
         nnodes=args.nnodes, nquad=args.nquad, igrid=args.grid, zexp=args.zexp,
     )
+    timer.lap("basis set formation")
     print(f"Running {args.method} on Z={Z} with {nela}+{nelb} electrons, "
           f"{basis.nbf} basis functions ({basis.nang} angular x {basis.nrad} radial)")
     from helfem_tpu.ops.xc import parse_method as _pm
@@ -109,6 +113,7 @@ def main(argv=None):
         shift_conf=args.shift_conf, finitenuc=nucmodel, Rrms=args.Rrms,
         Zl=Zl, Zr=Zr, Rmid=args.Rmid,
     )
+    timer.lap("SCF")
     print()
     for name, val in [
         ("Kinetic", res.Ekin), ("Nuclear attraction", res.Enuc),
