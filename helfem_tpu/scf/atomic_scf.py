@@ -89,8 +89,11 @@ def _diis_error(F, P, S, Sinvh):
 
 
 @lru_cache(maxsize=None)
-def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1e-12):
-    """Jitted Fock builder for a fixed method (funcs/kfrac compile-time)."""
+def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1e-12,
+              restricted: bool = False):
+    """Jitted Fock builder for a fixed method (funcs/kfrac compile-time).
+    With restricted=True, Pb is assumed identical to Pa and the exchange
+    build runs once (it dominates the Fock cost on TPU)."""
 
     @jax.jit
     def fock(ops: AtomicOperators, g, Vextra, Pa, Pb):
@@ -102,7 +105,7 @@ def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1
         Exx = 0.0
         if kfrac != 0.0:
             Ka = kfrac * exchange(ops, Pa)
-            Kb = kfrac * exchange(ops, Pb)
+            Kb = Ka if restricted else kfrac * exchange(ops, Pb)
             Fa = Fa + Ka
             Fb = Fb + Kb
             Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
@@ -130,7 +133,7 @@ def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
     C2-DIIS (device circular history) -> blocked eigensolve. Only two scalars
     (energy, DIIS error) need to reach the host per iteration, removing the
     per-iteration host DIIS/transfer overhead (the dominant cost on TPU)."""
-    fock = make_fock(funcs, kfrac, nrad, Bz, dftthr)
+    fock = make_fock(funcs, kfrac, nrad, Bz, dftthr, restricted=True)
 
     @jax.jit
     def step(ops, g, Vextra, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
@@ -291,6 +294,9 @@ def scf_atom(
     # 1 with nela != nelb runs ROHF via the CUHF Fock update
     rohf = restricted == 1 and nela != nelb
     restricted = (nela == nelb and Bz == 0.0) if restricted == -1 else (restricted == 1 and not rohf and Bz == 0.0)
+    if restricted:
+        # Pa == Pb throughout: build the exchange once per Fock
+        fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr, restricted=True)
     Sinvh_np = _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
     Sinvh_dev = jnp.asarray(Sinvh_np)
     diis = DIIS(np.asarray(ops.S), Sinvh_np)
