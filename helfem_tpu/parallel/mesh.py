@@ -30,9 +30,22 @@ from helfem_tpu.utils.linalg import eigh_refined
 __all__ = ["make_mesh", "pad_ops_for_mesh", "sharded_scf_step", "sharded_dia_fock"]
 
 
-def make_mesh(n_devices: int) -> Mesh:
-    devs = np.array(jax.devices()[:n_devices])
-    return Mesh(devs, ("ch",))
+def make_mesh(n_devices: int, backend: str | None = None) -> Mesh:
+    """1D 'ch' mesh over exactly n_devices devices.
+
+    Raises if the chosen backend exposes fewer than n_devices devices rather
+    than silently building a smaller mesh. Pass backend="cpu" with
+    XLA_FLAGS=--xla_force_host_platform_device_count=N to test sharding
+    without real chips (the conftest.py recipe)."""
+    devs = jax.devices(backend) if backend else jax.devices()
+    if len(devs) < n_devices:
+        raise RuntimeError(
+            f"make_mesh: need {n_devices} devices, backend "
+            f"{backend or jax.default_backend()!r} has {len(devs)}. "
+            "For a virtual mesh set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}."
+        )
+    return Mesh(np.array(devs[:n_devices]), ("ch",))
 
 
 def pad_ops_for_mesh(ops: AtomicOperators, n: int) -> AtomicOperators:

@@ -314,12 +314,11 @@ def scf_atom(
     fused = None
     hist = None
     it = 0
-    for it in range(1, maxit + 1):
+    while it < maxit:
+        it += 1
         if occ_fix is not None:
-            occa = occ_fix[0] * (2.0 if restricted else 1.0)
+            occa = occ_fix[0]
             occb = occ_fix[0] if restricted else occ_fix[1]
-            if restricted:
-                occa = occ_fix[0]
         else:
             occa = aufbau_blocks(Ea, nela)
             occb = occa if restricted else aufbau_blocks(Eb, nelb)
@@ -350,6 +349,7 @@ def scf_atom(
             Etots = np.asarray(Etots)
             errs = np.asarray(errs)
             Ekin, Enuc, Ecoul, Exx, Exc, Efield = comps
+            k = 0
             for k in range(len(Etots)):
                 Etot = float(Etots[k])
                 err = float(errs[k])
@@ -360,7 +360,13 @@ def scf_atom(
                 if err < convthr and abs(dE) < convthr:
                     converged = True
                     break
-            if converged or it + len(Etots) - 1 >= maxit:
+            # true iteration count: the chunk ran k+1 fused iterations (one
+            # was already counted by the outer loop). Post-convergence
+            # iterations inside the chunk are not counted; the returned
+            # orbitals are from the END of the chunk (a few extra converged
+            # iterations, which only tighten the result).
+            it += k
+            if converged or it >= maxit:
                 break
             continue
 

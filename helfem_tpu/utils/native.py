@@ -28,11 +28,14 @@ def get_lib():
     _TRIED = True
     d = _csrc_dir()
     so = os.path.join(d, "libhelfem_tei.so")
-    if not os.path.exists(so):
+    src = os.path.join(d, "tei_kernel.cpp")
+    stale = os.path.exists(so) and os.path.exists(src) and os.path.getmtime(so) < os.path.getmtime(src)
+    if not os.path.exists(so) or stale:
         try:
-            subprocess.run(["make", "-C", d], capture_output=True, timeout=120, check=True)
+            subprocess.run(["make", "-C", d, "-B"], capture_output=True, timeout=120, check=True)
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     try:
         lib = ctypes.CDLL(so)
         dp = ctypes.POINTER(ctypes.c_double)
