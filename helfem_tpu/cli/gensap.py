@@ -19,10 +19,16 @@ def main(argv=None):
     p.add_argument("--convthr", type=float, default=1e-7)
     p.add_argument("--method", default="lda_x", help="xc method for the SAP potential")
     p.add_argument("--nosearch", action="store_true", help="skip occupation search")
+    p.add_argument("--occs", default="auto",
+                   help="'auto' (search), 'hf' (Saito 2009 table), or per-l "
+                        "electron counts like '7,12,5,0'")
     p.add_argument("--output", default="", help="result_<El>.dat path (default auto)")
     p.add_argument("--unrestricted", action="store_true",
                    help="spin-polarized solve; writes resultU/M/W/S/s_<El>.dat variants")
     p.add_argument("--M", type=int, default=0, help="spin multiplicity 2S+1 (0 = auto)")
+    p.add_argument("--scan", action="store_true",
+                   help="with --unrestricted: full multiplicity scan (reference restricted=0)")
+    p.add_argument("--Q", type=int, default=0, help="total charge")
     args = p.parse_args(argv)
 
     import jax
@@ -47,11 +53,36 @@ def main(argv=None):
         Z=Z, lmax=args.lmax, rmax=args.Rmax, nelem=args.nelem,
         nnodes=args.nnodes, igrid=args.grid, zexp=args.zexp,
     )
+    occs = None
+    if args.occs == "hf":
+        # Saito 2009 table occupations (reference: main.cpp:561-576 occs=hf)
+        from helfem_tpu.models.sadconf import get_configuration
+
+        conf = get_configuration(Z)
+        if conf[args.lmax + 1 :].any():
+            raise SystemExit(f"--occs hf for Z={Z} needs lmax >= 3")
+        occs = conf[: args.lmax + 1]
+        print(f"Saito 2009 occupations for {SYMBOLS[Z]}: {list(occs)}")
+    elif args.occs != "auto":
+        occs = np.array([int(x) for x in args.occs.replace(",", " ").split()])
     res = solve_sadatom(
-        basis, method=args.method, maxit=args.maxit, convthr=args.convthr,
-        search=not args.nosearch, verbose=True,
+        basis, nel=Z - args.Q, method=args.method, maxit=args.maxit,
+        convthr=args.convthr, search=not args.nosearch, verbose=True,
+        occs=occs,
     )
     shells = "spdfgh"
+    if res.conf_list and len(res.conf_list) > 1:
+        # energy-ordered configuration list (reference: main.cpp:350-365)
+        print(f"\nMinimal energy configurations for {SYMBOLS[Z]}")
+        E0 = res.conf_list[0][1]
+        for i, (key, E, conv) in enumerate(res.conf_list):
+            occfmt = " ".join(f"{n:2d}" for n in key)
+            line = f" {occfmt}  {E:+.10f}"
+            if i > 0:
+                line += f" {(E - E0) * 27.211386245988:11.6f}"
+            if not conv:
+                line += "  convergence failure"
+            print(line)
     occstr = " ".join(f"{shells[l]}^{n}" for l, n in enumerate(res.occs) if n)
     print(f"\nConfiguration: {occstr}")
     print(f"Etot  = % 18.9f" % res.E)
@@ -76,26 +107,39 @@ def main(argv=None):
     if args.unrestricted:
         # spin-polarized solve + the five potential variants
         # (reference: src/sadatom/main.cpp:738-767)
+        from helfem_tpu.models.sadatom import search_sadatom_unrestricted
+
+        nel = Z - args.Q
         if args.M > 0:
-            mults = [args.M]
-        else:
-            # minimal-spin upward scan, same parity as the electron count
-            m0 = 1 if Z % 2 == 0 else 2
-            mults = [m for m in (m0, m0 + 2, m0 + 4) if m <= Z + 1]
-        best = None
-        for M in mults:
-            nela = (Z + M - 1) // 2
-            nelb = Z - nela
+            # fixed multiplicity: plain unrestricted solve with aufbau
+            nela = (nel + args.M - 1) // 2
+            nelb = nel - nela
             r_u = solve_sadatom_unrestricted(
                 basis, nela, nelb, method=args.method,
                 maxit=args.maxit, convthr=args.convthr,
             )
-            print(f"M = {M}: E = {r_u.E:.9f} (converged = {r_u.converged})")
-            if r_u.converged and (best is None or r_u.E < best[1].E):
-                best = (M, r_u)
-        if best is None:
-            raise SystemExit("unrestricted solve did not converge")
-        M, r_u = best
+            M = args.M
+            if not r_u.converged:
+                raise SystemExit("unrestricted solve did not converge")
+        else:
+            # configuration search (reference restricted=-1, or =0 with --scan)
+            r_u = search_sadatom_unrestricted(
+                basis, nel=nel, method=args.method,
+                mode="scan" if args.scan else "aufbau",
+                maxit=args.maxit, convthr=args.convthr,
+            )
+            print(f"\nMinimal energy spin states for {SYMBOLS[Z]}")
+            E0 = r_u.conf_list[0][1]
+            for i, ((oa, ob), E, conv) in enumerate(r_u.conf_list):
+                M_ = sum(oa) - sum(ob) + 1
+                occfmt = " ".join(f"{n:2d}" for n in (*oa, *ob))
+                line = f"{M_:2d}:  {occfmt}  {E:+.10f}"
+                if i > 0:
+                    line += f" {(E - E0) * 27.211386245988:11.6f}"
+                if not conv:
+                    line += "  convergence failure"
+                print(line)
+            M = int(sum(r_u.occs) - sum(r_u.occs_b) + 1)
         print(f"selected multiplicity {M}, E = {r_u.E:.9f}")
         for tag, mode in [("U", "mean"), ("M", "average"), ("W", "weighted"),
                           ("S", "highspin"), ("s", "lowspin")]:

@@ -308,6 +308,22 @@ def eig_channels(Fl: jnp.ndarray, Sinvh: jnp.ndarray):
     return E, C
 
 
+def eig_channels_shifted(Fl, C_prev, occs, restricted, S, Sinvh, shift):
+    """Level-shifted channel eigensolve: virtual orbitals of each l channel
+    are pushed up by `shift` via S Cv Cv^T S before diagonalizing
+    (reference: OrbitalChannel::UpdateOrbitalsShifted, solver.cpp:351-380)."""
+    Fl = np.array(Fl, copy=True)
+    C_prev = np.asarray(C_prev)
+    nl = Fl.shape[0]
+    for l in range(nl):
+        cap = shell_capacity(l, restricted)
+        nsh = int(np.ceil(occs[l] / cap)) if occs[l] > 0 else 0
+        if nsh:
+            Cv = C_prev[l][:, nsh:]
+            Fl[l] += shift * (S @ Cv) @ (Cv.T @ S)
+    return eig_channels(jnp.asarray(Fl), Sinvh)
+
+
 @dataclass
 class SadResult:
     converged: bool
@@ -324,6 +340,10 @@ class SadResult:
     Plb: np.ndarray | None = None
     orbE_b: np.ndarray | None = None
     orbs_b: np.ndarray | None = None
+    # energy-ordered configuration list from the ground-state search:
+    # [(occs_key, E, converged)] where occs_key is the per-l electron-count
+    # tuple (restricted) or an (occa, occb) tuple pair (unrestricted)
+    conf_list: list | None = None
 
 
 # ----------------------------------------------------------------------------
@@ -527,9 +547,21 @@ def sap_potential_table(Z: int, method: str = "lda_x", lmax: int = 3, **kw):
     spherically-averaged atom, regenerating the reference's tabulated
     Z_eff(r) data (src/general/sap.cpp was itself generated by gensap).
 
+    The ground configuration comes from the Saito table
+    (sadconf.get_configuration), so one fixed-occupation solve suffices —
+    Cr/Cu-type 3d^n 4s^1 states included (reference:
+    src/sadatom/configurations.cpp:24).
+
     Returns (r, Zeff) with Zeff(r) = Z - r V_H(r) - r v_xc(r)."""
+    from helfem_tpu.models.sadconf import get_configuration
+
+    conf = get_configuration(Z)
+    if lmax < 3:
+        if conf[lmax + 1 :].any():
+            raise ValueError(f"Z={Z} ground state needs lmax >= {np.nonzero(conf)[0].max()}")
+        conf = conf[: lmax + 1]
     basis = SadAtomBasis(Z=Z, lmax=lmax, **kw)
-    res = solve_sadatom(basis, method=method, search=True)
+    res = solve_sadatom(basis, method=method, occs=conf)
     Prad = res.Pl.sum(axis=0)
     funcs, _ = parse_method(method)
     vcoul = coulomb_screening(basis, Prad)
@@ -552,10 +584,14 @@ def solve_sadatom_unrestricted(
     guess: str = "TF",
     verbose: bool = False,
     ops: SadOps | None = None,
+    shift: float = 1.0,
 ) -> "SadResult":
     """Spin-polarized spherically-averaged SCF (reference: uconf_t path,
     src/sadatom/solver.cpp FockBuild(uconf_t)). Occupations per l channel
-    and spin, capacities 2l+1 per spin; aufbau refreshed between cycles."""
+    and spin, capacities 2l+1 per spin. When occs_a/occs_b are given the
+    configuration is FIXED (the reference's Solve(uconf_t) semantics);
+    otherwise aufbau occupations are refreshed between cycles."""
+    fixed = occs_a is not None and occs_b is not None
     if ops is None:
         ops = basis.build_ops()
     nl, nrad = basis.lmax + 1, basis.nrad
@@ -628,11 +664,16 @@ def solve_sadatom_unrestricted(
         elif nh > 1:
             Fa = 0.5 * Fa + 0.5 * hist_F[-2][0]
             Fb = 0.5 * Fb + 0.5 * hist_F[-2][1]
-        Ea_, Ca = eig_channels(jnp.asarray(Fa), ops.at.Sinvh_rad)
-        Eb_, Cb = eig_channels(jnp.asarray(Fb), ops.at.Sinvh_rad)
+        if err > 1e-3 and shift != 0.0:
+            Ea_, Ca = eig_channels_shifted(Fa, Ca, occs_a, False, Svec, ops.at.Sinvh_rad, shift)
+            Eb_, Cb = eig_channels_shifted(Fb, Cb, occs_b, False, Svec, ops.at.Sinvh_rad, shift)
+        else:
+            Ea_, Ca = eig_channels(jnp.asarray(Fa), ops.at.Sinvh_rad)
+            Eb_, Cb = eig_channels(jnp.asarray(Fb), ops.at.Sinvh_rad)
         Ea, Eb = np.asarray(Ea_), np.asarray(Eb_)
-        occs_a = aufbau_occs(Ea, nela, False)
-        occs_b = aufbau_occs(Eb, nelb, False)
+        if not fixed:
+            occs_a = aufbau_occs(Ea, nela, False)
+            occs_b = aufbau_occs(Eb, nelb, False)
 
     Etot, Ekin, Ecoul, Exx, Exc = out
     return SadResult(
@@ -664,9 +705,13 @@ def solve_sadatom(
     verbose: bool = False,
     ops: SadOps | None = None,
     search: bool = True,
+    shift: float = 1.0,
 ) -> SadResult:
-    """Restricted spherically-averaged SCF with optional occupation search
-    (aufbau + single-electron moves, reference: sadatom/main.cpp:280-560)."""
+    """Restricted spherically-averaged SCF. occs given -> one
+    fixed-occupation solve; search=True -> exhaustive ground-configuration
+    search (aufbau self-consistency + MoveElectrons neighbors, reference:
+    sadatom/main.cpp:280-560); else aufbau self-consistency only. `shift`
+    is the level shift applied until the DIIS error drops below 1e-3."""
     if nel is None:
         nel = basis.Z
     if ops is None:
@@ -744,44 +789,61 @@ def solve_sadatom(
                 Fuse = 0.5 * Fn + 0.5 * hist_F[-2]
             else:
                 Fuse = Fn
-            E_, C_ = eig_channels(jnp.asarray(Fuse), ops.at.Sinvh_rad)
+            if err > 1e-3 and shift != 0.0:
+                # level shift on virtuals until DIIS takes over
+                # (reference: solver.cpp:1190-1193)
+                E_, C_ = eig_channels_shifted(
+                    Fuse, C_, occs, True, Svec, ops.at.Sinvh_rad, shift
+                )
+            else:
+                E_, C_ = eig_channels(jnp.asarray(Fuse), ops.at.Sinvh_rad)
             E_, C_ = np.asarray(E_), C_
         return converged, out, np.asarray(E_), np.asarray(C_)
 
-    if occs is None:
-        occs = aufbau_occs(Eg, nel, True)
-    # self-consistent aufbau loop
-    best = None
-    seen = set()
-    for _ in range(6):
-        key = tuple(occs)
-        if key in seen:
-            break
-        seen.add(key)
-        conv, out, Efin, Cfin = run_scf(occs, Eg, Cg)
-        if best is None or out[0] < best[1][0]:
-            best = (occs.copy(), out, conv, Efin, Cfin)
-        newocc = aufbau_occs(Efin, nel, True)
-        if np.array_equal(newocc, occs):
-            break
-        occs = newocc
-    # single-electron moves
-    if search:
-        occs0 = best[0]
-        for lf in range(nl):
-            for lt in range(nl):
-                if lf == lt or occs0[lf] == 0:
-                    continue
-                trial = occs0.copy()
-                trial[lf] -= 1
-                trial[lt] += 1
-                if tuple(trial) in seen:
-                    continue
-                seen.add(tuple(trial))
-                conv, out, Efin, Cfin = run_scf(trial, Eg, Cg)
-                if conv and out[0] < best[1][0] - 1e-10:
-                    best = (trial.copy(), out, conv, Efin, Cfin)
-    occs, out, conv, Efin, Cfin = best
+    # memoized fixed-occupation solves, keyed by the occupation tuple
+    results: dict[tuple, tuple] = {}
+
+    def solve_cb(key):
+        if key not in results:
+            results[key] = run_scf(np.array(key, dtype=int), Eg, Cg)
+        conv_, out_, Efin_, _ = results[key]
+        return out_[0], conv_, Efin_
+
+    conf_list = None
+    if occs is not None:
+        # enforced occupations: one fixed-occupation SCF, no search
+        key = tuple(int(x) for x in occs)
+        E_, conv_, _ = solve_cb(key)
+        conf_list = [(key, E_, conv_)]
+    elif search:
+        # exhaustive ground-configuration search (aufbau self-consistency +
+        # MoveElectrons neighbors; reference: src/sadatom/main.cpp:300-350)
+        from helfem_tpu.models.sadconf import initial_occs, search_restricted
+
+        try:
+            occs0 = initial_occs(nel, basis.lmax)
+        except ValueError:
+            occs0 = aufbau_occs(Eg, nel, True)
+        conf_list = search_restricted(solve_cb, occs0, nel, verbose=verbose)
+    else:
+        # aufbau self-consistency only
+        key = tuple(int(x) for x in aufbau_occs(Eg, nel, True))
+        seen = {key}
+        for _ in range(6):
+            _, _, Efin_ = solve_cb(key)
+            newkey = tuple(int(x) for x in aufbau_occs(Efin_, nel, True))
+            if newkey in seen:
+                break
+            seen.add(newkey)
+            key = newkey
+        conf_list = sorted(
+            ((k, results[k][1][0], results[k][0]) for k in seen if k in results),
+            key=lambda t: t[1],
+        )
+
+    best_key = conf_list[0][0]
+    conv, out, Efin, Cfin = results[best_key]
+    occs = np.array(best_key, dtype=int)
     Etot, Ekin, Ecoul, Exx, Exc, Eorb, Corb, Pl = out
     return SadResult(
         converged=conv,
@@ -795,4 +857,81 @@ def solve_sadatom(
         orbE=np.asarray(Eorb),
         orbs=np.asarray(Corb),
         Pl=Pl,
+        conf_list=conf_list,
     )
+
+
+def search_sadatom_unrestricted(
+    basis: SadAtomBasis,
+    nel: int | None = None,
+    method: str = "HF",
+    mode: str = "aufbau",
+    maxit: int = 128,
+    convthr: float = 1e-7,
+    guess: str = "TF",
+    verbose: bool = False,
+    max_dx: int = 5,
+) -> SadResult:
+    """Unrestricted ground-configuration search.
+
+    mode='aufbau': Hund-rule-coupled aufbau + MoveElectrons search (the
+    reference's restricted=-1 path, src/sadatom/main.cpp:367-460).
+    mode='scan': full multiplicity scan over spin splits dx=0..max_dx (the
+    reference's restricted=0 path, main.cpp:460-560).
+
+    Returns the best configuration's SadResult with the energy-ordered
+    conf_list attached ([( (occa, occb), E, converged ), ...])."""
+    from helfem_tpu.models.sadconf import (
+        hund_rule,
+        initial_occs,
+        search_spin_scan,
+        search_unrestricted,
+    )
+
+    if nel is None:
+        nel = basis.Z
+    ops = basis.build_ops()
+    results: dict[tuple, SadResult] = {}
+
+    def solve_cb(key):
+        if key not in results:
+            occa, occb = key
+            results[key] = solve_sadatom_unrestricted(
+                basis,
+                int(sum(occa)),
+                int(sum(occb)),
+                method=method,
+                occs_a=np.array(occa, dtype=int),
+                occs_b=np.array(occb, dtype=int),
+                maxit=maxit,
+                convthr=convthr,
+                guess=guess,
+                verbose=verbose,
+                ops=ops,
+            )
+        r = results[key]
+        return r.E, r.converged, r.orbE, r.orbE_b
+
+    if mode == "aufbau":
+        try:
+            occ0 = initial_occs(nel, basis.lmax)
+        except ValueError:
+            occ0 = None
+        if occ0 is None:
+            # fall back to a guess-hamiltonian aufbau
+            Vg = jnp.asarray(basis.rb.model_potential(potential(guess, basis.Z)(basis.rb.r)))
+            nl = basis.lmax + 1
+            ll1 = np.arange(nl) * (np.arange(nl) + 1.0)
+            Hg = (basis.build_ops().at.T + Vg)[None] + jnp.asarray(ll1[:, None, None]) * ops.Tl[None]
+            Eg, _ = eig_channels(Hg, ops.at.Sinvh_rad)
+            occ0 = aufbau_occs(np.asarray(Eg), nel, True)
+        occa0, occb0 = hund_rule(occ0)
+        conf_list = search_unrestricted(solve_cb, occa0, occb0, nel, verbose=verbose)
+    elif mode == "scan":
+        conf_list = search_spin_scan(solve_cb, nel, basis.lmax, max_dx=max_dx, verbose=verbose)
+    else:
+        raise ValueError(f"unknown search mode {mode}")
+
+    best = results[conf_list[0][0]]
+    best.conf_list = conf_list
+    return best

@@ -141,3 +141,77 @@ def test_potential_variants_open_shell_order():
     # all give the same density/coulomb columns
     assert np.abs(hi[:, 1] - lo[:, 1]).max() < 1e-12
     assert np.abs(hi[:, 5] - wt[:, 5]).max() < 1e-12
+
+
+# ----------------------------------------------------------------------------
+# configuration machinery (reference: src/sadatom/configurations.cpp,
+# main.cpp:280-560 search)
+# ----------------------------------------------------------------------------
+
+
+def test_saito_table():
+    from helfem_tpu.models.sadconf import get_configuration
+
+    for Z in range(1, 119):
+        conf = get_configuration(Z)
+        assert conf.sum() == Z
+        assert (conf >= 0).all()
+    # anomalous ground states (Saito 2009)
+    assert list(get_configuration(24)) == [7, 12, 5, 0]  # Cr 3d5 4s1
+    assert list(get_configuration(29)) == [7, 12, 10, 0]  # Cu 3d10 4s1
+    assert list(get_configuration(46)) == [8, 18, 20, 0]  # Pd 4d10 (no 5s)
+    assert list(get_configuration(41)) == [9, 18, 14, 0]  # Nb 4d4 5s1
+    assert list(get_configuration(57)) == [12, 24, 21, 0]  # La 5d1 (no 4f)
+    assert list(get_configuration(64)) == [12, 24, 21, 7]  # Gd 4f7 5d1
+
+
+def test_hund_rule_and_moves():
+    from helfem_tpu.models.sadconf import hund_rule, move_electrons
+
+    a, b = hund_rule(np.array([7, 12, 5, 0]))
+    assert list(a) == [4, 6, 5, 0] and list(b) == [3, 6, 0, 0]
+    # nitrogen p3: maximum multiplicity
+    a, b = hund_rule(np.array([4, 3]))
+    assert list(a) == [2, 3] and list(b) == [2, 0]
+    moves = move_electrons(np.array([2, 0]), True)
+    keys = {tuple(m) for m in moves}
+    assert (1, 1) in keys and (0, 2) in keys
+
+
+def test_restricted_search_cr_explores_d5():
+    """The exhaustive search must solve (and rank) the 3d5 4s1 configuration;
+    with level shifting every explored configuration converges."""
+    from helfem_tpu.models.sadatom import SadAtomBasis, solve_sadatom
+
+    basis = SadAtomBasis(Z=24, lmax=2, rmax=40.0, nelem=6, nnodes=10)
+    res = solve_sadatom(basis, method="lda_x", search=True)
+    keys = [k for k, _, _ in res.conf_list]
+    assert (7, 12, 5) in keys
+    assert all(conv for _, _, conv in res.conf_list[:5])
+    # top configurations within 5 mEh: 4s2 3d4 vs 4s1 3d5 near-degenerate in
+    # restricted exchange-only LDA
+    assert res.conf_list[0][0] in [(8, 12, 4), (7, 12, 5)]
+
+
+def test_unrestricted_search_cr_ground_state():
+    """Spin polarization picks out the physical Cr 3d5 4s1 (M=7) state
+    (VERDICT round-1 done-criterion)."""
+    from helfem_tpu.models.sadatom import SadAtomBasis, search_sadatom_unrestricted
+
+    basis = SadAtomBasis(Z=24, lmax=2, rmax=40.0, nelem=6, nnodes=10)
+    ru = search_sadatom_unrestricted(basis, method="lda_x", mode="aufbau")
+    assert ru.converged
+    total = np.array(ru.occs) + np.array(ru.occs_b)
+    assert list(total) == [7, 12, 5]  # 3d5 4s1
+    assert int(sum(ru.occs) - sum(ru.occs_b) + 1) == 7  # septet
+
+
+def test_fixed_occs_solve():
+    """occs= runs exactly one fixed-occupation SCF (no search)."""
+    from helfem_tpu.models.sadatom import SadAtomBasis, solve_sadatom
+
+    basis = SadAtomBasis(Z=24, lmax=2, rmax=40.0, nelem=6, nnodes=10)
+    res = solve_sadatom(basis, method="lda_x", occs=np.array([7, 12, 5]))
+    assert res.converged
+    assert list(res.occs) == [7, 12, 5]
+    assert len(res.conf_list) == 1
