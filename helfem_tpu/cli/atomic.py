@@ -84,9 +84,16 @@ def main(argv=None):
     timer.lap("basis set formation")
     print(f"Running {args.method} on Z={Z} with {nela}+{nelb} electrons, "
           f"{basis.nbf} basis functions ({basis.nang} angular x {basis.nrad} radial)")
-    from helfem_tpu.ops.xc import parse_method as _pm
+    from helfem_tpu.ops.xc import parse_method_rs as _pm
 
-    funcs, _ = _pm(args.method)
+    spec = _pm(args.method)
+    funcs = spec.funcs
+    if spec.omega != 0.0:
+        # reference printout, src/atomic/main.cpp:363-371
+        print(f"Using range-separated exchange with omega = {spec.omega:.3f} "
+              f"({spec.kernel} kernel)")
+        print(f"Using {100 * (spec.kfull + spec.kshort):.3f} % short-range and "
+              f"{100 * spec.kfull:.3f} % long-range exchange.")
     if funcs:
         # grid-accuracy self-check, as the reference prints
         # (src/atomic/main.cpp:411-441)

@@ -21,7 +21,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["Functional", "get_functional", "xc_eval", "parse_method"]
+__all__ = ["Functional", "MethodSpec", "get_functional", "xc_eval", "parse_method", "parse_method_rs"]
 
 _TINY = 1e-30
 
@@ -49,6 +49,41 @@ class Functional(NamedTuple):
 def _ex_slater(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
     cx = -0.75 * (6.0 / jnp.pi) ** (1.0 / 3.0)
     return cx * (ra ** (4.0 / 3.0) + rb ** (4.0 / 3.0))
+
+
+def _sr_lda_factor(a):
+    """Short-range attenuation of the LDA exchange hole for the erf-split
+    interaction (Gill-Adamson-Pople 1996 / Toulouse-Savin): the kept part is
+    erfc(omega r12)/r12. a = omega / (2 kF). Evaluated directly for small a
+    and by its large-a series (f -> 1/(36 a^2)) where the closed form loses
+    all significance to cancellation."""
+    a = jnp.maximum(a, 1e-10)
+    asafe = jnp.minimum(a, 8.0)
+    t = 1.0 / (2.0 * asafe)
+    direct = 1.0 - (8.0 * asafe / 3.0) * (
+        jnp.sqrt(jnp.pi) * jax.scipy.special.erf(t)
+        + (2.0 * asafe - 4.0 * asafe**3) * jnp.exp(-(t * t))
+        - 3.0 * asafe
+        + 4.0 * asafe**3
+    )
+    abig = jnp.maximum(a, 8.0)
+    series = 1.0 / (36.0 * abig * abig) - 1.0 / (960.0 * abig**4)
+    return jnp.where(a < 8.0, direct, series)
+
+
+def _ex_slater_erf(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0, *, omega=0.5):
+    """Short-range (erfc-kernel) LDA exchange: the semilocal complement used
+    by LC-type range-separated hybrids (libxc lda_x_erf analogue). Exact
+    spin scaling E[ra, rb] = (E[2 ra] + E[2 rb]) / 2."""
+    cx = -0.75 * (3.0 / jnp.pi) ** (1.0 / 3.0)
+
+    def one(r):
+        r2 = 2.0 * r
+        kf = (3.0 * jnp.pi**2 * jnp.maximum(r2, _TINY)) ** (1.0 / 3.0)
+        f = _sr_lda_factor(omega / (2.0 * kf))
+        return 0.5 * cx * r2 ** (4.0 / 3.0) * f
+
+    return one(ra) + one(rb)
 
 
 # ----------------------------------------------------------------------------
@@ -354,6 +389,7 @@ _CATALOG = {
     "mgga_x_tpss": Functional("mgga_x_tpss", "mgga", _ex_tpss),
     "mgga_c_tpss": Functional("mgga_c_tpss", "mgga", _ec_tpss),
     "mgga_x_br89": Functional("mgga_x_br89", "mggal", _ex_br89),
+    "lda_x_erf": Functional("lda_x_erf", "lda", _ex_slater_erf),
 }
 
 # alias -> (kfrac, [(weight, functional-name, params-dict), ...])
@@ -426,22 +462,93 @@ def _parse_part(part: str) -> Functional:
 
 
 @lru_cache(maxsize=None)
-def parse_method(method: str):
-    """Parse a method string as the reference does (src/general/dftfuncs.cpp
-    parse_xc_func): 'HF', a composite alias ('PBE', 'LDA', 'SVWN', 'PBE0',
-    'BLYP', 'revPBE', 'PBEsol'), or an 'x_func,c_func' pair of functional
-    names, each optionally with bracketed parameter overrides, e.g.
-    'gga_x_pbe[kappa=1.245],gga_c_pbe'.
+class MethodSpec(NamedTuple):
+    """Parsed method: semilocal functionals plus the exact-exchange mixing
+    (reference: range_separation(), src/general/dftfuncs.cpp:505-560).
 
-    Returns (funcs: list[Functional], kfrac: float)."""
+    The exchange operator is  kfull * K  +  kshort * K_sr(omega)  where
+    K_sr uses the short-range kernel named by `kernel` ('erfc' for the
+    erf/erfc split, 'yukawa' for exp(-omega r)/r screening).
+    """
+
+    funcs: tuple
+    kfull: float  # libxc 'alpha': fraction of full-range exact exchange
+    kshort: float  # libxc 'beta': additional short-range exact exchange
+    omega: float = 0.0  # range-separation parameter
+    kernel: str = "erfc"
+
+
+# range-separated aliases: name -> (kfull, kshort, default omega, kernel,
+# [(weight, func, params, give_omega)]); give_omega passes the (possibly
+# overridden) omega into the functional's own parameter set
+_RS_ALIASES = {
+    # LC-type LDA: full long-range HF + short-range LDA exchange
+    # (Savin's RSH scheme with the erf split)
+    "lc-lda": (1.0, -1.0, 0.5, "erfc",
+               [(1.0, "lda_x_erf", {}, True), (1.0, "lda_c_pw", {}, False)]),
+    "ldaerf": (1.0, -1.0, 0.5, "erfc",
+               [(1.0, "lda_x_erf", {}, True), (1.0, "lda_c_pw", {}, False)]),
+    # Yukawa-kernel variant of the same split; the semilocal part keeps the
+    # erf complement form (the closed-form SR-LDA hole), the HF part is
+    # screened with the Yukawa kernel like the reference's CAMY functionals
+    "lcy-lda": (1.0, -1.0, 0.5, "yukawa",
+                [(1.0, "lda_x_erf", {}, True), (1.0, "lda_c_pw", {}, False)]),
+    # short-range-only exact exchange + PBE correlation (HSE-like mixing
+    # without the wPBE semilocal complement; useful for limit tests)
+    "sr-pbe0": (0.0, 0.25, 0.11, "erfc",
+                [(0.75, "gga_x_pbe", {}, False), (1.0, "gga_c_pbe", {}, False)]),
+}
+
+
+def _split_bracket(m: str):
+    """'name[k=v,...]' -> (name, {k: v}); 'name' -> (name, {})."""
+    if "[" not in m:
+        return m, {}
+    if not m.endswith("]"):
+        raise ValueError(f"malformed method spec '{m}'")
+    base, args = m[:-1].split("[", 1)
+    kv = {}
+    for item in args.split(","):
+        k, v = item.split("=")
+        kv[k.strip()] = float(v)
+    return base, kv
+
+
+def parse_method_rs(method: str) -> MethodSpec:
+    """Parse a method string including range-separated hybrids.
+
+    'HF', composite aliases ('PBE', 'PBE0', 'LC-LDA[omega=0.4]', ...), or an
+    'x_func,c_func' pair (each with optional bracketed parameter overrides).
+    Returns a MethodSpec; kshort/omega are zero for global hybrids."""
     m = method.strip().lower()
     if m in ("hf", ""):
-        return [], 1.0
+        return MethodSpec((), 1.0, 0.0)
+    # an RS alias with overrides is a single 'name[...]' token; anything
+    # else (e.g. 'x[k=v],c' pairs) falls through to the generic parser
+    base, kv = m, {}
+    if "[" in m and m.index("[") > 0 and m[: m.index("[")] in _RS_ALIASES:
+        base, kv = _split_bracket(m)
+    if base in _RS_ALIASES:
+        kfull, kshort, omega, kernel, parts = _RS_ALIASES[base]
+        omega = kv.pop("omega", omega)
+        kfull = kv.pop("kfull", kfull)
+        kshort = kv.pop("kshort", kshort)
+        if kv:
+            raise ValueError(f"unknown method overrides {sorted(kv)} for '{base}'")
+        funcs = tuple(
+            scale_functional(
+                w, with_params(_CATALOG[k], **({**pv, "omega": omega} if go else pv))
+            )
+            for w, k, pv, go in parts
+        )
+        return MethodSpec(funcs, kfull, kshort, omega, kernel)
     if m in _ALIASES:
         kfrac, parts = _ALIASES[m]
-        return [
-            scale_functional(w, with_params(_CATALOG[k], **pv)) for w, k, pv in parts
-        ], kfrac
+        return MethodSpec(
+            tuple(scale_functional(w, with_params(_CATALOG[k], **pv)) for w, k, pv in parts),
+            kfrac,
+            0.0,
+        )
     # bracket-aware comma split: 'a[k=1,m=2],b' -> ['a[k=1,m=2]', 'b']
     parts, depth, cur = [], 0, ""
     for ch in m:
@@ -456,7 +563,20 @@ def parse_method(method: str):
             cur += ch
     parts.append(cur)
     parts = [p for p in parts if p and p != "none"]
-    return [_parse_part(p) for p in parts], 0.0
+    return MethodSpec(tuple(_parse_part(p) for p in parts), 0.0, 0.0)
+
+
+def parse_method(method: str):
+    """Back-compat wrapper: (funcs, kfrac) for non-range-separated methods.
+    Range-separated methods must go through parse_method_rs (raising here
+    keeps the short-range exchange from being silently dropped)."""
+    spec = parse_method_rs(method)
+    if spec.omega != 0.0 or spec.kshort != 0.0:
+        raise ValueError(
+            f"'{method}' is range-separated; use parse_method_rs / the scf "
+            "drivers, which wire kshort*K_sr(omega)"
+        )
+    return list(spec.funcs), spec.kfull
 
 
 _NARGS = {"lda": 5, "gga": 5, "mgga": 7, "mggal": 9}

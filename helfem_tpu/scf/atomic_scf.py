@@ -19,9 +19,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from helfem_tpu.models.atomic import AtomicBasis, AtomicOperators, coulomb, exchange
+from helfem_tpu.models.atomic import (
+    AtomicBasis,
+    AtomicOperators,
+    coulomb,
+    erfc_exchange,
+    exchange,
+    rs_exchange,
+)
 from helfem_tpu.models.atomic_dft import build_dft_grid, eval_fxc
-from helfem_tpu.ops.xc import parse_method
+from helfem_tpu.ops.xc import parse_method_rs
 from helfem_tpu.scf.diis import DIIS
 from helfem_tpu.scf.guess import potential
 from helfem_tpu.utils.linalg import (
@@ -90,22 +97,39 @@ def _diis_error(F, P, S, Sinvh):
 
 @lru_cache(maxsize=None)
 def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1e-12,
-              restricted: bool = False):
-    """Jitted Fock builder for a fixed method (funcs/kfrac compile-time).
-    With restricted=True, Pb is assumed identical to Pa and the exchange
-    build runs once (it dominates the Fock cost on TPU)."""
+              restricted: bool = False, kshort: float = 0.0, kernel: str = "erfc"):
+    """Jitted Fock builder for a fixed method (funcs/kfrac/kshort compile-
+    time). The exchange operator is kfrac*K + kshort*K_sr(omega) with the
+    short-range tables passed in as `rs` (reference: kfrac*exchange +
+    kshort*rs_exchange, src/atomic/main.cpp:763-779). With restricted=True,
+    Pb is assumed identical to Pa and the exchange build runs once (it
+    dominates the Fock cost on TPU)."""
 
     @jax.jit
-    def fock(ops: AtomicOperators, g, Vextra, Pa, Pb):
+    def fock(ops: AtomicOperators, g, Vextra, rs, Pa, Pb):
         P = Pa + Pb
         J = coulomb(ops, P)
         H = ops.H0 + Vextra
         Fa = H + J
         Fb = H + J
         Exx = 0.0
-        if kfrac != 0.0:
-            Ka = kfrac * exchange(ops, Pa)
-            Kb = Ka if restricted else kfrac * exchange(ops, Pb)
+        if kfrac != 0.0 or kshort != 0.0:
+
+            def K_of(Ps):
+                K = jnp.zeros_like(J)
+                if kfrac != 0.0:
+                    K = K + kfrac * exchange(ops, Ps)
+                if kshort != 0.0:
+                    Ksr = (
+                        erfc_exchange(ops, rs, Ps)
+                        if kernel == "erfc"
+                        else rs_exchange(ops, rs, Ps)
+                    )
+                    K = K + kshort * Ksr
+                return K
+
+            Ka = K_of(Pa)
+            Kb = Ka if restricted else K_of(Pb)
             Fa = Fa + Ka
             Fb = Fb + Kb
             Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
@@ -128,17 +152,19 @@ def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1
 
 
 @lru_cache(maxsize=None)
-def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0, dftthr: float = 1e-12):
+def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
+                    dftthr: float = 1e-12, kshort: float = 0.0, kernel: str = "erfc"):
     """One fully on-device restricted SCF iteration: density -> Fock ->
     C2-DIIS (device circular history) -> blocked eigensolve. Only two scalars
     (energy, DIIS error) need to reach the host per iteration, removing the
     per-iteration host DIIS/transfer overhead (the dominant cost on TPU)."""
-    fock = make_fock(funcs, kfrac, nrad, Bz, dftthr, restricted=True)
+    fock = make_fock(funcs, kfrac, nrad, Bz, dftthr, restricted=True,
+                     kshort=kshort, kernel=kernel)
 
     @jax.jit
-    def step(ops, g, Vextra, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
+    def step(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
         Pa = density_blocks(C, occ, blk_idx, ops.S)
-        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(ops, g, Vextra, Pa, Pa)
+        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(ops, g, Vextra, rs, Pa, Pa)
         Etot = Ekin + Enuc + Ecoul + Exx + Exc + Efield
         # DIIS error vector in the orthonormal basis
         FPS = Fa @ Pa @ ops.S
@@ -173,21 +199,22 @@ def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
 
 @lru_cache(maxsize=None)
 def make_fused_chunk(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
-                     Bz: float = 0.0, dftthr: float = 1e-12):
+                     Bz: float = 0.0, dftthr: float = 1e-12, kshort: float = 0.0,
+                     kernel: str = "erfc"):
     """`nsteps` fused SCF iterations in ONE jitted lax.scan: amortizes the
     per-call dispatch latency (~60 ms on the TPU plugin) across iterations.
     Occupations are frozen within a chunk (the host refreshes them between
     chunks)."""
-    step = make_fused_step(funcs, kfrac, nrad, nhist, Bz, dftthr)
+    step = make_fused_step(funcs, kfrac, nrad, nhist, Bz, dftthr, kshort, kernel)
     # reuse the single-step trace inside a scan
     inner = step.__wrapped__ if hasattr(step, "__wrapped__") else step
 
     @jax.jit
-    def chunk(ops, g, Vextra, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
+    def chunk(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
         def body(carry, _):
             C, histF, histE, count = carry
             Cn, E, histF, histE, count, Etot, errmax, Nel, comps = inner(
-                ops, g, Vextra, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count
+                ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count
             )
             return (Cn, histF, histE, count), (E, Etot, errmax, Nel, comps)
 
@@ -238,9 +265,20 @@ def scf_atom(
     if ops is None:
         ops = basis.build_operators()
     nrad = basis.nrad
-    funcs, kfrac = parse_method(method)
+    spec = parse_method_rs(method)
+    funcs, kfrac, kshort, omega, kernel = (
+        spec.funcs, spec.kfull, spec.kshort, spec.omega, spec.kernel
+    )
+    # range separation: omega -> 0 means the short-range kernel IS the full
+    # kernel; fold kshort into kfrac instead of building singular tables
+    rs = None
+    if kshort != 0.0:
+        if omega == 0.0:
+            kfrac, kshort = kfrac + kshort, 0.0
+        else:
+            rs = basis.build_erfc(omega) if kernel == "erfc" else basis.build_yukawa(omega)
     g = build_dft_grid(basis) if funcs else None
-    fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr)
+    fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr, kshort=kshort, kernel=kernel)
 
     # extra one-electron terms
     Vextra = np.zeros((basis.nbf, basis.nbf))
@@ -296,7 +334,8 @@ def scf_atom(
     restricted = (nela == nelb and Bz == 0.0) if restricted == -1 else (restricted == 1 and not rohf and Bz == 0.0)
     if restricted:
         # Pa == Pb throughout: build the exchange once per Fock
-        fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr, restricted=True)
+        fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr, restricted=True,
+                         kshort=kshort, kernel=kernel)
     Sinvh_np = _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
     Sinvh_dev = jnp.asarray(Sinvh_np)
     diis = DIIS(np.asarray(ops.S), Sinvh_np)
@@ -331,7 +370,8 @@ def scf_atom(
             if fused is None:
                 nhist = 10
                 CH = 4
-                fused = make_fused_chunk(tuple(funcs), kfrac, nrad, nhist, CH, Bz, dftthr)
+                fused = make_fused_chunk(tuple(funcs), kfrac, nrad, nhist, CH, Bz, dftthr,
+                                         kshort, kernel)
                 Sinvh_full = jnp.asarray(
                     _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
                 )
@@ -341,7 +381,7 @@ def scf_atom(
                     jnp.asarray(0),
                 )
             Ca, Ea_d, hF, hE, cnt, Etots, errs, Nel, comps = fused(
-                ops, g, Vextra, blk_idx, blk_sinvh, Sinvh_full, jnp.asarray(occa), Ca, *hist
+                ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, jnp.asarray(occa), Ca, *hist
             )
             hist = (hF, hE, cnt)
             Ea = np.asarray(Ea_d)
@@ -372,7 +412,7 @@ def scf_atom(
 
         Pa = density_blocks(Ca, jnp.asarray(occa), blk_idx, ops.S)
         Pb = Pa if restricted else density_blocks(Cb, jnp.asarray(occb), blk_idx, ops.S)
-        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(ops, g, Vextra, Pa, Pb)
+        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(ops, g, Vextra, rs, Pa, Pb)
         Emag = -0.5 * Bz * (nela - nelb)
         Etot = float(Ekin + Enuc + Ecoul + Exx + Exc + Efield) + Emag
         dE = Etot - Eold
