@@ -27,6 +27,13 @@ def main(argv=None):
     p.add_argument("--guess", default="core", help="core|SAP|TF|GSZ")
     p.add_argument("--save", default="", help="write npz checkpoint")
     p.add_argument("--load", default="", help="warm start from npz checkpoint")
+    p.add_argument("--Ez", type=float, default=0.0, help="electric field along the bond")
+    p.add_argument("--Qzz", type=float, default=0.0, help="quadrupole field strength")
+    p.add_argument("--Bz", type=float, default=0.0, help="magnetic field along the bond")
+    p.add_argument("--finitenuc", default="point",
+                   help="nuclear model: point|gaussian|spherical|hollow|regularized")
+    p.add_argument("--Rrms1", type=float, default=0.0, help="nucleus 1 rms radius")
+    p.add_argument("--Rrms2", type=float, default=0.0, help="nucleus 2 rms radius")
     args = p.parse_args(argv)
 
     import jax
@@ -69,7 +76,8 @@ def main(argv=None):
     res = scf_diatomic(
         basis, nela, nelb, method=args.method, maxit=args.maxit,
         convthr=args.convthr, verbose=True, guess=args.guess,
-        P0a=P0a, P0b=P0b,
+        P0a=P0a, P0b=P0b, Ez=args.Ez, Qzz=args.Qzz, Bz=args.Bz,
+        finitenuc=args.finitenuc, Rrms1=args.Rrms1, Rrms2=args.Rrms2,
     )
     if args.save:
         from helfem_tpu.utils.checkpoint import save_diatomic

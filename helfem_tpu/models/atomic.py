@@ -66,6 +66,34 @@ class AtomicOperators(NamedTuple):
     # (G.shape[-1], Sinvh_rad.shape[0]) so the pytree carries no static ints.
 
 
+def nuclear_model_V(model: str, Z: float, Rrms: float):
+    """V(r) callable for a finite-nucleus charge model (reference: libhelfem
+    {Gaussian,Spherical,Hollow,Regularized}Nucleus.cpp). model in
+    {'gaussian', 'spherical', 'hollow', 'regularized'}; Rrms is the rms
+    charge radius (the Gygi width parameter for 'regularized')."""
+    import math
+
+    if model == "point":
+        return lambda r: -Z / r
+    if model == "gaussian":
+        mu = math.sqrt(1.5) / Rrms
+        erf = np.vectorize(math.erf)
+        return lambda r: -Z * erf(mu * r) / r
+    if model == "spherical":
+        # uniformly charged ball (Visscher-Dyall 1997 eq. 7)
+        R0 = math.sqrt(5.0 / 3.0) * Rrms
+        return lambda r: np.where(
+            r >= R0, -Z / r, -Z * (3.0 - (r / R0) ** 2) / (2.0 * R0)
+        )
+    if model == "hollow":
+        return lambda r: np.where(r >= Rrms, -Z / r, -Z / Rrms)
+    if model == "regularized":
+        from helfem_tpu.ops.gygi import gygi_V
+
+        return lambda r: gygi_V(Z, Rrms, r)
+    raise ValueError(model)
+
+
 @dataclass
 class AtomicBasis:
     """Host-side setup: builds all constant tensors for an atomic calculation."""
@@ -232,29 +260,9 @@ class AtomicBasis:
         """Finite-nucleus attraction matrices (reference: libhelfem
         {Gaussian,Spherical,Hollow}Nucleus.cpp). model in {'point',
         'gaussian', 'spherical', 'hollow'}; Rrms is the rms charge radius."""
-        import math
-
-        r = self.rb.r
-        Z = self.Z
         if model == "point":
             return self.nuclear() * 1.0
-        if model == "gaussian":
-            mu = math.sqrt(1.5) / Rrms
-            erf = np.vectorize(math.erf)
-            Vr = -Z * erf(mu * r) / r
-        elif model == "spherical":
-            # uniformly charged ball (Visscher-Dyall 1997 eq. 7)
-            R0 = math.sqrt(5.0 / 3.0) * Rrms
-            Vr = np.where(r >= R0, -Z / r, -Z * (3.0 - (r / R0) ** 2) / (2.0 * R0))
-        elif model == "hollow":
-            Vr = np.where(r >= Rrms, -Z / r, -Z / Rrms)
-        elif model == "regularized":
-            # Gygi regularized nucleus; here Rrms is the width parameter a
-            from helfem_tpu.ops.gygi import gygi_V
-
-            Vr = gygi_V(Z, Rrms, r)
-        else:
-            raise ValueError(model)
+        Vr = nuclear_model_V(model, self.Z, Rrms)(self.rb.r)
         return np.kron(np.eye(self.nang), self.rb.model_potential(Vr))
 
     def sinvh_rad(self) -> np.ndarray:

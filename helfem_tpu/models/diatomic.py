@@ -127,8 +127,16 @@ class DiatomicBasis:
         self.wmu = self.wq[None, :] * (0.5 * self.fem.lengths)[:, None]
         dn = self.fem.eval_dnf(self.xq, 1)
         self.B, self.dB = dn[0], dn[1]
+        self._d2B = None
         # (L,|M|) and signed (L,M) channel maps
         self._build_channels()
+
+    @property
+    def d2B(self):
+        """d^2B/dmu^2 at the quadrature points (laplacian meta-GGA path)."""
+        if self._d2B is None:
+            self._d2B = self.fem.eval_dnf(self.xq, 2)[2]
+        return self._d2B
 
     # --- sizes ----------------------------------------------------------------
     @property
@@ -237,14 +245,78 @@ class DiatomicBasis:
         I13 = self.radial_integral(1, 3)
         return self.Rhalf**4 * self._couple({("cos", 1): I13, ("cos", 3): -I11})
 
+    def quadrupole_zz(self) -> np.ndarray:
+        """z^2 - (x^2 + y^2)/2 matrix in prolate coordinates (reference:
+        diatomic TwoDBasis::quadrupole_zz, src/diatomic/basis.cpp:857-900)."""
+        I10 = self.radial_integral(1, 0)
+        I12 = self.radial_integral(1, 2)
+        I14 = self.radial_integral(1, 4)
+        return (self.Rhalf**5 / 2.0) * self._couple(
+            {
+                ("cos", 4): I10 - 3.0 * I12,
+                ("cos", 2): 3.0 * I14 - I10,
+                "delta": I12 - I14,
+            }
+        )
+
+    def Bz_field(self, B: float) -> np.ndarray:
+        """Orbital Zeeman + diamagnetic operator for a uniform field B along
+        the bond axis: -B/2 L_z + B^2/8 (x^2 + y^2) (reference: diatomic
+        TwoDBasis::Bz_field, src/diatomic/basis.cpp:902-953). The spin term
+        -+ B/2 is applied by the SCF driver."""
+        from helfem_tpu.ops.gaunt import cos2sin2_coupling, cosk_coupling, sine2_coupling
+
+        Rh = self.Rhalf
+        I10 = self.radial_integral(1, 0) * Rh**3
+        I12 = self.radial_integral(1, 2) * Rh**3
+        I30 = self.radial_integral(3, 0) * Rh**5
+        I32 = self.radial_integral(3, 2) * Rh**5
+        nang, nrad = self.nang, self.nrad
+        out = np.zeros((nang * nrad, nang * nrad))
+        cs = B * B / 8.0
+        for a in range(nang):
+            la, ma = int(self.lval[a]), int(self.mval[a])
+            for b in range(nang):
+                lb, mb = int(self.lval[b]), int(self.mval[b])
+                if ma != mb:
+                    continue
+                blk = np.zeros((nrad, nrad))
+                use = False
+                # diamagnetic rho^2 = Rh^2 sinh^2 mu sin^2 nu:
+                # sinh^2 cosh^2-weighted sin^2 and sinh^2-weighted cos^2 sin^2
+                c2 = sine2_coupling(lb, mb, la, ma)
+                if c2 != 0.0:
+                    blk += cs * c2 * I32
+                    use = True
+                c22 = cos2sin2_coupling(lb, mb, la, ma)
+                if c22 != 0.0:
+                    blk -= cs * c22 * I30
+                    use = True
+                # paramagnetic -B/2 m <chi|chi>
+                ds = -0.5 * ma * B
+                if ds != 0.0:
+                    if la == lb:
+                        blk += ds * I12
+                        use = True
+                    c = cosk_coupling(2, lb, mb, la, ma)
+                    if c != 0.0:
+                        blk -= ds * c * I10
+                        use = True
+                if use:
+                    out[a * nrad : (a + 1) * nrad, b * nrad : (b + 1) * nrad] = blk
+        m2 = self.shell_mask().reshape(-1)
+        return out * m2[:, None] * m2[None, :]
+
     # --- symmetry blocks -----------------------------------------------------------
-    def sym_blocks(self):
+    def sym_blocks(self, parity: bool = True):
         """Valid global indices per symmetry block: by m, plus gerade/
         ungerade (l parity) for homonuclear (reference: m_indices(m, odd),
-        src/diatomic/basis.h:262-266). Respects per-shell radial masks."""
+        src/diatomic/basis.h:262-266). Respects per-shell radial masks.
+        parity=False disables the g/u split (needed when an electric field
+        couples even and odd l)."""
         mask = self.shell_mask()
         blocks = []
-        parities = [0, 1] if self.Z1 == self.Z2 else [None]
+        parities = [0, 1] if (self.Z1 == self.Z2 and parity) else [None]
         for m in sorted(set(self.mval)):
             for par in parities:
                 idx = []
@@ -348,7 +420,7 @@ class DiatomicBasis:
         return t00, t02, t20, t22, dP0, dP2, dQ0, dQ2
 
     # --- device constants ----------------------------------------------------------------
-    def build_operators(self) -> DiatomicOperators:
+    def build_operators(self, parity: bool = True) -> DiatomicOperators:
         from math import factorial
 
         nang, nrad = self.nang, self.nrad
@@ -394,7 +466,7 @@ class DiatomicBasis:
 
         # symmetry blocks for the eigensolve, padded to a common length
         S = self.overlap()
-        blocks = self.sym_blocks()
+        blocks = self.sym_blocks(parity)
         blen = max(len(b) for b in blocks)
         nblk = len(blocks)
         blk_idx = np.full((nblk, blen), self.nbf, dtype=np.int32)

@@ -33,6 +33,14 @@ class DiaGridOps(NamedTuple):
     invhphi2: jnp.ndarray  # [nelem, nq] 1/(Rh^2 sinh^2 mu) (tau phi term)
     sqeta: jnp.ndarray  # [nt] sqrt(1 - eta^2)
     gidx: jnp.ndarray
+    # laplacian meta-GGA path: nabla^2 chi = [B'' T + coth(mu) B' T
+    #   - l(l+1) B T - m^2 B T / sinh^2 mu] / (Rh^2 (cosh^2 mu - eta^2))
+    # (associated-Legendre ODE absorbs the eta second derivatives)
+    d2Bg: jnp.ndarray  # [nelem, nq, nprim] d^2 B / dmu^2
+    coth: jnp.ndarray  # [nelem, nq] coth(mu)
+    inv_sh2: jnp.ndarray  # [nelem, nq] 1 / sinh^2 mu
+    LLTT: jnp.ndarray  # [nang, nang, nt] (l_a(l_a+1) + l_b(l_b+1)) Theta products
+    TTmm: jnp.ndarray  # [nang, nang, nt] 2 m_a m_b Theta products
 
 
 def build_dia_grid(basis, neta: int = 0) -> DiaGridOps:
@@ -61,6 +69,9 @@ def build_dia_grid(basis, neta: int = 0) -> DiaGridOps:
     vol = ch[:, :, None] ** 2 - eta[None, None, :] ** 2
     w = 2.0 * np.pi * Rh**3 * basis.wmu[:, :, None] * sh[:, :, None] * vol * weta[None, None, :]
     invh = 1.0 / (Rh * np.sqrt(vol))
+    ll = basis.lval * (basis.lval + 1.0)
+    LLTT = (ll[:, None] + ll[None, :])[:, :, None] * TT
+    TTmm = 2.0 * mm[:, :, None] * same_m[:, :, None] * Th[:, None, :] * Th[None, :, :]
     return DiaGridOps(
         Bg=jnp.asarray(basis.B),
         dBg=jnp.asarray(basis.dB),
@@ -73,10 +84,16 @@ def build_dia_grid(basis, neta: int = 0) -> DiaGridOps:
         invhphi2=jnp.asarray(1.0 / (Rh**2 * sh**2)),
         sqeta=jnp.asarray(sx),
         gidx=jnp.asarray(basis.fem.gidx),
+        d2Bg=jnp.asarray(basis.d2B),
+        coth=jnp.asarray(ch / sh),
+        inv_sh2=jnp.asarray(1.0 / sh**2),
+        LLTT=jnp.asarray(LLTT),
+        TTmm=jnp.asarray(TTmm),
     )
 
 
-def _fields_dia(g: DiaGridOps, P4p: jnp.ndarray, need_tau: bool = False):
+def _fields_dia(g: DiaGridOps, P4p: jnp.ndarray, need_tau: bool = False,
+                need_lapl: bool = False):
     gi = g.gidx
     Pg = P4p[:, :, gi[:, :, None], gi[:, None, :]]
     D1 = jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.Bg, g.Bg)
@@ -84,15 +101,27 @@ def _fields_dia(g: DiaGridOps, P4p: jnp.ndarray, need_tau: bool = False):
     rho = jnp.einsum("abeq,abt->eqt", D1, g.TT)
     drho_u = jnp.einsum("abeq,abt->eqt", Dmu, g.TT) * g.invh
     drho_v = jnp.einsum("abeq,abt->eqt", D1, g.dTT) * (g.sqeta[None, None, :] * g.invh)
-    tau = None
-    if need_tau:
+    tau = lapl = None
+    if need_tau or need_lapl:
         Ddd = jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.dBg, g.dBg)
         tau = 0.5 * (
             jnp.einsum("abeq,abt->eqt", Ddd, g.TT) * g.invh**2
             + jnp.einsum("abeq,abt->eqt", D1, g.dTT2) * g.invh**2
             + jnp.einsum("abeq,abt->eqt", D1, g.TTm2) * g.invhphi2[:, :, None]
         )
-    return rho, drho_u, drho_v, tau
+    if need_lapl:
+        # nabla^2 rho = sum_ab P_ab [chi_a nabla^2 chi_b + chi_b nabla^2
+        # chi_a + 2 grad chi_a . grad chi_b]; the bracketed one-particle
+        # laplacian factorizes via the associated-Legendre ODE (see
+        # DiaGridOps docstring), and the gradient-dot term is 4 tau
+        D2 = 2.0 * jnp.einsum("abeij,eqi,eqj->abeq", Pg, g.d2Bg, g.Bg)
+        lapl = (
+            jnp.einsum("abeq,abt->eqt", D2, g.TT)
+            + jnp.einsum("abeq,abt->eqt", Dmu, g.TT) * g.coth[:, :, None]
+            - jnp.einsum("abeq,abt->eqt", D1, g.LLTT)
+            - jnp.einsum("abeq,abt->eqt", D1, g.TTmm) * g.inv_sh2[:, :, None]
+        ) * g.invh**2 + 4.0 * tau
+    return rho, drho_u, drho_v, tau, lapl
 
 
 def eval_fxc_dia(funcs, g: DiaGridOps, ops, Pa, Pb, thr: float = 1e-12):
@@ -104,23 +133,26 @@ def eval_fxc_dia(funcs, g: DiaGridOps, ops, Pa, Pb, thr: float = 1e-12):
         P4 = P.reshape(nang, nrad, nang, nrad).transpose(0, 2, 1, 3)
         return jnp.pad(P4, ((0, 0), (0, 0), (0, 1), (0, 1)))
 
-    mgga = any(f.family == "mgga" for f in funcs)
+    lapl = any(f.family == "mggal" for f in funcs)
+    mgga = lapl or any(f.family == "mgga" for f in funcs)
     gga = mgga or any(f.family != "lda" for f in funcs)
-    ra, ua, va, ta = _fields_dia(g, to4p(Pa), mgga)
-    rb, ub, vb, tb = _fields_dia(g, to4p(Pb), mgga)
+    ra, ua, va, ta, la = _fields_dia(g, to4p(Pa), mgga, lapl)
+    rb, ub, vb, tb, lb = _fields_dia(g, to4p(Pb), mgga, lapl)
     saa = ua * ua + va * va
     sab = ua * ub + va * vb
     sbb = ub * ub + vb * vb
-    out = xc_eval(funcs, ra, rb, saa, sab, sbb, thr, ta=ta, tb=tb)
-    if mgga:
+    out = xc_eval(funcs, ra, rb, saa, sab, sbb, thr, ta=ta, tb=tb, la=la, lb=lb)
+    vta = vtb = vla = vlb = None
+    if lapl:
+        e, vra, vrb, vsaa, vsab, vsbb, vta, vtb, vla, vlb = out
+    elif mgga:
         e, vra, vrb, vsaa, vsab, vsbb, vta, vtb = out
     else:
         e, vra, vrb, vsaa, vsab, vsbb = out
-        vta = vtb = None
     Exc = jnp.sum(g.w * e)
     Nel = jnp.sum(g.w * (ra + rb))
 
-    def fock(vr, gu, gv, vt):
+    def fock(vr, gu, gv, vt, vl):
         A1 = jnp.einsum("eqt,abt->abeq", g.w * vr, g.TT)
         Fel = jnp.einsum("abeq,eqi,eqj->abeij", A1, g.Bg, g.Bg)
         if gga:
@@ -139,6 +171,29 @@ def eval_fxc_dia(funcs, g: DiaGridOps, ops, Pa, Pb, thr: float = 1e-12):
                 "eqt,abt->abeq", 0.5 * g.w * vt * g.invhphi2[:, :, None], g.TTm2
             )
             Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", T2, g.Bg, g.Bg)
+        if vl is not None:
+            # vlapl nabla^2(chi_A chi_B): one-particle laplacian pieces
+            # (symmetrized in A/B) plus twice the gradient-dot terms
+            wvl = g.w * vl * g.invh**2
+            L1 = jnp.einsum("eqt,abt->abeq", wvl, g.TT)
+            r2 = jnp.einsum("abeq,eqi,eqj->abeij", L1, g.d2Bg, g.Bg)
+            Fel = Fel + r2 + jnp.swapaxes(jnp.swapaxes(r2, 0, 1), 3, 4)
+            L1c = jnp.einsum("eqt,abt->abeq", wvl * g.coth[:, :, None], g.TT)
+            r1 = jnp.einsum("abeq,eqi,eqj->abeij", L1c, g.dBg, g.Bg)
+            Fel = Fel + r1 + jnp.swapaxes(jnp.swapaxes(r1, 0, 1), 3, 4)
+            L2 = jnp.einsum("eqt,abt->abeq", wvl, g.LLTT)
+            L2 = L2 + jnp.einsum(
+                "eqt,abt->abeq", wvl * g.inv_sh2[:, :, None], g.TTmm
+            )
+            Fel = Fel - jnp.einsum("abeq,eqi,eqj->abeij", L2, g.Bg, g.Bg)
+            # 2 grad(chi_A) . grad(chi_B) = 4 x the tau bilinears
+            T1 = jnp.einsum("eqt,abt->abeq", 2.0 * g.w * vl * g.invh**2, g.TT)
+            Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", T1, g.dBg, g.dBg)
+            T2 = jnp.einsum("eqt,abt->abeq", 2.0 * g.w * vl * g.invh**2, g.dTT2)
+            T2 = T2 + jnp.einsum(
+                "eqt,abt->abeq", 2.0 * g.w * vl * g.invhphi2[:, :, None], g.TTm2
+            )
+            Fel = Fel + jnp.einsum("abeq,eqi,eqj->abeij", T2, g.Bg, g.Bg)
         gi = g.gidx
         F4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
         F4 = F4.at[:, :, gi[:, :, None], gi[:, None, :]].add(Fel)
@@ -149,8 +204,8 @@ def eval_fxc_dia(funcs, g: DiaGridOps, ops, Pa, Pb, thr: float = 1e-12):
     gub = 2.0 * vsbb * ub + vsab * ua
     gvb = 2.0 * vsbb * vb + vsab * va
     m2 = ops.shellmask.reshape(-1)
-    Fa = fock(vra, gua, gva, vta) * m2[:, None] * m2[None, :]
-    Fb = fock(vrb, gub, gvb, vtb) * m2[:, None] * m2[None, :]
+    Fa = fock(vra, gua, gva, vta, vla) * m2[:, None] * m2[None, :]
+    Fb = fock(vrb, gub, gvb, vtb, vlb) * m2[:, None] * m2[None, :]
     return Fa, Fb, Exc, Nel
 
 

@@ -13,6 +13,7 @@ from helfem_tpu.ops.spherical import legendre_Pbar
 
 __all__ = [
     "potential_matrix_dia",
+    "finite_nucleus_Vnuc",
     "guess_hamiltonian_dia",
     "density_line",
     "density_grid",
@@ -44,6 +45,26 @@ def potential_matrix_dia(basis: DiatomicBasis, g: DiaGridOps, V) -> np.ndarray:
     out = out[:, :, :nrad, :nrad].transpose(0, 2, 1, 3).reshape(nang * nrad, nang * nrad)
     m2 = basis.shell_mask().reshape(-1)
     return out * m2[:, None] * m2[None, :]
+
+
+def finite_nucleus_Vnuc(
+    basis: DiatomicBasis,
+    model: str,
+    Rrms1: float,
+    Rrms2: float,
+    g: DiaGridOps | None = None,
+) -> np.ndarray:
+    """Nuclear attraction for finite-nucleus charge models evaluated on the
+    2D (mu, eta) quadrature grid (reference: src/diatomic/main.cpp:492-514,
+    qgrid.model_potential(pot1, pot2)). model in {'gaussian', 'spherical',
+    'hollow', 'regularized'}; Rrms1/Rrms2 are the per-nucleus rms radii."""
+    from helfem_tpu.models.atomic import nuclear_model_V
+
+    if g is None:
+        g = build_dia_grid(basis)
+    V1 = nuclear_model_V(model, basis.Z1, Rrms1) if basis.Z1 > 0 else (lambda r: 0.0 * r)
+    V2 = nuclear_model_V(model, basis.Z2, Rrms2) if basis.Z2 > 0 else (lambda r: 0.0 * r)
+    return potential_matrix_dia(basis, g, lambda r1, r2: V1(r1) + V2(r2))
 
 
 def guess_hamiltonian_dia(basis: DiatomicBasis, kind: str = "SAP") -> np.ndarray:

@@ -46,6 +46,31 @@ def eig_blocks_dia(ops: DiatomicOperators, F: jnp.ndarray):
 
 
 @jax.jit
+def eig_blocks_dia_shifted(ops: DiatomicOperators, F: jnp.ndarray,
+                           C_prev: jnp.ndarray, occ: jnp.ndarray, shift: float):
+    """Level-shifted blocked eigensolve: push the span of the previous
+    iteration's virtual orbitals up by `shift` via S Cv Cv^T S per block
+    (the sadatom/reference UpdateOrbitalsShifted stabilizer, applied here
+    to rough-potential functionals like BR89)."""
+    nbf = F.shape[0]
+    bi = ops.blk_idx
+    Fp = jnp.pad(F, ((0, 1), (0, 1)))
+    Fb = Fp[bi[:, :, None], bi[:, None, :]]
+    Sp = jnp.pad(ops.S, ((0, 1), (0, 1)))
+    Sb = Sp[bi[:, :, None], bi[:, None, :]]
+    virt = (occ <= 0.0).astype(F.dtype)
+    Cv = C_prev * virt[:, None, :]
+    SC = jnp.einsum("bpq,bqk->bpk", Sb, Cv)
+    Fb = Fb + shift * jnp.einsum("bpk,brk->bpr", SC, SC)
+    Forth = jnp.einsum("bpi,bpq,bqj->bij", ops.blk_sinvh, Fb, ops.blk_sinvh)
+    pad = (bi == nbf).astype(F.dtype)
+    Forth = Forth + _BIG * jnp.eye(bi.shape[1])[None] * pad[:, None, :]
+    E, V = eigh_refined(Forth)
+    C = jnp.einsum("bpi,bij->bpj", ops.blk_sinvh, V)
+    return E, C
+
+
+@jax.jit
 def density_dia(ops: DiatomicOperators, C: jnp.ndarray, occ: jnp.ndarray):
     nbf = ops.S.shape[0]
     Pb = jnp.einsum("bpk,bk,bqk->bpq", C, occ, C)
@@ -96,6 +121,7 @@ class DiaSCFResult:
     orbE_b: np.ndarray | None = None
     orbs_b: np.ndarray | None = None
     occ_b: np.ndarray | None = None
+    Efield: float = 0.0
 
 
 @lru_cache(maxsize=None)
@@ -141,11 +167,26 @@ def scf_diatomic(
     guess: str = "core",
     P0a: np.ndarray | None = None,
     P0b: np.ndarray | None = None,
+    Ez: float = 0.0,
+    Qzz: float = 0.0,
+    Bz: float = 0.0,
+    finitenuc: str = "point",
+    Rrms1: float = 0.0,
+    Rrms2: float = 0.0,
+    shift: float = 0.0,
 ) -> DiaSCFResult:
+    """Diatomic SCF. Ez/Qzz/Bz add the electric-dipole, quadrupole, and
+    magnetic (orbital Zeeman + diamagnetic + spin) field operators
+    (reference: src/diatomic/main.cpp Vel/Vmag wiring); finitenuc switches
+    the nuclear model, evaluated on the 2D quadrature grid
+    (main.cpp:492-514). shift > 0 level-shifts the virtual orbitals until
+    the DIIS error drops below 1e-3 (needed for rough-potential functionals
+    like BR89)."""
     from helfem_tpu.ops.xc import parse_method
 
     if ops is None:
-        ops = basis.build_operators()
+        # an axial electric field couples even and odd l: no g/u blocks then
+        ops = basis.build_operators(parity=(Ez == 0.0))
     nbf = basis.nbf
     funcs, kfrac = parse_method(method)
     g = None
@@ -153,10 +194,28 @@ def scf_diatomic(
         from helfem_tpu.models.diatomic_dft import build_dia_grid
 
         g = build_dia_grid(basis)
+
+    # extra one-electron terms folded into H0 (tracked as Efield)
+    Vextra = np.zeros((nbf, nbf))
+    mv = basis.shell_mask().reshape(-1)
+    if finitenuc != "point":
+        from helfem_tpu.models.diatomic_tools import finite_nucleus_Vnuc
+
+        Vextra += finite_nucleus_Vnuc(basis, finitenuc, Rrms1, Rrms2) - np.asarray(ops.Vnuc)
+    if Ez != 0.0:
+        Vextra += Ez * basis.dipole_z() * mv[:, None] * mv[None, :]
+    if Qzz != 0.0:
+        Vextra += (Qzz / 3.0) * basis.quadrupole_zz() * mv[:, None] * mv[None, :]
+    if Bz != 0.0:
+        Vextra += basis.Bz_field(Bz)
+    has_extra = np.abs(Vextra).max() > 0.0
+    Vextra_dev = jnp.asarray(Vextra)
+    if has_extra:
+        ops = ops._replace(H0=ops.H0 + Vextra_dev)
     fock = make_dia_fock(tuple(funcs), kfrac)
     Enucrep = basis.Z1 * basis.Z2 / basis.Rbond
 
-    restricted = nela == nelb
+    restricted = nela == nelb and Bz == 0.0
     if P0a is not None:
         # warm start from a density (e.g. a loaded checkpoint): build the
         # Fock of the supplied density and diagonalize it as the guess
@@ -189,7 +248,13 @@ def scf_diatomic(
         Pa = density_dia(ops, Ca, jnp.asarray(occa))
         Pb = Pa if restricted else density_dia(ops, Cb, jnp.asarray(occb))
         Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, g, Pa, Pb)
-        Etot = float(Ekin + Enuc + Ecoul + Exx + Exc) + Enucrep
+        Efield = float(jnp.vdot(Pa + Pb, Vextra_dev)) if has_extra else 0.0
+        if Bz != 0.0:
+            # spin Zeeman: -+ B/2 per spin (reference: main.cpp Fa/Fb -+ Bz/2 S)
+            Fa = Fa - 0.5 * Bz * ops.S
+            Fb = Fb + 0.5 * Bz * ops.S
+        Emag = -0.5 * Bz * (nela - nelb)
+        Etot = float(Ekin + Enuc + Ecoul + Exx + Exc) + Enucrep + Efield + Emag
         dE = Etot - Eold
         Eold = Etot
 
@@ -207,13 +272,26 @@ def scf_diatomic(
             converged = True
             break
 
-        Ea, Ca = eig_blocks_dia(ops, jnp.asarray(Fa_))
-        Ea = np.asarray(Ea)
-        if restricted:
-            Eb, Cb = Ea, Ca
+        if err > 1e-3 and shift != 0.0:
+            Ea, Ca = eig_blocks_dia_shifted(
+                ops, jnp.asarray(Fa_), Ca, jnp.asarray(occa), shift
+            )
+            Ea = np.asarray(Ea)
+            if restricted:
+                Eb, Cb = Ea, Ca
+            else:
+                Eb, Cb = eig_blocks_dia_shifted(
+                    ops, jnp.asarray(Fb_), Cb, jnp.asarray(occb), shift
+                )
+                Eb = np.asarray(Eb)
         else:
-            Eb, Cb = eig_blocks_dia(ops, jnp.asarray(Fb_))
-            Eb = np.asarray(Eb)
+            Ea, Ca = eig_blocks_dia(ops, jnp.asarray(Fa_))
+            Ea = np.asarray(Ea)
+            if restricted:
+                Eb, Cb = Ea, Ca
+            else:
+                Eb, Cb = eig_blocks_dia(ops, jnp.asarray(Fb_))
+                Eb = np.asarray(Eb)
 
     oe = np.sort(Ea.ravel())
     eb = np.sort(np.asarray(Eb).ravel())
@@ -233,6 +311,7 @@ def scf_diatomic(
         orbE_b=None if restricted else eb[eb < _BIG / 2],
         orbs_b=None if restricted else np.asarray(Cb),
         occ_b=None if restricted else occb,
+        Efield=Efield,
     )
 
 

@@ -89,7 +89,7 @@ def test_tau_matches_kinetic_dia():
         jnp.asarray(P).reshape(nang, nrad, nang, nrad).transpose(0, 2, 1, 3),
         ((0, 0), (0, 0), (0, 1), (0, 1)),
     )
-    rho, u, v, tau = _fields_dia(g, P4p, True)
+    rho, u, v, tau, _ = _fields_dia(g, P4p, True)
     Tgrid = float(jnp.sum(g.w * tau))
     Tref = float(np.vdot(P, np.asarray(ops.T)))
     assert abs(Tgrid - Tref) < 1e-10 * abs(Tref)

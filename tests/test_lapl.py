@@ -94,7 +94,7 @@ def test_br89_hydrogen_exact_on_grid():
 def test_br89_scf_smoke():
     """Exchange-only BR89 SCF on He converges to a sane energy."""
     b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=25.0, nelem=8, nnodes=10)
-    res = scf_atom(b, 1, 1, method="mgga_x_br89", convthr=1e-6, maxit=40)
+    res = scf_atom(b, 1, 1, method="mgga_x_br89", convthr=1e-6, maxit=160)
     assert res.converged
     # HF-quality exchange, no correlation: near the HF energy
     assert -2.95 < res.E < -2.80, res.E
