@@ -357,7 +357,13 @@ class DiatomicBasis:
 
     def compute_tei(self):
         """All radial TEI tables: in-element 4 families + disjoint moments,
-        indexed by the (L,|M|) channel list."""
+        indexed by the (L,|M|) channel list.
+
+        All contractions are batched over the full channel axis (the
+        reference's OpenMP-over-(L,M) loop, src/diatomic/basis.cpp:1166-1187,
+        becomes a handful of BLAS-backed einsums): at N2 lmax=12 that is
+        207 channels x nelem elements in a few seconds instead of thousands
+        of per-channel dispatches."""
         nelem, nq = self.mu.shape
         nprim = self.fem.nprim
         nlm = len(self.lm_map)
@@ -367,19 +373,21 @@ class DiatomicBasis:
         mu_in = self._mu_in
         ch_in = np.cosh(mu_in)
         sh_in = np.sinh(mu_in)
+        # channel-indexed P/Q slices: [nlm, nelem, nq(, nq)]
+        Ls = np.array([L for L, _ in self.lm_map])
+        Ms = np.array([Ma for _, Ma in self.lm_map])
+        Pc_out, Qc_out = P_out[Ls, Ms], Q_out[Ls, Ms]
+        Pc_in = P_in[Ls, Ms]
 
-        # disjoint moments: <B_i B_j sinh cosh^k {P,Q}_LM>_e
-        dP0 = np.empty((nlm, nelem, nprim, nprim))
-        dP2 = np.empty_like(dP0)
-        dQ0 = np.empty_like(dP0)
-        dQ2 = np.empty_like(dP0)
-        for i, (L, Ma) in enumerate(self.lm_map):
-            for k, out in [(0, (dP0, dQ0)), (2, (dP2, dQ2))]:
-                w = self.wmu * sh_out * ch_out**k
-                out[0][i] = np.einsum("eqi,eq,eqj->eij", self.B, w * P_out[L, Ma], self.B)
-                out[1][i] = np.einsum("eqi,eq,eqj->eij", self.B, w * Q_out[L, Ma], self.B)
+        # disjoint moments: <B_i B_j sinh cosh^k {P,Q}_LM>_e, batched over c
+        def dmom(tab, k):
+            w = (self.wmu * sh_out * ch_out**k)[None] * tab  # [c, e, q]
+            return np.einsum("eqi,ceq,eqj->ceij", self.B, w, self.B, optimize=True)
 
-        # in-element double quadrature (vectorized per element over segments)
+        dP0, dQ0 = dmom(Pc_out, 0), dmom(Qc_out, 0)
+        dP2, dQ2 = dmom(Pc_out, 2), dmom(Qc_out, 2)
+
+        # in-element double quadrature, batched over channels per element
         t00 = np.empty((nlm, nelem, nprim, nprim, nprim, nprim))
         t02 = np.empty_like(t00)
         t20 = np.empty_like(t00)
@@ -394,29 +402,28 @@ class DiatomicBasis:
             lo = np.concatenate([[self.fem.bval[e]], self.mu[e][:-1]])
             seg_hlen[e] = 0.5 * (self.mu[e] - lo)
 
-        for i, (L, Ma) in enumerate(self.lm_map):
-            for e in range(nelem):
-                wrk = {}
-                for l in (0, 2):
-                    wseg = (
-                        self.wq[None, :]
-                        * seg_hlen[e][:, None]
-                        * sh_in[e]
-                        * ch_in[e] ** l
-                        * P_in[L, Ma, e]
-                    )
-                    seg = np.einsum("pq,pqk,pql->pkl", wseg, Bin[e], Bin[e], optimize=True)
-                    inner = np.cumsum(seg, axis=0)
-                    for k in (0, 2):
-                        wout = self.wmu[e] * sh_out[e] * ch_out[e] ** k * Q_out[L, Ma, e]
-                        Bw = self.B[e] * wout[:, None]
-                        wrk[(k, l)] = np.einsum(
-                            "pi,pj,pkl->ijkl", Bw, self.B[e], inner, optimize=True
-                        )
-                t00[i, e] = wrk[(0, 0)] + wrk[(0, 0)].transpose(2, 3, 0, 1)
-                t02[i, e] = wrk[(0, 2)] + wrk[(2, 0)].transpose(2, 3, 0, 1)
-                t20[i, e] = wrk[(2, 0)] + wrk[(0, 2)].transpose(2, 3, 0, 1)
-                t22[i, e] = wrk[(2, 2)] + wrk[(2, 2)].transpose(2, 3, 0, 1)
+        np2 = nprim * nprim
+        tfam = {(0, 0): t00, (0, 2): t02, (2, 0): t20, (2, 2): t22}
+        shp = (nlm, nprim, nprim, nprim, nprim)
+        for e in range(nelem):
+            # inner-point pair products [p, q, kl] and outer pair products [p, ij]
+            BBin = (Bin[e][:, :, :, None] * Bin[e][:, :, None, :]).reshape(nq, nq, np2)
+            BBout = (self.B[e][:, :, None] * self.B[e][:, None, :]).reshape(nq, np2)
+            wbase = self.wq[None, None, :] * seg_hlen[e][None, :, None] * sh_in[e][None] * Pc_in[:, e]
+            wrk = {}
+            for l in (0, 2):
+                wseg = wbase * ch_in[e][None] ** l  # [c, p, q]
+                # segment integrals as p-batched GEMMs: [p,c,q] @ [p,q,kl]
+                seg = np.matmul(wseg.transpose(1, 0, 2), BBin)  # [p, c, kl]
+                inner = np.cumsum(seg, axis=0).transpose(1, 0, 2)  # [c, p, kl]
+                for k in (0, 2):
+                    wout = (self.wmu[e] * sh_out[e] * ch_out[e] ** k)[None] * Qc_out[:, e]
+                    # [c, ij, kl] = sum_p wout[c,p] BBout[p,ij] inner[c,p,kl]
+                    A = wout[:, :, None] * BBout[None]  # [c, p, ij]
+                    wrk[(k, l)] = np.matmul(A.transpose(0, 2, 1), inner)  # [c,ij,kl]
+            # symmetrize (ij)<->(kl): family (k,l) pairs with (l,k) transposed
+            for (k, l), t in tfam.items():
+                t[:, e] = (wrk[(k, l)] + wrk[(l, k)].transpose(0, 2, 1)).reshape(shp)
         return t00, t02, t20, t22, dP0, dP2, dQ0, dQ2
 
     # --- device constants ----------------------------------------------------------------

@@ -94,8 +94,24 @@ def legendre_PQ(
     computed in longdouble, where cosh(mu) itself would round to 1.0).
 
     theta_switch: points with arccosh(xi) * max(Lmax,1) < theta_switch use
-    the exact product identity for Q_l^0, others the downward recursion."""
+    the exact product identity for Q_l^0, others the downward recursion.
+
+    When mu is given and the native (C++ long double) kernel is available
+    it is used; it implements the identical algorithm (csrc/legendre_pq.cpp)
+    ~30x faster than the numpy-longdouble path. HELFEM_NO_NATIVE=1 forces
+    the numpy path."""
     if mu is not None:
+        import os
+
+        if os.environ.get("HELFEM_NO_NATIVE", "0") != "1" and theta_switch == 3.0:
+            from helfem_tpu.utils.native import legendre_pq as native_pq
+
+            mu64 = np.ascontiguousarray(mu, dtype=np.float64).ravel()
+            if np.any(mu64 <= 0.0):
+                raise ValueError("legendre_PQ requires mu > 0")
+            out = native_pq(Lmax, Mmax, mu64)
+            if out is not None:
+                return out
         mu = np.asarray(mu, dtype=LD)
         if np.any(mu <= 0.0):
             raise ValueError("legendre_PQ requires mu > 0")

@@ -28,8 +28,12 @@ def get_lib():
     _TRIED = True
     d = _csrc_dir()
     so = os.path.join(d, "libhelfem_tei.so")
-    src = os.path.join(d, "tei_kernel.cpp")
-    stale = os.path.exists(so) and os.path.exists(src) and os.path.getmtime(so) < os.path.getmtime(src)
+    srcs = [
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith((".cpp", ".h"))
+    ] + [os.path.join(d, "Makefile")]
+    stale = os.path.exists(so) and any(
+        os.path.exists(s) and os.path.getmtime(so) < os.path.getmtime(s) for s in srcs
+    )
     if not os.path.exists(so) or stale:
         try:
             subprocess.run(["make", "-C", d, "-B"], capture_output=True, timeout=120, check=True)
@@ -43,10 +47,33 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, dp, dp, dp, dp, dp,
         ]
         lib.tei_inelement.restype = None
+        lib.legendre_pq.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, dp, dp, dp,
+        ]
+        lib.legendre_pq.restype = None
         _LIB = lib
     except Exception:
         _LIB = None
     return _LIB
+
+
+def legendre_pq(Lmax: int, Mmax: int, mu):
+    """Native P_l^m/Q_l^m tables at mu = arccosh(xi) points: returns
+    (P, Q) of shape [Lmax+1, Mmax+1, npts], or None when the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mu = np.ascontiguousarray(mu, dtype=np.float64)
+    npts = mu.shape[0]
+    P = np.empty((Lmax + 1, Mmax + 1, npts))
+    Q = np.empty_like(P)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.legendre_pq(
+        Lmax, Mmax, npts,
+        mu.ctypes.data_as(dp), P.ctypes.data_as(dp), Q.ctypes.data_as(dp),
+    )
+    return P, Q
 
 
 def tei_inelement(rq, rin, win, wout, Bout, Bin, NL):
