@@ -29,7 +29,7 @@ from helfem_tpu.models.atomic import (
 )
 from helfem_tpu.models.atomic_dft import build_dft_grid, eval_fxc
 from helfem_tpu.ops.xc import parse_method_rs
-from helfem_tpu.scf.diis import DIIS
+from helfem_tpu.scf.diis import DIIS, device_diis_step
 from helfem_tpu.scf.guess import potential
 from helfem_tpu.utils.linalg import (
     _BIG,
@@ -170,27 +170,7 @@ def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
         FPS = Fa @ Pa @ ops.S
         err = Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full
         errmax = jnp.max(jnp.abs(err))
-        H = histF.shape[0]
-        slot = count % H
-        histF = histF.at[slot].set(Fa)
-        histE = histE.at[slot].set(err.ravel())
-        count = count + 1
-        valid = jnp.arange(H) < count
-        B = histE @ histE.T
-        # invalid-slot padding scaled relative to B; solve with the refined
-        # eigh (the raw TPU kernel's error is relative to ||B||)
-        bscale = jnp.max(jnp.where(valid, jnp.diagonal(B), 0.0)) + 1e-300
-        B = jnp.where(valid[:, None] & valid[None, :], B, 1e4 * bscale * jnp.eye(H))
-        w, V = eigh_refined(B)
-        s = jnp.sum(jnp.where(valid[:, None], V, 0.0), axis=0)
-        safe = jnp.abs(s) > 1e-10
-        c = V / jnp.where(safe, s, 1.0)[None, :]
-        cerr = jnp.einsum("ik,ij,jk->k", c, B, c)
-        bad = (~safe) | (jnp.max(jnp.abs(c), axis=0) > 20.0)
-        cerr = jnp.where(bad, jnp.inf, cerr)
-        k = jnp.argmin(cerr)
-        wts = jnp.where(valid, c[:, k], 0.0)
-        Fuse = jnp.einsum("h,hij->ij", wts, histF)
+        Fuse, histF, histE, count = device_diis_step(histF, histE, count, Fa, err.ravel())
         E, Cn = eig_blocks(Fuse, blk_idx, blk_sinvh)
         return Cn, E, histF, histE, count, Etot, errmax, Nel, (Ekin, Enuc, Ecoul, Exx, Exc, Efield)
 
@@ -223,6 +203,55 @@ def make_fused_chunk(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
         )
         last = jax.tree.map(lambda x: x[-1], comps)
         return C, Es[-1], histF, histE, count, Etots, errs, Nels[-1], last
+
+    return chunk
+
+
+@lru_cache(maxsize=None)
+def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
+                       Bz: float = 0.0, dftthr: float = 1e-12, kshort: float = 0.0,
+                       kernel: str = "erfc"):
+    """Unrestricted analogue of make_fused_chunk: `nsteps` fully on-device
+    UHF/UDFT iterations per dispatch. The DIIS history stores spin-stacked
+    Fock pairs with the combined alpha+beta error vector (the reference's
+    uDIIS combined-error mode, src/general/diis.cpp)."""
+    fock = make_fock(funcs, kfrac, nrad, Bz, dftthr, restricted=False,
+                     kshort=kshort, kernel=kernel)
+
+    @jax.jit
+    def chunk(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occa, occb,
+              Ca, Cb, histF, histE, count):
+        def body(carry, _):
+            Ca, Cb, histF, histE, count = carry
+            Pa = density_blocks(Ca, occa, blk_idx, ops.S)
+            Pb = density_blocks(Cb, occb, blk_idx, ops.S)
+            Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(
+                ops, g, Vextra, rs, Pa, Pb
+            )
+            Etot = Ekin + Enuc + Ecoul + Exx + Exc + Efield
+
+            def errof(F, P):
+                FPS = F @ P @ ops.S
+                return (Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full).ravel()
+
+            err = jnp.concatenate([errof(Fa, Pa), errof(Fb, Pb)])
+            errmax = jnp.max(jnp.abs(err))
+            Fuse, histF, histE, count = device_diis_step(
+                histF, histE, count, jnp.stack([Fa, Fb]), err
+            )
+            Ea, Cna = eig_blocks(Fuse[0], blk_idx, blk_sinvh)
+            Eb, Cnb = eig_blocks(Fuse[1], blk_idx, blk_sinvh)
+            return (Cna, Cnb, histF, histE, count), (
+                Ea, Eb, Etot, errmax, Nel, (Ekin, Enuc, Ecoul, Exx, Exc, Efield)
+            )
+
+        (Ca, Cb, histF, histE, count), (Eas, Ebs, Etots, errs, Nels, comps) = jax.lax.scan(
+            body, (Ca, Cb, histF, histE, count), None, length=nsteps
+        )
+        last = jax.tree.map(lambda x: x[-1], comps)
+        return (
+            Ca, Cb, Eas[-1], Ebs[-1], histF, histE, count, Etots, errs, Nels[-1], last
+        )
 
     return chunk
 
@@ -349,7 +378,11 @@ def scf_atom(
     Etot = 0.0
     converged = False
     occa = occb = None
-    warmup = 2 if restricted else maxit
+    # fused on-device chunks engage after the host warmup for both the
+    # restricted and the plain-unrestricted paths; ROHF/CUHF needs the
+    # host-side NO-basis Fock coupling every iteration and stays on the
+    # host loop
+    warmup = maxit if rohf else 2
     fused = None
     hist = None
     it = 0
@@ -405,6 +438,48 @@ def scf_atom(
             # iterations inside the chunk are not counted; the returned
             # orbitals are from the END of the chunk (a few extra converged
             # iterations, which only tighten the result).
+            it += k
+            if converged or it >= maxit:
+                break
+            continue
+
+        if not restricted and it > warmup:
+            # unrestricted fused chunk (spin-stacked DIIS history)
+            if fused is None:
+                nhist = 10
+                CH = 4
+                fused = make_fused_chunk_u(tuple(funcs), kfrac, nrad, nhist, CH, Bz,
+                                           dftthr, kshort, kernel)
+                Sinvh_full = jnp.asarray(
+                    _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
+                )
+                hist = (
+                    jnp.zeros((nhist, 2, basis.nbf, basis.nbf)),
+                    jnp.zeros((nhist, 2 * basis.nbf * basis.nbf)),
+                    jnp.asarray(0),
+                )
+            Ca, Cb, Ea_d, Eb_d, hF, hE, cnt, Etots, errs, Nel, comps = fused(
+                ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full,
+                jnp.asarray(occa), jnp.asarray(occb), Ca, Cb, *hist
+            )
+            hist = (hF, hE, cnt)
+            Ea = np.asarray(Ea_d)
+            Eb = np.asarray(Eb_d)
+            Etots = np.asarray(Etots)
+            errs = np.asarray(errs)
+            Ekin, Enuc, Ecoul, Exx, Exc, Efield = comps
+            Emag = -0.5 * Bz * (nela - nelb)
+            k = 0
+            for k in range(len(Etots)):
+                Etot = float(Etots[k]) + Emag
+                err = float(errs[k])
+                dE = Etot - Eold
+                Eold = Etot
+                if verbose:
+                    print(f"iter {it + k:3d}  E = {Etot:+.12f}  dE = {dE:+.3e}  diis = {err:.3e} (fused)")
+                if err < convthr and abs(dE) < convthr:
+                    converged = True
+                    break
             it += k
             if converged or it >= maxit:
                 break

@@ -19,7 +19,7 @@ from helfem_tpu.models.diatomic import (
     coulomb_dia,
     exchange_dia,
 )
-from helfem_tpu.scf.diis import DIIS
+from helfem_tpu.scf.diis import DIIS, device_diis_step
 from helfem_tpu.utils.linalg import eigh_refined
 
 __all__ = ["scf_diatomic", "eig_blocks_dia", "density_dia"]
@@ -125,7 +125,11 @@ class DiaSCFResult:
 
 
 @lru_cache(maxsize=None)
-def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12):
+def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12, restricted: bool = False):
+    """Jitted diatomic Fock builder. With restricted=True, Pb is assumed
+    identical to Pa and the exchange operator is built once (it dominates
+    the Fock cost on TPU)."""
+
     @jax.jit
     def fock(ops: DiatomicOperators, g, Pa, Pb):
         P = Pa + Pb
@@ -135,7 +139,7 @@ def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12):
         Exx = 0.0
         if kfrac != 0.0:
             Ka = kfrac * exchange_dia(ops, Pa)
-            Kb = kfrac * exchange_dia(ops, Pb)
+            Kb = Ka if restricted else kfrac * exchange_dia(ops, Pb)
             Fa = Fa + Ka
             Fb = Fb + Kb
             Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
@@ -153,6 +157,64 @@ def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12):
         return Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel
 
     return fock
+
+
+@lru_cache(maxsize=None)
+def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
+                         dftthr: float = 1e-12, restricted: bool = True,
+                         Bz: float = 0.0):
+    """`nsteps` fully on-device diatomic SCF iterations in ONE jitted
+    lax.scan (density -> Fock -> device C2-DIIS -> blocked eigensolve),
+    the diatomic analogue of the atomic fused chunk: only per-iteration
+    (E, err) scalars reach the host, removing the per-iteration transfer
+    and dispatch latency that dominated the host-loop driver on TPU.
+    Occupations are frozen within a chunk (the host refreshes them
+    between chunks)."""
+    fock = make_dia_fock(funcs, kfrac, dftthr, restricted=restricted)
+
+    @jax.jit
+    def chunk(ops, g, Vextra, Sinvh_full, occa, occb, Ca, Cb, histF, histE, count):
+        def errof(F, P):
+            FPS = F @ P @ ops.S
+            return (Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full).ravel()
+
+        def body(carry, _):
+            Ca, Cb, histF, histE, count = carry
+            Pa = density_dia(ops, Ca, occa)
+            Pb = Pa if restricted else density_dia(ops, Cb, occb)
+            Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, g, Pa, Pb)
+            Efield = jnp.vdot(Pa + Pb, Vextra)
+            Etot = Ekin + Enuc + Ecoul + Exx + Exc + Efield
+            if Bz != 0.0:
+                # spin Zeeman -+ B/2 per spin (reference: main.cpp Fa/Fb)
+                Fa = Fa - 0.5 * Bz * ops.S
+                Fb = Fb + 0.5 * Bz * ops.S
+            if restricted:
+                err = errof(Fa, Pa)
+                F = Fa
+            else:
+                err = jnp.concatenate([errof(Fa, Pa), errof(Fb, Pb)])
+                F = jnp.stack([Fa, Fb])
+            errmax = jnp.max(jnp.abs(err))
+            Fuse, histF, histE, count = device_diis_step(histF, histE, count, F, err)
+            if restricted:
+                Ea, Cna = eig_blocks_dia(ops, Fuse)
+                Eb, Cnb = Ea, Cna
+            else:
+                Ea, Cna = eig_blocks_dia(ops, Fuse[0])
+                Eb, Cnb = eig_blocks_dia(ops, Fuse[1])
+            return (Cna, Cnb, histF, histE, count), (
+                Ea, Eb, Etot, errmax, Nel,
+                (Ekin, Enuc, Ecoul, Exx, Exc, Efield),
+            )
+
+        (Ca, Cb, histF, histE, count), (Eas, Ebs, Etots, errs, Nels, comps) = jax.lax.scan(
+            body, (Ca, Cb, histF, histE, count), None, length=nsteps
+        )
+        last = jax.tree.map(lambda x: x[-1], comps)
+        return Ca, Cb, Eas[-1], Ebs[-1], histF, histE, count, Etots, errs, Nels[-1], last
+
+    return chunk
 
 
 def scf_diatomic(
@@ -212,16 +274,17 @@ def scf_diatomic(
     Vextra_dev = jnp.asarray(Vextra)
     if has_extra:
         ops = ops._replace(H0=ops.H0 + Vextra_dev)
-    fock = make_dia_fock(tuple(funcs), kfrac)
     Enucrep = basis.Z1 * basis.Z2 / basis.Rbond
 
     restricted = nela == nelb and Bz == 0.0
+    fock = make_dia_fock(tuple(funcs), kfrac, restricted=restricted)
     if P0a is not None:
         # warm start from a density (e.g. a loaded checkpoint): build the
         # Fock of the supplied density and diagonalize it as the guess
         # (reference --load restart, src/diatomic/main.cpp).
         P0b_ = P0a if P0b is None else P0b
-        Fg_a, Fg_b, *_ = fock(ops, g, jnp.asarray(P0a), jnp.asarray(P0b_))
+        gfock = fock if P0b is None else make_dia_fock(tuple(funcs), kfrac)
+        Fg_a, Fg_b, *_ = gfock(ops, g, jnp.asarray(P0a), jnp.asarray(P0b_))
         Ea, Ca = eig_blocks_dia(ops, Fg_a)
         Ea = np.asarray(Ea)
         if restricted:
@@ -242,9 +305,59 @@ def scf_diatomic(
     diis = DIIS(np.asarray(ops.S), _full_sinvh(ops, nbf))
 
     Eold, Etot, converged = 0.0, 0.0, False
-    for it in range(1, maxit + 1):
+    # fused on-device chunks engage after a short host warmup; the level
+    # shift needs per-iteration host logic and keeps the host loop
+    warmup = 2 if shift == 0.0 else maxit
+    fused = None
+    hist = None
+    Nel = 0.0
+    Sinvh_full_dev = None
+    occa = occb = None
+    it = 0
+    while it < maxit:
+        it += 1
         occa = _aufbau_blocks(Ea, nela)
         occb = occa if restricted else _aufbau_blocks(Eb, nelb)
+
+        if it > warmup:
+            if fused is None:
+                nhist = 10
+                CH = 4
+                fused = make_dia_fused_chunk(
+                    tuple(funcs), kfrac, nhist, CH, 1e-12, restricted, Bz
+                )
+                Sinvh_full_dev = jnp.asarray(_full_sinvh(ops, nbf))
+                nerr = (1 if restricted else 2) * nbf * nbf
+                fshape = (nhist, nbf, nbf) if restricted else (nhist, 2, nbf, nbf)
+                hist = (jnp.zeros(fshape), jnp.zeros((nhist, nerr)), jnp.asarray(0))
+            Ca, Cb, Ea_d, Eb_d, hF, hE, cnt, Etots, errs, Nel, comps = fused(
+                ops, g, Vextra_dev, Sinvh_full_dev,
+                jnp.asarray(occa), jnp.asarray(occb), Ca, Cb, *hist
+            )
+            hist = (hF, hE, cnt)
+            Ea = np.asarray(Ea_d)
+            Eb = np.asarray(Eb_d)
+            Etots = np.asarray(Etots)
+            errs = np.asarray(errs)
+            Ekin, Enuc, Ecoul, Exx, Exc, Efield = comps
+            Emag = -0.5 * Bz * (nela - nelb)
+            k = 0
+            for k in range(len(Etots)):
+                Etot = float(Etots[k]) + Enucrep + Emag
+                err = float(errs[k])
+                dE = Etot - Eold
+                Eold = Etot
+                if verbose:
+                    print(f"iter {it + k:3d}  E = {Etot:+.12f}  dE = {dE:+.3e}  diis = {err:.3e} (fused)")
+                if err < convthr and abs(dE) < convthr:
+                    converged = True
+                    break
+            it += k
+            Efield = float(Efield)
+            if converged or it >= maxit:
+                break
+            continue
+
         Pa = density_dia(ops, Ca, jnp.asarray(occa))
         Pb = Pa if restricted else density_dia(ops, Cb, jnp.asarray(occb))
         Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, g, Pa, Pb)

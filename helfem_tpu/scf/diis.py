@@ -14,7 +14,46 @@ Host-side numpy: the stacks are tiny (history <= ~10 matrices).
 
 import numpy as np
 
-__all__ = ["DIIS"]
+__all__ = ["DIIS", "device_diis_step"]
+
+
+def device_diis_step(histF, histE, count, F, errv):
+    """Fully on-device C2-DIIS update (used inside the fused SCF chunks):
+    push (F, errv) into a circular history and return the extrapolated Fock.
+
+    F may carry any leading shape (e.g. [2, nbf, nbf] spin-stacked for
+    unrestricted SCF, matching the reference's combined-error uDIIS,
+    src/general/diis.cpp); histF is [H, *F.shape], histE is [H, nerr].
+    Invalid (not-yet-filled) history slots are masked by scaling the
+    error-overlap matrix diagonal, and the candidate eigenvector with the
+    smallest extrapolated error and bounded weights is selected -- the same
+    C2-DIIS selection as DIIS.solve()."""
+    import jax.numpy as jnp
+
+    from helfem_tpu.utils.linalg import eigh_refined
+
+    H = histF.shape[0]
+    slot = count % H
+    histF = histF.at[slot].set(F)
+    histE = histE.at[slot].set(errv)
+    count = count + 1
+    valid = jnp.arange(H) < count
+    B = histE @ histE.T
+    # invalid-slot padding scaled relative to B; solve with the refined
+    # eigh (the raw TPU kernel's error is relative to ||B||)
+    bscale = jnp.max(jnp.where(valid, jnp.diagonal(B), 0.0)) + 1e-300
+    B = jnp.where(valid[:, None] & valid[None, :], B, 1e4 * bscale * jnp.eye(H))
+    w, V = eigh_refined(B)
+    s = jnp.sum(jnp.where(valid[:, None], V, 0.0), axis=0)
+    safe = jnp.abs(s) > 1e-10
+    c = V / jnp.where(safe, s, 1.0)[None, :]
+    cerr = jnp.einsum("ik,ij,jk->k", c, B, c)
+    bad = (~safe) | (jnp.max(jnp.abs(c), axis=0) > 20.0)
+    cerr = jnp.where(bad, jnp.inf, cerr)
+    k = jnp.argmin(cerr)
+    wts = jnp.where(valid, c[:, k], 0.0)
+    Fuse = jnp.tensordot(wts, histF, axes=1)
+    return Fuse, histF, histE, count
 
 
 class DIIS:
