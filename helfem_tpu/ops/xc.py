@@ -159,10 +159,17 @@ def _ex_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0, *,
             kappa=0.804, mu=0.2195149727645171):
 
     def exs(r2, s2x4):
-        # E_x[rho] for the closed-shell density 2*rho_s with sigma 4*sigma_ss
-        kf = (3.0 * jnp.pi**2 * r2) ** (1.0 / 3.0)
-        exu = -3.0 * kf / (4.0 * jnp.pi)
-        s2 = s2x4 / (4.0 * kf**2 * r2**2 + _TINY)
+        # E_x[rho] for the closed-shell density 2*rho_s with sigma 4*sigma_ss.
+        # TPU f64 is emulated with the f32 exponent range (~1e+-38), so the
+        # reduced gradient is built from n^(-4/3) FACTORS (value <= 1e16,
+        # first derivative <= 1e28 for n >= 1e-12) instead of dividing by
+        # 4 kf^2 n^2 (~1e-22 in the tail), whose vjp squares the denominator
+        # and overflows to inf on device.
+        kf1 = (3.0 * jnp.pi**2) ** (1.0 / 3.0)
+        r13 = r2 ** (1.0 / 3.0)
+        exu = -3.0 * kf1 * r13 / (4.0 * jnp.pi)
+        inv43 = r2 ** (-4.0 / 3.0)
+        s2 = (s2x4 * inv43) * inv43 / (4.0 * kf1**2)
         Fx = 1.0 + kappa - kappa / (1.0 + mu * s2 / kappa)
         return r2 * exu * Fx
 
@@ -182,9 +189,12 @@ def _ec_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0, *,
     eps = _ec_pw92_eps(rho, zeta)
     phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
     sigma = saa + 2.0 * sab + sbb
-    kf = (3.0 * jnp.pi**2 * rho) ** (1.0 / 3.0)
-    ks = jnp.sqrt(4.0 * kf / jnp.pi)
-    t2 = sigma / (4.0 * phi**2 * ks**2 * rho**2 + _TINY)
+    # t2 = sigma / (4 phi^2 ks^2 rho^2) with ks^2 = 4 kf / pi, built from
+    # range-safe factors for the TPU f32-exponent f64 emulation (see _ex_pbe):
+    # sigma * rho^(-4/3) stays ~O(1) in exponential tails, rho^(-1) <= 1e12.
+    kf1 = (3.0 * jnp.pi**2) ** (1.0 / 3.0)
+    inv43 = rho ** (-4.0 / 3.0)
+    t2 = (sigma * inv43) / rho * (jnp.pi / (16.0 * kf1)) / (phi * phi)
     expo = jnp.exp(-eps / (gamma * phi**3))
     A = beta / gamma / (expo - 1.0 + _TINY)
     num = 1.0 + A * t2
@@ -203,7 +213,10 @@ def _ex_b88(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0, *, beta=0.0042):
 
     def exs(r, s):
         r43 = r ** (4.0 / 3.0)
-        x = jnp.sqrt(jnp.maximum(s, 0.0)) / (r43 + _TINY)
+        # x = |grad rho| / rho^(4/3) via a multiplicative inverse power
+        # (range-safe for the TPU f32-exponent f64 emulation, see _ex_pbe);
+        # the 1e-30 sigma floor keeps sqrt's derivative finite at sigma = 0
+        x = jnp.sqrt(jnp.maximum(s, 0.0) + 1e-30) * r ** (-4.0 / 3.0)
         corr = -beta * r43 * x * x / (1.0 + 6.0 * beta * x * jnp.arcsinh(x))
         lda = -0.75 * (6.0 / jnp.pi) ** (1.0 / 3.0) * r43
         return lda + corr
@@ -222,20 +235,32 @@ def _ec_lyp(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0):
     rho = ra + rb
     r13 = rho ** (-1.0 / 3.0)
     den = 1.0 + d * r13
-    omega = jnp.exp(-c * r13) / den * rho ** (-11.0 / 3.0)
     delta = c * r13 + d * r13 / den
     sigma = saa + 2.0 * sab + sbb
-    t1 = -a * 4.0 / den * ra * rb / rho
-    t2 = (
-        2.0 ** (11.0 / 3.0) * CF * (ra ** (8.0 / 3.0) + rb ** (8.0 / 3.0))
-        + (47.0 / 18.0 - 7.0 * delta / 18.0) * sigma
-        - (2.5 - delta / 18.0) * (saa + sbb)
-        - (delta - 11.0) / 9.0 * (ra * saa + rb * sbb) / rho
+    t1 = -a * 4.0 / den * (ra / rho) * rb
+    # The omega * (ra rb t2 + t3) term is algebraically refactored so the
+    # rho^(-11/3) weight multiplies each piece through O(1) spin ratios and
+    # rho^(-4/3)/rho^(-1/3) factors -- rho^(-11/3) itself overflows the TPU
+    # f32-exponent f64 emulation in exponential tails (see _ex_pbe).
+    xa, xb = ra / rho, rb / rho
+    inv43 = rho ** (-4.0 / 3.0)
+
+    def m53(q):  # q * rho^(-5/3), range-safe
+        return (q * inv43) * r13
+
+    T2 = (
+        2.0 ** (11.0 / 3.0) * CF * (xa ** (8.0 / 3.0) + xb ** (8.0 / 3.0)) * rho
+        + (47.0 / 18.0 - 7.0 * delta / 18.0) * m53(sigma)
+        - (2.5 - delta / 18.0) * m53(saa + sbb)
+        - (delta - 11.0) / 9.0 * m53(xa * saa + xb * sbb)
     )
-    t3 = -2.0 / 3.0 * rho**2 * sigma + (2.0 / 3.0 * rho**2 - ra**2) * sbb + (
-        2.0 / 3.0 * rho**2 - rb**2
-    ) * saa
-    return t1 - a * b * omega * (ra * rb * t2 + t3)
+    T3 = (
+        -2.0 / 3.0 * m53(sigma)
+        + (2.0 / 3.0 - xa * xa) * m53(sbb)
+        + (2.0 / 3.0 - xb * xb) * m53(saa)
+    )
+    omega0 = jnp.exp(-c * r13) / den
+    return t1 - a * b * omega0 * (xa * xb * T2 + T3)
 
 
 # ----------------------------------------------------------------------------
@@ -255,7 +280,7 @@ def _tpss_Fx(p, z, alpha):
     x = (
         (10.0 / 81.0 + c * z2 / (1.0 + z2) ** 2) * p
         + 146.0 / 2025.0 * qb * qb
-        - 73.0 / 405.0 * qb * jnp.sqrt(0.5 * (0.6 * z) ** 2 + 0.5 * p * p + _TINY**2)
+        - 73.0 / 405.0 * qb * jnp.sqrt(0.5 * (0.6 * z) ** 2 + 0.5 * p * p + 1e-30)
         + (1.0 / kappa) * (10.0 / 81.0) ** 2 * p * p
         + 2.0 * jnp.sqrt(e) * (10.0 / 81.0) * (0.6 * z) ** 2
         + e * mu * p**3
@@ -265,15 +290,24 @@ def _tpss_Fx(p, z, alpha):
 
 def _ex_tpss(ra, rb, saa, sab, sbb, ta, tb):
     def exs(r2, s4, t2):
-        # closed-shell quantities for the 2*rho_s density
-        kf = (3.0 * jnp.pi**2 * r2) ** (1.0 / 3.0)
-        exu = -3.0 * kf / (4.0 * jnp.pi)
-        p = s4 / (4.0 * kf**2 * r2**2 + _TINY)
+        # closed-shell quantities for the 2*rho_s density; reduced variables
+        # built from n^(-k/3) factors (k <= 5) so primal values and first
+        # derivatives stay inside the TPU f32-exponent f64-emulation range
+        # for n >= 1e-12 (see _ex_pbe)
+        kf1 = (3.0 * jnp.pi**2) ** (1.0 / 3.0)
+        exu = -3.0 * kf1 * r2 ** (1.0 / 3.0) / (4.0 * jnp.pi)
+        inv43 = r2 ** (-4.0 / 3.0)
+        inv53 = r2 ** (-5.0 / 3.0)
+        p = (s4 * inv43) * inv43 / (4.0 * kf1**2)
         tw = s4 / (8.0 * r2 + _TINY)  # von Weizsaecker
-        tunif = 0.3 * kf**2 * r2
         tau = jnp.maximum(t2, tw + _TINY)
-        z = jnp.clip(tw / tau, 0.0, 1.0)
-        alpha = jnp.maximum((tau - tw) / (tunif + _TINY), 0.0)
+        # z = tw/tau through tunif-scaled ratios: both scale like n^(5/3) in
+        # the tail, so the bare quotient's vjp squares a ~1e-20 denominator
+        # and overflows the TPU f32-exponent f64 emulation (see _ex_pbe)
+        tws = tw * inv53
+        taus = tau * inv53
+        z = jnp.clip(tws / jnp.maximum(taus, jnp.maximum(tws, 1e-15)), 0.0, 1.0)
+        alpha = jnp.maximum((tau - tw) * inv53 / (0.3 * kf1**2), 0.0)
         return r2 * exu * _tpss_Fx(p, z, alpha)
 
     return 0.5 * (exs(2.0 * ra, 4.0 * saa, 2.0 * ta) + exs(2.0 * rb, 4.0 * sbb, 2.0 * tb))
@@ -286,15 +320,24 @@ def _ec_tpss(ra, rb, saa, sab, sbb, ta, tb):
     tau = ta + tb
     sigma = saa + 2.0 * sab + sbb
     tw = sigma / (8.0 * rho + _TINY)
-    z = jnp.clip(tw / jnp.maximum(tau, tw + _TINY), 0.0, 1.0)
+    # z = tw/tau via tunif-scaled ratios (TPU range safety, see _ex_tpss)
+    inv53 = rho ** (-5.0 / 3.0)
+    tws = tw * inv53
+    taus = jnp.maximum(tau, tw + _TINY) * inv53
+    z = jnp.clip(tws / jnp.maximum(taus, jnp.maximum(tws, 1e-15)), 0.0, 1.0)
     zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-14, 1.0 - 1e-14)
     # C(zeta, xi)
     C0 = 0.53 + 0.87 * zeta**2 + 0.50 * zeta**4 + 2.26 * zeta**6
-    gz2 = 4.0 * (rb**2 * saa - 2.0 * ra * rb * sab + ra**2 * sbb) / (rho**4 + _TINY)
+    # |grad zeta|^2 from O(1) spin ratios and one rho^-2 factor (range-safe
+    # for the TPU f32-exponent f64 emulation; rho^4 underflows in the tail)
+    xa, xb = ra / rho, rb / rho
+    gz2 = 4.0 * (xb * xb * saa - 2.0 * xa * xb * sab + xa * xa * sbb) * rho ** (-2.0)
     kf = (3.0 * jnp.pi**2 * rho) ** (1.0 / 3.0)
     xi2 = gz2 / (4.0 * kf**2 + _TINY)
     fz = 0.5 * ((1.0 + zeta) ** (-4.0 / 3.0) + (1.0 - zeta) ** (-4.0 / 3.0))
-    C = C0 / (1.0 + xi2 * fz) ** 4
+    # (1 + xi2 fz)^4 can exceed the TPU f32-exponent range when one spin
+    # channel vanishes; the log1p form underflows gracefully to C = 0
+    C = C0 * jnp.exp(-4.0 * jnp.log1p(xi2 * fz))
     # epsilon_c^PBE of the full density (per particle)
     eps = _ec_pbe(ra, rb, saa, sab, sbb) / rho
     # per-spin fully polarized PBE epsilon, tilde constraint. The inputs are
@@ -325,7 +368,9 @@ def _br89_solve_x(y):
     log form, so the derivative flows through the converged Newton step
     (the implicit-function derivative)."""
     neg = y < 0.0
-    ys = jnp.where(jnp.abs(y) > 1e-300, y, jnp.where(neg, -1e-300, 1e-300))
+    # 1e-30 floor: the smallest magnitude representable under the TPU
+    # f32-exponent f64 emulation (1e-300 would flush to zero there)
+    ys = jnp.where(jnp.abs(y) > 1e-30, y, jnp.where(neg, -1e-30, 1e-30))
 
     def g(x):
         return x * jnp.exp(-2.0 * x / 3.0) / (x - 2.0)
@@ -362,13 +407,16 @@ def _ex_br89(ra, rb, saa, sab, sbb, ta, tb, la, lb, *, gamma=0.8):
     def exs(r, s, t, l):
         D = 2.0 * t - 0.25 * s / (r + _TINY)
         Q = (l - 2.0 * gamma * D) / 6.0
-        Qs = jnp.where(jnp.abs(Q) > _TINY, Q, _TINY)
+        # floors at 1e-15: a divisor below ~1e-19 overflows when the vjp
+        # squares it under the TPU f32-exponent f64 emulation (see _ex_pbe);
+        # |Q| ~ 1e-15 only in far tails where the hole model saturates anyway
+        Qs = jnp.where(jnp.abs(Q) > 1e-15, Q, jnp.where(Q < 0.0, -1e-15, 1e-15))
         y = (2.0 / 3.0) * jnp.pi ** (2.0 / 3.0) * r ** (5.0 / 3.0) / Qs
         x = _br89_solve_x(y)
         ex = jnp.exp(-x)
         b3 = x**3 * ex / (8.0 * jnp.pi * r + _TINY)
         b = jnp.cbrt(b3)
-        U = -(1.0 - ex - 0.5 * x * ex) / (b + _TINY)
+        U = -(1.0 - ex - 0.5 * x * ex) / (b + 1e-15)
         return 0.5 * r * U
 
     return exs(ra, saa, ta, la) + exs(rb, sbb, tb, lb)
@@ -594,9 +642,15 @@ def xc_eval(funcs, ra, rb, saa, sab, sbb, thr: float = 1e-12, ta=None, tb=None,
     mask = (ra + rb) > thr
     rs = jnp.where(mask, ra, 1.0)
     rbs = jnp.where(mask, rb, 1.0)
+    # per-spin density floor at thr (the analogue of libxc's
+    # xc_func_set_dens_threshold, applied per spin channel): at a live point
+    # one spin can still be arbitrarily small, and n^(-4/3)-type reduced
+    # variables overflow the TPU f32-exponent f64 emulation below ~1e-12;
+    # the spurious contribution of a floored channel is O(thr^(4/3)) per
+    # point -- far below quadrature accuracy
     args = [
-        jnp.maximum(rs, _TINY),
-        jnp.maximum(rbs, _TINY),
+        jnp.maximum(rs, thr),
+        jnp.maximum(rbs, thr),
         jnp.maximum(saa, 0.0),
         sab,
         jnp.maximum(sbb, 0.0),
