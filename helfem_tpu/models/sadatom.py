@@ -75,11 +75,12 @@ class SadAtomBasis:
     nquad: int = 0
     igrid: int = 4
     zexp: float = 2.0
+    primbas: int = 4
 
     rb: RadialBasis = field(init=False)
 
     def __post_init__(self):
-        poly = get_basis(4, self.nnodes)
+        poly = get_basis(self.primbas, self.nnodes)
         if self.nquad == 0:
             self.nquad = 5 * self.nnodes
         bval = get_grid(self.rmax, self.nelem, self.igrid, self.zexp)
@@ -421,32 +422,62 @@ def coulomb_screening(basis: SadAtomBasis, Prad: np.ndarray) -> np.ndarray:
     return (V * rb.r).ravel()
 
 
-def xc_screening(basis: SadAtomBasis, Prad: np.ndarray, funcs) -> np.ndarray:
-    """r * v_xc(r) for LDA-family functionals (GGA potential export needs the
-    gradient-divergence correction; deferred)."""
+def _mult_vxc_radial(funcs, na, nb, dna, dnb, lna, lnb, r, thr: float = 1e-12):
+    """Multiplicative xc potential per spin on the radial grid,
+
+        v_s = dE/dn_s - div(2 v_sigma_ss grad n_s + v_sigma_st grad n_t),
+
+    with the divergence in spherical symmetry div A = dA/dr + 2A/r and the
+    radial derivative of v_sigma taken by ONE jax.jvp through the functional
+    (replacing the reference's explicit libxc v2rhosigma/v2sigma2 chain rule,
+    src/sadatom/basis.cpp:1289-1463). LDA functionals contribute zero
+    v_sigma and fall out naturally; meta-GGAs have no multiplicative
+    potential and raise (as the reference does)."""
+    import jax
     import jax.numpy as jnp
 
-    if any(f.family != "lda" for f in funcs):
-        raise NotImplementedError("xc_screening: only LDA-family potentials")
+    if any(f.family not in ("lda", "gga") for f in funcs):
+        raise NotImplementedError("multiplicative xc potential: LDA/GGA only")
+    na, nb = jnp.asarray(na), jnp.asarray(nb)
+    dna, dnb = jnp.asarray(dna), jnp.asarray(dnb)
+    # pure second radial derivative from the full laplacian: n'' = lapl - 2 n'/r
+    d2na = jnp.asarray(lna) - 2.0 * dna / r
+    d2nb = jnp.asarray(lnb) - 2.0 * dnb / r
+
+    def pots(args):
+        out = xc_eval(funcs, *args, thr=thr)
+        return jnp.stack(out[1:6])  # vra, vrb, vsaa, vsab, vsbb
+
+    prim = (na, nb, dna * dna, dna * dnb, dnb * dnb)
+    tang = (dna, dnb, 2.0 * dna * d2na, d2na * dnb + dna * d2nb, 2.0 * dnb * d2nb)
+    V, dV = jax.jvp(pots, (prim,), (tang,))
+    vra, vrb, vsaa, vsab, vsbb = V
+    _, _, dvsaa, dvsab, dvsbb = dV
+    Aa = 2.0 * vsaa * dna + vsab * dnb
+    Ab = 2.0 * vsbb * dnb + vsab * dna
+    dAa = 2.0 * (dvsaa * dna + vsaa * d2na) + dvsab * dnb + vsab * d2nb
+    dAb = 2.0 * (dvsbb * dnb + vsbb * d2nb) + dvsab * dna + vsab * d2na
+    va = vra - (dAa + 2.0 * Aa / r)
+    vb = vrb - (dAb + 2.0 * Ab / r)
+    return np.asarray(va), np.asarray(vb)
+
+
+def xc_screening(basis: SadAtomBasis, Prad: np.ndarray, funcs) -> np.ndarray:
+    """r * v_xc(r) for LDA and GGA functionals (reference: sadatom
+    TwoDBasis::xc_screening, src/sadatom/basis.cpp:1284-1288, incl. the
+    GGA gradient-divergence correction)."""
     r, n, dn, ln, w = radial_density(basis, Prad)
-    half = jnp.asarray(n / 2.0)
-    z = jnp.zeros_like(half)
-    _, vra, *_ = xc_eval(funcs, half, half, z, z, z)
-    return r * np.asarray(vra)
+    va, vb = _mult_vxc_radial(funcs, n / 2, n / 2, dn / 2, dn / 2, ln / 2, ln / 2, r)
+    return r * 0.5 * (va + vb)
 
 
 def xc_screening_polarized(basis: SadAtomBasis, Prad_a: np.ndarray, Prad_b: np.ndarray, funcs):
-    """(r*vxc_a, r*vxc_b) for spin-polarized densities (LDA-family; reference:
-    sadatom TwoDBasis::xc_screening(Pa,Pb,...), src/sadatom/basis.cpp)."""
-    import jax.numpy as jnp
-
-    if any(f.family != "lda" for f in funcs):
-        raise NotImplementedError("xc_screening: only LDA-family potentials")
-    r, na, *_ = radial_density(basis, Prad_a)
-    _, nb, *_ = radial_density(basis, Prad_b)
-    z = jnp.zeros_like(jnp.asarray(na))
-    _, vra, vrb, *_ = xc_eval(funcs, jnp.asarray(na), jnp.asarray(nb), z, z, z)
-    return r * np.asarray(vra), r * np.asarray(vrb)
+    """(r*vxc_a, r*vxc_b) for spin-polarized densities, LDA/GGA (reference:
+    sadatom TwoDBasis::xc_screening(Pa,Pb,...), src/sadatom/basis.cpp:1289)."""
+    r, na, dna, lna, _ = radial_density(basis, Prad_a)
+    _, nb, dnb, lnb, _ = radial_density(basis, Prad_b)
+    va, vb = _mult_vxc_radial(funcs, na, nb, dna, dnb, lna, lnb, r)
+    return r * va, r * vb
 
 
 def potential_table(
@@ -529,17 +560,13 @@ def electron_count_radius(basis: SadAtomBasis, Prad: np.ndarray, nel_inside: flo
 
 def xc_potential_table(basis: SadAtomBasis, Pla, Plb, funcs):
     """(r, vxc_a, vxc_b) on the radial grid for potential export (reference:
-    SCFSolver::XCPotential -> xcpot.dat). LDA-family potentials only."""
-    if any(f.family != "lda" for f in funcs):
-        raise NotImplementedError("potential export: LDA-family only")
-    import jax.numpy as jnp
-
-    r, na, *_ = radial_density(basis, Pla.sum(axis=0))
-    _, nb, *_ = radial_density(basis, Plb.sum(axis=0))
-    z = jnp.zeros_like(jnp.asarray(na))
-    _, vra, vrb, *_ = xc_eval(funcs, jnp.asarray(na), jnp.asarray(nb), z, z, z)
+    SCFSolver::XCPotential -> xcpot.dat). LDA and GGA functionals (the
+    multiplicative GGA potential via the divergence correction)."""
+    r, na, dna, lna, _ = radial_density(basis, Pla.sum(axis=0))
+    _, nb, dnb, lnb, _ = radial_density(basis, Plb.sum(axis=0))
+    va, vb = _mult_vxc_radial(funcs, na, nb, dna, dnb, lna, lnb, r)
     order = np.argsort(r)
-    return r[order], np.asarray(vra)[order], np.asarray(vrb)[order]
+    return r[order], va[order], vb[order]
 
 
 def sap_potential_table(Z: int, method: str = "lda_x", lmax: int = 3, **kw):

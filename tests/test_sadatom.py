@@ -215,3 +215,68 @@ def test_fixed_occs_solve():
     assert res.converged
     assert list(res.occs) == [7, 12, 5]
     assert len(res.conf_list) == 1
+
+
+def test_gga_xc_potential_is_functional_derivative():
+    """The exported GGA potential must be the true functional derivative:
+    dE_xc under a density perturbation = int v_xc dn 4 pi r^2 dr (validates
+    the divergence correction; reference: src/sadatom/basis.cpp:1289-1463).
+
+    The perturbation is localized to interior elements: at the nucleus the
+    pointwise GGA potential has the well-known cusp divergence (the
+    reference 'skips the nucleus' in its correction loop for the same
+    reason) and integration by parts picks up boundary terms there."""
+    import jax.numpy as jnp
+
+    from helfem_tpu.models.sadatom import radial_density, xc_screening_polarized
+    from helfem_tpu.ops.xc import parse_method, xc_eval
+
+    b = SadAtomBasis(Z=10, lmax=1, nelem=8, nnodes=10)
+    res = solve_sadatom(b, 10, method="PBE", convthr=1e-7)
+    assert res.converged
+    funcs, _ = parse_method("PBE")
+    P = res.Pl.sum(axis=0)
+    nrad = P.shape[0]
+
+    def exc_of(Prad):
+        r, n, dn, _, w = radial_density(b, Prad)
+        h, dh = jnp.asarray(n / 2), jnp.asarray(dn / 2)
+        s = dh * dh
+        e, *_ = xc_eval(funcs, h, h, s, s, s)
+        return float(np.sum(np.asarray(e) * w))
+
+    # symmetric dP over basis functions of interior elements only
+    gidx = b.rb.fem.gidx
+    sel = sorted(set(int(i) for i in gidx[2:5].ravel() if i < nrad))
+    rng = np.random.default_rng(3)
+    v = np.zeros(nrad)
+    v[sel] = rng.normal(size=len(sel))
+    dP = 1e-4 * (np.outer(v, v) / nrad + 0.01 * np.diag(np.abs(v)))
+    dE_fd = (exc_of(P + dP) - exc_of(P - dP)) / 2.0
+
+    r, _, _, _, w = radial_density(b, P)
+    _, dn_pert, _, _, _ = radial_density(b, dP)
+    rva, _ = xc_screening_polarized(b, P / 2, P / 2, funcs)
+    vxc = rva / r
+    assert np.all(np.isfinite(vxc))
+    dE_lin = float(np.sum(vxc * dn_pert * w))
+    assert abs(dE_fd - dE_lin) < 1e-4 * abs(dE_fd)
+
+
+def test_gga_potential_matches_lda_when_gradient_free():
+    """With an LDA functional the GGA machinery must reduce exactly to the
+    LDA potential (vsigma = 0 path through the jvp)."""
+    from helfem_tpu.models.sadatom import radial_density, xc_screening
+    from helfem_tpu.ops.xc import parse_method, xc_eval
+    import jax.numpy as jnp
+
+    b = SadAtomBasis(Z=10, lmax=1, nelem=6, nnodes=8)
+    res = solve_sadatom(b, 10, method="LDA", convthr=1e-7)
+    funcs, _ = parse_method("LDA")
+    P = res.Pl.sum(axis=0)
+    r, n, *_ = radial_density(b, P)
+    half = jnp.asarray(n / 2)
+    z = jnp.zeros_like(half)
+    _, vra, *_ = xc_eval(funcs, half, half, z, z, z)
+    rv = xc_screening(b, P, funcs)
+    assert np.abs(rv - r * np.asarray(vra)).max() < 1e-12
