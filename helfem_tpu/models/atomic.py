@@ -27,7 +27,7 @@ import numpy as np
 
 from helfem_tpu.ops.fem import FEMBasis
 from helfem_tpu.ops.gaunt import gaunt_table
-from helfem_tpu.ops.grids import get_grid
+from helfem_tpu.ops.grids import form_grid, get_grid
 from helfem_tpu.ops.polynomials import get_basis
 from helfem_tpu.ops.radial import RadialBasis
 
@@ -108,6 +108,19 @@ class AtomicBasis:
     igrid: int = 4
     zexp: float = 2.0
     primbas: int = 4
+    # grid-construction variants (reference: src/atomic/basis.cpp:56-167);
+    # nelem0 > 0 activates the finite-nucleus sub-grid (with finitenuc/Rrms)
+    # or the off-center boundary sections (with Zl/Zr/Rmid); conf_boundary
+    # inserts an element boundary at the confinement onset radius
+    finitenuc: str = "point"
+    Rrms: float = 0.0
+    nelem0: int = 0
+    igrid0: int = 2
+    zexp0: float = 2.0
+    Zl: int = 0
+    Zr: int = 0
+    Rmid: float = 0.0
+    conf_boundary: float = 0.0
 
     lval: np.ndarray = field(init=False)
     mval: np.ndarray = field(init=False)
@@ -118,7 +131,11 @@ class AtomicBasis:
         poly = get_basis(self.primbas, self.nnodes)
         if self.nquad == 0:
             self.nquad = 5 * self.nnodes
-        bval = get_grid(self.rmax, self.nelem, self.igrid, self.zexp)
+        bval = form_grid(
+            self.finitenuc, self.Rrms, self.nelem, self.rmax, self.igrid,
+            self.zexp, self.nelem0, self.igrid0, self.zexp0, self.Z,
+            self.Zl, self.Zr, self.Rmid, self.conf_boundary,
+        )
         fem = FEMBasis(poly, bval, drop_first=True, drop_last=True)
         self.rb = RadialBasis(fem, self.nquad)
 

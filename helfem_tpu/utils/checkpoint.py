@@ -28,6 +28,9 @@ def save_atomic(path: str, basis, res) -> None:
         Z=basis.Z, lmax=basis.lmax, mmax=basis.mmax, rmax=basis.rmax,
         nelem=basis.nelem, nnodes=basis.nnodes, nquad=basis.nquad,
         igrid=basis.igrid, zexp=basis.zexp, primbas=basis.primbas,
+        finitenuc=basis.finitenuc, Rrms=basis.Rrms, nelem0=basis.nelem0,
+        igrid0=basis.igrid0, zexp0=basis.zexp0, Zl=basis.Zl, Zr=basis.Zr,
+        Rmid=basis.Rmid, conf_boundary=basis.conf_boundary,
         converged=res.converged, E=res.E,
         orbE_a=res.orbE_a, orbs_a=res.orbs_a, occ_a=res.occ_a,
         orbE_b=_opt(res.orbE_b), orbs_b=_opt(res.orbs_b), occ_b=_opt(res.occ_b),
@@ -44,6 +47,15 @@ def load_atomic(path: str):
         rmax=float(d["rmax"]), nelem=int(d["nelem"]), nnodes=int(d["nnodes"]),
         nquad=int(d["nquad"]), igrid=int(d["igrid"]), zexp=float(d["zexp"]),
         primbas=int(d["primbas"]) if "primbas" in d else 4,
+        finitenuc=str(d["finitenuc"]) if "finitenuc" in d else "point",
+        Rrms=float(d["Rrms"]) if "Rrms" in d else 0.0,
+        nelem0=int(d["nelem0"]) if "nelem0" in d else 0,
+        igrid0=int(d["igrid0"]) if "igrid0" in d else 2,
+        zexp0=float(d["zexp0"]) if "zexp0" in d else 2.0,
+        Zl=int(d["Zl"]) if "Zl" in d else 0,
+        Zr=int(d["Zr"]) if "Zr" in d else 0,
+        Rmid=float(d["Rmid"]) if "Rmid" in d else 0.0,
+        conf_boundary=float(d["conf_boundary"]) if "conf_boundary" in d else 0.0,
     )
     return basis, dict(d)
 
@@ -58,6 +70,7 @@ def save_diatomic(path: str, basis, res) -> None:
         lmax=np.asarray(basis.lmax, dtype=np.int64),
         rmax=basis.rmax, nelem=basis.nelem, nnodes=basis.nnodes,
         nquad=basis.nquad, igrid=basis.igrid, zexp=basis.zexp,
+        primbas=basis.primbas,
         converged=res.converged, E=res.E,
         orbE_a=res.orbE_a, orbs_a=_opt(res.orbs_a), occ_a=_opt(res.occ_a),
         orbE_b=_opt(res.orbE_b), orbs_b=_opt(res.orbs_b), occ_b=_opt(res.occ_b),
@@ -75,6 +88,7 @@ def load_diatomic(path: str):
         lmax=tuple(int(l) for l in d["lmax"]),
         rmax=float(d["rmax"]), nelem=int(d["nelem"]), nnodes=int(d["nnodes"]),
         nquad=int(d["nquad"]), igrid=int(d["igrid"]), zexp=float(d["zexp"]),
+        primbas=int(d["primbas"]) if "primbas" in d else 4,
     )
     return basis, dict(d)
 
@@ -87,7 +101,7 @@ def save_sadatom(path: str, basis, res) -> None:
         kind="sadatom",
         Z=basis.Z, lmax=basis.lmax, rmax=basis.rmax,
         nelem=basis.nelem, nnodes=basis.nnodes, nquad=basis.nquad,
-        igrid=basis.igrid, zexp=basis.zexp,
+        igrid=basis.igrid, zexp=basis.zexp, primbas=basis.primbas,
         converged=res.converged, E=res.E,
         occs=res.occs, occs_b=_opt(res.occs_b),
         orbE=res.orbE, orbs=res.orbs, Pl=res.Pl,
@@ -104,6 +118,7 @@ def load_sadatom(path: str):
         Z=int(d["Z"]), lmax=int(d["lmax"]), rmax=float(d["rmax"]),
         nelem=int(d["nelem"]), nnodes=int(d["nnodes"]), nquad=int(d["nquad"]),
         igrid=int(d["igrid"]), zexp=float(d["zexp"]),
+        primbas=int(d["primbas"]) if "primbas" in d else 4,
     )
     return basis, dict(d)
 
@@ -134,6 +149,41 @@ def cross_radial_overlap(rb_new, rb_old) -> np.ndarray:
             blk = np.einsum("qi,q,qj->ij", Ba, wq * hl, Bb)
             S[np.ix_(fa.gidx[ie], fb.gidx[je])] += blk
     return S[: fa.nbf, : fb.nbf]
+
+
+def warm_start_density(basis_new, basis_old, d: dict):
+    """(P0a, P0b) warm-start densities in the NEW atomic basis from a loaded
+    checkpoint dict: old block orbitals are cross-projected per (l,m) shell
+    and contracted with the stored occupations (the reference's --load
+    orbital-projection restart, src/atomic/main.cpp:507-609). P0b is None
+    for restricted checkpoints. Requires per-(l,m) blocks (symm=2 runs)."""
+    nang_old = len(basis_old.lval)
+    if d["orbs_a"].shape[0] != nang_old:
+        raise ValueError("checkpoint was not written with (l,m) symmetry blocks")
+    new_shell = {
+        (int(l), int(m)): a
+        for a, (l, m) in enumerate(zip(basis_new.lval, basis_new.mval))
+    }
+    nrad, nbf = basis_new.nrad, basis_new.nbf
+
+    def build(C_blocks, occ):
+        Cp = project_orbitals(basis_new, basis_old, C_blocks, basis_new.rb.overlap())
+        P = np.zeros((nbf, nbf))
+        for a_old in range(nang_old):
+            key = (int(basis_old.lval[a_old]), int(basis_old.mval[a_old]))
+            a_new = new_shell.get(key)
+            if a_new is None:
+                continue
+            Pblk = np.einsum("pk,k,qk->pq", Cp[a_old], occ[a_old], Cp[a_old])
+            sl = slice(a_new * nrad, (a_new + 1) * nrad)
+            P[sl, sl] = Pblk
+        return P
+
+    P0a = build(d["orbs_a"], d["occ_a"])
+    P0b = None
+    if d["orbs_b"].size:
+        P0b = build(d["orbs_b"], d["occ_b"])
+    return P0a, P0b
 
 
 def project_orbitals(basis_new, basis_old, C_old_blocks, S_new: np.ndarray):
