@@ -38,6 +38,20 @@ def main(argv=None):
     p.add_argument("--nelem", type=int, required=True)
     p.add_argument("--nnodes", type=int, default=15)
     p.add_argument("--nquad", type=int, default=0)
+    p.add_argument("--primbas", type=int, default=4,
+                   help="primitive polynomial basis id (3 Legendre, 4 LIP, "
+                        "5 HIP, 6-11 general HIP, 100/101 Chebyshev nodes)")
+    p.add_argument("--nelem0", type=int, default=0,
+                   help="elements in the finite-nucleus sub-grid / per "
+                        "off-center grid section (0 = plain grid)")
+    p.add_argument("--grid0", type=int, default=2, help="finite-nucleus sub-grid type")
+    p.add_argument("--zexp0", type=float, default=2.0)
+    p.add_argument("--add_conf", type=int, default=1,
+                   help="insert an element boundary at the confinement onset radius")
+    p.add_argument("--load", default="", help="warm start from an npz checkpoint "
+                   "(cross-basis orbital projection)")
+    p.add_argument("--readocc", default="", help="occupation file: lines 'l m na nb' "
+                   "(enforced per-(l,m) occupations)")
     p.add_argument("--maxit", type=int, default=50)
     p.add_argument("--convthr", type=float, default=1e-7)
     p.add_argument("--method", default="HF")
@@ -80,6 +94,10 @@ def main(argv=None):
     basis = AtomicBasis(
         Z=Z, lmax=args.lmax, mmax=args.mmax, rmax=args.Rmax, nelem=args.nelem,
         nnodes=args.nnodes, nquad=args.nquad, igrid=args.grid, zexp=args.zexp,
+        primbas=args.primbas,
+        finitenuc=nucmodel, Rrms=args.Rrms, nelem0=args.nelem0,
+        igrid0=args.grid0, zexp0=args.zexp0, Zl=Zl, Zr=Zr, Rmid=args.Rmid,
+        conf_boundary=args.shift_conf if (args.add_conf and args.iconf) else 0.0,
     )
     timer.lap("basis set formation")
     print(f"Running {args.method} on Z={Z} with {nela}+{nelb} electrons, "
@@ -112,13 +130,52 @@ def main(argv=None):
         dT = _np.abs(_np.asarray(eval_kinetic_grid(gch, basis.nrad)) - T) / (1 + _np.abs(T))
         print(f"Relative error in kinetic matrix evaluated through xc grid is {(_np.linalg.norm(dT)):e}")
 
+    # warm start from a checkpoint (cross-basis orbital projection)
+    P0a = P0b = None
+    if args.load:
+        from helfem_tpu.utils.checkpoint import load_atomic, warm_start_density
+
+        oldb, d = load_atomic(args.load)
+        P0a, P0b = warm_start_density(basis, oldb, d)
+        print(f"Warm start from {args.load} (E = {float(d['E']):.9f})")
+
+    # enforced occupations from a file: lines 'l m na nb'
+    occs = None
+    if args.readocc:
+        occs = {}
+        with open(args.readocc) as f:
+            for line in f:
+                line = line.split("#")[0].strip()
+                if not line:
+                    continue
+                l_, m_, na_, nb_ = line.split()
+                occs[(int(l_), int(m_))] = (float(na_), float(nb_))
+
+    # crash-recovery checkpoint: write the current state every host pass
+    from types import SimpleNamespace
+
+    from helfem_tpu.utils.checkpoint import save_atomic
+
+    def save_cb(it, Etot, Ea, Ca, occa, Eb, Cb, occb):
+        import numpy as _np
+
+        st = SimpleNamespace(
+            converged=False, E=Etot,
+            orbE_a=_np.sort(Ea.ravel()), orbs_a=_np.asarray(Ca), occ_a=occa,
+            orbE_b=None if Eb is None else _np.sort(_np.asarray(Eb).ravel()),
+            orbs_b=None if Cb is None else _np.asarray(Cb),
+            occ_b=occb,
+        )
+        save_atomic(args.save, basis, st)
+
     res = scf_atom(
         basis, nela, nelb, method=args.method, maxit=args.maxit,
         convthr=args.convthr, guess=guess, verbose=True, dftthr=args.dftthr,
         Ez=args.Ez, Qzz=args.Qzz, Bz=args.Bz, iconf=args.iconf,
         conf_N=args.conf_N, conf_R=args.conf_R, conf_barrier=args.conf_barrier,
         shift_conf=args.shift_conf, finitenuc=nucmodel, Rrms=args.Rrms,
-        Zl=Zl, Zr=Zr, Rmid=args.Rmid,
+        Zl=Zl, Zr=Zr, Rmid=args.Rmid, occs=occs, P0a=P0a, P0b=P0b,
+        save_cb=save_cb if args.save else None,
     )
     timer.lap("SCF")
     print()

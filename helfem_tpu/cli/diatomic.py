@@ -20,6 +20,9 @@ def main(argv=None):
     p.add_argument("--zexp", type=float, default=2.0)
     p.add_argument("--nelem", type=int, required=True)
     p.add_argument("--nnodes", type=int, default=15)
+    p.add_argument("--primbas", type=int, default=4,
+                   help="primitive polynomial basis id (3 Legendre, 4 LIP, 5 HIP, "
+                        "6-11 general HIP, 100/101 Chebyshev nodes)")
     p.add_argument("--nquad", type=int, default=0)
     p.add_argument("--maxit", type=int, default=50)
     p.add_argument("--convthr", type=float, default=1e-7)
@@ -52,7 +55,7 @@ def main(argv=None):
 
     basis = DiatomicBasis(
         Z1=Z1, Z2=Z2, Rbond=R, lmax=lmax, rmax=args.Rmax, nelem=args.nelem,
-        nnodes=args.nnodes, nquad=args.nquad, igrid=args.grid, zexp=args.zexp,
+        nnodes=args.nnodes, primbas=args.primbas, nquad=args.nquad, igrid=args.grid, zexp=args.zexp,
     )
     print(f"Running {args.method} on Z1={Z1} Z2={Z2} R={R} with {nela}+{nelb} electrons")
     print(f"{basis.nang} angular shells x {basis.nrad} radial functions; "

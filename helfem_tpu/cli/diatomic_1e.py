@@ -15,6 +15,7 @@ def main(argv=None):
     p.add_argument("--Rmax", type=float, default=40.0)
     p.add_argument("--nelem", type=int, default=6)
     p.add_argument("--nnodes", type=int, default=12)
+    p.add_argument("--primbas", type=int, default=4)
     p.add_argument("--neig", type=int, default=8)
     args = p.parse_args(argv)
 
@@ -29,7 +30,7 @@ def main(argv=None):
     lmax = tuple(int(x) for x in str(args.lmax).split(","))
     b = DiatomicBasis(
         Z1=get_Z(args.Z1), Z2=get_Z(args.Z2), Rbond=args.Rbond, lmax=lmax,
-        rmax=args.Rmax, nelem=args.nelem, nnodes=args.nnodes,
+        rmax=args.Rmax, nelem=args.nelem, nnodes=args.nnodes, primbas=args.primbas,
     )
     ops = b.build_operators()
     E, C = eig_blocks_dia(ops, ops.H0)

@@ -15,6 +15,9 @@ def main(argv=None):
     p.add_argument("--zexp", type=float, default=2.0)
     p.add_argument("--nelem", type=int, default=10)
     p.add_argument("--nnodes", type=int, default=15)
+    p.add_argument("--primbas", type=int, default=4,
+                   help="primitive polynomial basis id (3 Legendre, 4 LIP, 5 HIP, "
+                        "6-11 general HIP, 100/101 Chebyshev nodes)")
     p.add_argument("--maxit", type=int, default=128)
     p.add_argument("--convthr", type=float, default=1e-7)
     p.add_argument("--method", default="lda_x", help="xc method for the SAP potential")
@@ -51,7 +54,7 @@ def main(argv=None):
     Z = get_Z(args.Z)
     basis = SadAtomBasis(
         Z=Z, lmax=args.lmax, rmax=args.Rmax, nelem=args.nelem,
-        nnodes=args.nnodes, igrid=args.grid, zexp=args.zexp,
+        nnodes=args.nnodes, primbas=args.primbas, igrid=args.grid, zexp=args.zexp,
     )
     occs = None
     if args.occs == "hf":

@@ -106,6 +106,7 @@ class DiatomicBasis:
     nquad: int = 0
     igrid: int = 4
     zexp: float = 2.0
+    primbas: int = 4
 
     lval: np.ndarray = field(init=False)
     mval: np.ndarray = field(init=False)
@@ -120,7 +121,7 @@ class DiatomicBasis:
         self.Rhalf = 0.5 * self.Rbond
         mumax = np.arccosh(self.rmax / self.Rhalf)
         bval = get_grid(mumax, self.nelem, self.igrid, self.zexp)
-        poly = get_basis(4, self.nnodes)
+        poly = get_basis(self.primbas, self.nnodes)
         self.fem = FEMBasis(poly, bval, drop_first=False, drop_last=True)
         self.xq, self.wq = chebyshev(self.nquad)
         self.mu = self.fem.coords(self.xq)  # [nelem, nq]

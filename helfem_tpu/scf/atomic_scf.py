@@ -284,13 +284,26 @@ def scf_atom(
     occs: dict | None = None,
     perturb: float = 0.0,
     seed: int = 0,
+    P0a: np.ndarray | None = None,
+    P0b: np.ndarray | None = None,
+    save_cb=None,
 ) -> SCFResult:
     """Restricted/unrestricted SCF. method: 'HF', 'LDA', 'SVWN', 'PBE', or
     an 'x_func,c_func' pair of functional names.
 
     occs: optional {(l, m): (na, nb)} per-symmetry enforced occupations
     (the reference's readocc mechanism); perturb/seed: random orthogonal
-    rotation of the guess orbitals (reference: --perturb/--seed)."""
+    rotation of the guess orbitals (reference: --perturb/--seed).
+
+    P0a/P0b: warm-start densities (e.g. from utils.checkpoint
+    warm_start_density): the guess diagonalizes Fock(P0) instead of the
+    model-potential Hamiltonian (reference --load, main.cpp:507-609).
+
+    save_cb(it, Etot, Ea, Ca, occa, Eb, Cb, occb): crash-recovery
+    checkpoint hook, called once per host-loop pass -- every iteration on
+    the host path, every fused 4-iteration chunk once the on-device path
+    engages (the reference writes HDF5 every iteration,
+    main.cpp:735-737,854-855)."""
     if ops is None:
         ops = basis.build_operators()
     nrad = basis.nrad
@@ -333,15 +346,30 @@ def scf_atom(
     blk_sinvh = jnp.asarray(blk_sinvh_np)
 
     # guess
-    Hg = jnp.asarray(basis.kinetic() + basis.model_potential(potential(guess, basis.Z))) + Vextra
-    Ea, Ca = eig_blocks(Hg, blk_idx, blk_sinvh)
-    Ea = np.asarray(Ea)
+    if P0a is not None:
+        # warm start: diagonalize the Fock of the supplied density
+        P0b_ = P0a if P0b is None else P0b
+        Fg_a, Fg_b, *_ = fock(ops, g, Vextra, rs, jnp.asarray(P0a), jnp.asarray(P0b_))
+        Ea, Ca = eig_blocks(Fg_a, blk_idx, blk_sinvh)
+        Ea = np.asarray(Ea)
+        if P0b is not None:
+            Eb_w, Cb_w = eig_blocks(Fg_b, blk_idx, blk_sinvh)
+        else:
+            Eb_w, Cb_w = None, None
+    else:
+        Hg = jnp.asarray(basis.kinetic() + basis.model_potential(potential(guess, basis.Z))) + Vextra
+        Ea, Ca = eig_blocks(Hg, blk_idx, blk_sinvh)
+        Ea = np.asarray(Ea)
+        Eb_w, Cb_w = None, None
     if perturb:
         from helfem_tpu.utils.linalg import perturbation_matrix
 
         R = perturbation_matrix(Ca.shape[-1], perturb, seed)
         Ca = jnp.einsum("bpk,kq->bpq", Ca, jnp.asarray(R))
-    Eb, Cb = Ea.copy(), Ca
+    if Cb_w is not None:
+        Eb, Cb = np.asarray(Eb_w), Cb_w
+    else:
+        Eb, Cb = Ea.copy(), Ca
 
     # per-symmetry enforced occupations (readocc): map (l, m) -> block row
     occ_fix = None
@@ -439,6 +467,8 @@ def scf_atom(
             # orbitals are from the END of the chunk (a few extra converged
             # iterations, which only tighten the result).
             it += k
+            if save_cb is not None:
+                save_cb(it, Etot, Ea, Ca, occa, None, None, None)
             if converged or it >= maxit:
                 break
             continue
@@ -481,6 +511,8 @@ def scf_atom(
                     converged = True
                     break
             it += k
+            if save_cb is not None:
+                save_cb(it, Etot, Ea, Ca, occa, Eb, Cb, occb)
             if converged or it >= maxit:
                 break
             continue
@@ -513,6 +545,11 @@ def scf_atom(
 
         if verbose:
             print(f"iter {it:3d}  E = {Etot:+.12f}  dE = {dE:+.3e}  diis = {err:.3e}")
+        if save_cb is not None:
+            save_cb(it, Etot, Ea, Ca, occa,
+                    None if restricted else Eb,
+                    None if restricted else Cb,
+                    None if restricted else occb)
         if err < convthr and abs(dE) < convthr and it > 1:
             converged = True
             break

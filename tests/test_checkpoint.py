@@ -83,3 +83,71 @@ def test_projection_restart_accelerates():
     cref = r2.orbs_a[0][:, 0]
     ov = abs(c @ S2 @ cref)
     assert ov > 0.999999
+
+
+def test_kill_and_restart_resumes(tmp_path):
+    """Crash recovery: a run killed after 3 iterations leaves a usable
+    per-iteration checkpoint; warm-starting from it converges to the same
+    energy as an uninterrupted run (reference: per-iteration HDF5 writes +
+    --load, src/atomic/main.cpp:735-737,507-609)."""
+    from types import SimpleNamespace
+
+    from helfem_tpu.utils.checkpoint import (
+        load_atomic,
+        save_atomic,
+        warm_start_density,
+    )
+
+    b = AtomicBasis(Z=4, lmax=0, mmax=0, rmax=30.0, nelem=5, nnodes=8)
+    full = scf_atom(b, 2, 2, convthr=1e-9, maxit=50)
+    assert full.converged
+
+    path = str(tmp_path / "crash.npz")
+    saves = []
+
+    def cb(it, E, Ea, Ca, occa, Eb, Cb, occb):
+        st = SimpleNamespace(
+            converged=False, E=E, orbE_a=np.sort(Ea.ravel()),
+            orbs_a=np.asarray(Ca), occ_a=occa,
+            orbE_b=None, orbs_b=None, occ_b=None,
+        )
+        save_atomic(path, b, st)
+        saves.append(it)
+
+    part = scf_atom(b, 2, 2, convthr=1e-9, maxit=3, save_cb=cb)
+    assert not part.converged and len(saves) >= 3
+
+    oldb, d = load_atomic(path)
+    P0a, P0b = warm_start_density(b, oldb, d)
+    res = scf_atom(b, 2, 2, convthr=1e-9, maxit=50, P0a=P0a, P0b=P0b)
+    assert res.converged
+    assert abs(res.E - full.E) < 1e-8
+    assert res.niter <= full.niter
+
+
+def test_cross_basis_restart_on_finer_grid(tmp_path):
+    """--load onto a DIFFERENT discretization: coarse-grid Be orbitals
+    projected onto a finer grid converge to the fine-grid energy faster
+    than a cold start (reference: cross-basis overlap restart,
+    libhelfem/src/RadialBasis.cpp:211-309)."""
+    from types import SimpleNamespace
+
+    from helfem_tpu.utils.checkpoint import (
+        load_atomic,
+        save_atomic,
+        warm_start_density,
+    )
+
+    b1 = AtomicBasis(Z=4, lmax=0, mmax=0, rmax=30.0, nelem=4, nnodes=7)
+    r1 = scf_atom(b1, 2, 2, convthr=1e-8, maxit=50)
+    path = str(tmp_path / "coarse.npz")
+    save_atomic(path, b1, r1)
+
+    b2 = AtomicBasis(Z=4, lmax=0, mmax=0, rmax=30.0, nelem=6, nnodes=9)
+    cold = scf_atom(b2, 2, 2, convthr=1e-9, maxit=50)
+    oldb, d = load_atomic(path)
+    P0a, P0b = warm_start_density(b2, oldb, d)
+    warm = scf_atom(b2, 2, 2, convthr=1e-9, maxit=50, P0a=P0a, P0b=P0b)
+    assert warm.converged
+    assert abs(warm.E - cold.E) < 1e-9
+    assert warm.niter <= cold.niter
