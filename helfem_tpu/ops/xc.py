@@ -197,9 +197,12 @@ def _ec_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0, *,
     t2 = (sigma * inv43) / rho * (jnp.pi / (16.0 * kf1)) / (phi * phi)
     expo = jnp.exp(-eps / (gamma * phi**3))
     A = beta / gamma / (expo - 1.0 + _TINY)
-    num = 1.0 + A * t2
-    den = 1.0 + A * t2 + A * A * t2 * t2
-    H = gamma * phi**3 * jnp.log(1.0 + beta / gamma * t2 * num / den)
+    # (1 + u)/(1 + u + u^2) rewritten as 1/(1 + u^2/(1+u)): the direct form's
+    # quotient vjp squares a denominator that reaches ~1e28 near the density
+    # threshold and overflows the TPU f32-exponent f64 emulation (see _ex_pbe)
+    u = A * t2
+    ratio = 1.0 / (1.0 + (u / (1.0 + u)) * u)
+    H = gamma * phi**3 * jnp.log(1.0 + beta / gamma * t2 * ratio)
     return (eps + H) * rho
 
 
@@ -277,14 +280,19 @@ def _tpss_Fx(p, z, alpha):
     mu = 0.21951
     qb = 0.45 * (alpha - 1.0) / jnp.sqrt(1.0 + b * alpha * (alpha - 1.0)) + 2.0 * p / 3.0
     z2 = z * z
-    x = (
+    num = (
         (10.0 / 81.0 + c * z2 / (1.0 + z2) ** 2) * p
         + 146.0 / 2025.0 * qb * qb
         - 73.0 / 405.0 * qb * jnp.sqrt(0.5 * (0.6 * z) ** 2 + 0.5 * p * p + 1e-30)
         + (1.0 / kappa) * (10.0 / 81.0) ** 2 * p * p
         + 2.0 * jnp.sqrt(e) * (10.0 / 81.0) * (0.6 * z) ** 2
         + e * mu * p**3
-    ) / (1.0 + jnp.sqrt(e) * p) ** 2
+    )
+    # divide by (1 + sqrt(e) p) twice: squaring the denominator first would
+    # overflow the TPU f32-exponent f64 emulation in the quotient's vjp for
+    # tail-sized p (see _ex_pbe)
+    den = 1.0 + jnp.sqrt(e) * p
+    x = (num / den) / den
     return 1.0 + kappa - kappa / (1.0 + x / kappa)
 
 
@@ -353,6 +361,121 @@ def _ec_tpss(ra, rb, saa, sab, sbb, ta, tb):
     sumterm = (ra * epsta + rb * epstb) / rho
     epsrev = eps * (1.0 + C * z * z) - (1.0 + C) * z * z * sumterm
     return rho * epsrev * (1.0 + d * epsrev * z**3)
+
+
+# ----------------------------------------------------------------------------
+# SCAN meta-GGA (Sun-Ruzsinszky-Perdew, PRL 115, 036402 (2015))
+# ----------------------------------------------------------------------------
+
+
+def _scan_falpha(alpha, c1, c2, d):
+    """SCAN's iso-orbital interpolation f(alpha): exp(-c1 a/(1-a)) below
+    a = 1, -d exp(c2/(1-a)) above. Both branches get range-clamped safe
+    inputs so the inactive branch's vjp stays finite (the active branch's
+    exponential underflows to an exact 0 before the 1/(1-a)^2 quotient
+    factor can overflow the TPU f32-exponent f64 emulation)."""
+    a_lo = jnp.clip(alpha, 0.0, 1.0 - 1e-9)
+    lo = jnp.exp(-c1 * a_lo / (1.0 - a_lo))
+    a_hi = jnp.maximum(alpha, 1.0 + 1e-9)
+    hi = -d * jnp.exp(c2 / (1.0 - a_hi))
+    return jnp.where(alpha < 1.0, lo, hi)
+
+
+def _ex_scan(ra, rb, saa, sab, sbb, ta, tb, *, k1=0.065, k0=0.174):
+    """SCAN exchange. Constants from the PRL 115, 036402 supplement; the
+    gradient-expansion block (b1..b4) is built from its exact fractions.
+    alpha = 0 gives F_x = (1 + k0) g_x(p), which makes the hydrogen-atom
+    exchange energy exactly -5/16 Eh (tested)."""
+    muak = 10.0 / 81.0
+    b2 = (5913.0 / 405000.0) ** 0.5
+    b1 = (511.0 / 13500.0) / (2.0 * b2)
+    b3 = 0.5
+    b4 = muak * muak / k1 - 1606.0 / 18225.0 - b1 * b1
+    a1 = 4.9479
+    c1x, c2x, dx = 0.667, 0.8, 1.24
+    h0x = 1.0 + k0
+
+    def exs(r2, s4, t2):
+        # reduced variables from n^(-k/3) FACTORS; see _ex_pbe/_ex_tpss for
+        # the TPU f32-exponent f64-emulation range analysis
+        kf1 = (3.0 * jnp.pi**2) ** (1.0 / 3.0)
+        exu = -3.0 * kf1 * r2 ** (1.0 / 3.0) / (4.0 * jnp.pi)
+        inv43 = r2 ** (-4.0 / 3.0)
+        inv53 = r2 ** (-5.0 / 3.0)
+        p = (s4 * inv43) * inv43 / (4.0 * kf1**2)
+        tw = s4 / (8.0 * r2 + _TINY)
+        tau = jnp.maximum(t2, tw + _TINY)
+        alpha = jnp.maximum((tau - tw) * inv53 / (0.3 * kf1**2), 0.0)
+        oma = 1.0 - alpha
+        x = muak * p * (1.0 + (b4 * p / muak) * jnp.exp(-jnp.abs(b4) * p / muak)) + (
+            b1 * p + b2 * oma * jnp.exp(-b3 * oma * oma)
+        ) ** 2
+        # h1x saturates at 1 + k1 for x >> k1; cap x so the quotient's vjp
+        # (which squares 1 + x/k1) cannot overflow the TPU f32-exponent f64
+        # emulation in far tails where x reaches ~1e19. The cap changes h1x
+        # by < k1^2/x ~ 4e-11 and zeroes an already ~1e-20 gradient.
+        x = jnp.minimum(x, 1e8)
+        h1x = 1.0 + k1 - k1 / (1.0 + x / k1)
+        fx = _scan_falpha(alpha, c1x, c2x, dx)
+        # g_x = 1 - exp(-a1 p^(-1/4)): floor p so the vjp's p^(-5/4) factor
+        # stays below the f32-exponent overflow while the exponential itself
+        # has long underflowed to an exact zero
+        pf = jnp.maximum(p, 1e-20)
+        gx = 1.0 - jnp.exp(-a1 / jnp.sqrt(jnp.sqrt(pf)))
+        Fx = (h1x + fx * (h0x - h1x)) * gx
+        return r2 * exu * Fx
+
+    return 0.5 * (exs(2.0 * ra, 4.0 * saa, 2.0 * ta) + exs(2.0 * rb, 4.0 * sbb, 2.0 * tb))
+
+
+def _ec_scan(ra, rb, saa, sab, sbb, ta, tb):
+    """SCAN correlation: single-orbital (alpha=0) and slowly-varying
+    (alpha=1) limits interpolated by f_c(alpha). Exactly zero for any fully
+    spin-polarized one-electron density (alpha = 0, zeta = 1 -> g_c = 0),
+    which is tested against a hydrogenic density."""
+    c1c, c2c, dc = 0.64, 1.5, 0.7
+    b1c, b2c, b3c = 0.0285764, 0.0889, 0.125541
+    chi_inf = 0.128026
+    gamma = 0.031091
+
+    rho = ra + rb
+    zeta = _clip_zeta((ra - rb) / rho)
+    sigma = saa + 2.0 * sab + sbb
+    tau = ta + tb
+    kf1 = (3.0 * jnp.pi**2) ** (1.0 / 3.0)
+    inv43 = rho ** (-4.0 / 3.0)
+    inv53 = rho ** (-5.0 / 3.0)
+    rs = (3.0 / (4.0 * jnp.pi)) ** (1.0 / 3.0) * rho ** (-1.0 / 3.0)
+    p = (sigma * inv43) * inv43 / (4.0 * kf1**2)
+    tw = sigma / (8.0 * rho + _TINY)
+    ds = 0.5 * ((1.0 + zeta) ** (5.0 / 3.0) + (1.0 - zeta) ** (5.0 / 3.0))
+    taus = jnp.maximum(tau, tw + _TINY)
+    alpha = jnp.maximum((taus - tw) * inv53 / (0.3 * kf1**2 * ds), 0.0)
+
+    # alpha = 1 limit: PW92 + the SCAN gradient correction H1 (g = (1+4y)^-1/4
+    # hole damping, rs-dependent beta)
+    eps_lsda = _ec_pw92_eps(rho, zeta)
+    phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
+    phi3 = phi * phi * phi
+    t2 = (sigma * inv43) / rho * (jnp.pi / (16.0 * kf1)) / (phi * phi)
+    w1 = jnp.expm1(-eps_lsda / (gamma * phi3))
+    beta_rs = 0.066725 * (1.0 + 0.1 * rs) / (1.0 + 0.1778 * rs)
+    y = beta_rs / (gamma * (w1 + _TINY)) * t2
+    g = (1.0 + 4.0 * y) ** (-0.25)
+    H1 = gamma * phi3 * jnp.log1p(w1 * (1.0 - g))
+    eps1 = eps_lsda + H1
+
+    # alpha = 0 limit: single-orbital LDA0 + H0, spin factor g_c(zeta)
+    eps_lda0 = -b1c / (1.0 + b2c * jnp.sqrt(rs) + b3c * rs)
+    w0 = jnp.expm1(-eps_lda0 / b1c)
+    ginf = (1.0 + 4.0 * chi_inf * p) ** (-0.25)
+    H0 = b1c * jnp.log1p(w0 * (1.0 - ginf))
+    dxz = 0.5 * ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0))
+    gcz = (1.0 - 2.3631 * (dxz - 1.0)) * (1.0 - zeta**12)
+    eps0 = (eps_lda0 + H0) * gcz
+
+    fc = _scan_falpha(alpha, c1c, c2c, dc)
+    return rho * (eps1 + fc * (eps0 - eps1))
 
 
 # ----------------------------------------------------------------------------
@@ -436,6 +559,8 @@ _CATALOG = {
     "gga_c_lyp": Functional("gga_c_lyp", "gga", _ec_lyp),
     "mgga_x_tpss": Functional("mgga_x_tpss", "mgga", _ex_tpss),
     "mgga_c_tpss": Functional("mgga_c_tpss", "mgga", _ec_tpss),
+    "mgga_x_scan": Functional("mgga_x_scan", "mgga", _ex_scan),
+    "mgga_c_scan": Functional("mgga_c_scan", "mgga", _ec_scan),
     "mgga_x_br89": Functional("mgga_x_br89", "mggal", _ex_br89),
     "lda_x_erf": Functional("lda_x_erf", "lda", _ex_slater_erf),
 }
@@ -448,6 +573,7 @@ _ALIASES = {
     "pbe": (0.0, [(1.0, "gga_x_pbe", {}), (1.0, "gga_c_pbe", {})]),
     "blyp": (0.0, [(1.0, "gga_x_b88", {}), (1.0, "gga_c_lyp", {})]),
     "tpss": (0.0, [(1.0, "mgga_x_tpss", {}), (1.0, "mgga_c_tpss", {})]),
+    "scan": (0.0, [(1.0, "mgga_x_scan", {}), (1.0, "mgga_c_scan", {})]),
     "pbe0": (0.25, [(0.75, "gga_x_pbe", {}), (1.0, "gga_c_pbe", {})]),
     "pbeh": (0.25, [(0.75, "gga_x_pbe", {}), (1.0, "gga_c_pbe", {})]),
     # parameter-override variants (Zhang-Yang revPBE; Perdew et al. PBEsol)

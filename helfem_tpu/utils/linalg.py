@@ -185,3 +185,38 @@ def eig_gsym_m(F: jnp.ndarray, Sinvh_rad: jnp.ndarray, mgroups, nrad: int):
         E, V = eigh_refined(Forth)
         out.append((idx, E, Sinvh @ V))
     return out
+
+
+def eig_gsym_sub(F: jnp.ndarray, C0: jnp.ndarray):
+    """Rayleigh-Ritz solution of F in the subspace spanned by the
+    S-orthonormal columns of C0 (reference: scf::eig_sub_wrk /
+    eig_gsym_sub, src/general/scf_helpers.h:37-44 -- the occupied + active
+    virtual subspace diagonalization). One projected eigh; jittable.
+
+    Returns (E [nsub], C [n, nsub]) with C = C0 @ V, still S-orthonormal."""
+    Fsub = C0.T @ F @ C0
+    E, V = eigh_refined(Fsub)
+    return E, C0 @ V
+
+
+def eig_iter_gsym(F: jnp.ndarray, Sinvh: jnp.ndarray, neig: int,
+                  maxit: int = 100, tol: float = 1e-9, seed: int = 0):
+    """Iterative generalized eigensolver for the LOWEST neig eigenpairs
+    (reference: scf::eig_iter's ARPACK/newarp Lanczos,
+    src/general/scf_helpers.cpp:397-421). TPU-native design: LOBPCG -- a
+    blocked, matmul-only Krylov method that maps onto the MXU (ARPACK's
+    single-vector Lanczos is sequential and host-bound). The spectrum is
+    flipped (LOBPCG computes the top end) by negating the whitened
+    operator.
+
+    Returns (E [neig] ascending, C [n, neig]) in the non-orthonormal basis."""
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    Forth = Sinvh.T @ F @ Sinvh
+    n = Forth.shape[0]
+    X0 = jnp.asarray(np.random.default_rng(seed).standard_normal((n, neig)))
+    X0, _ = jnp.linalg.qr(X0)
+    theta, U, it = lobpcg_standard(lambda X: -(Forth @ X), X0, m=maxit, tol=tol)
+    E = -theta
+    order = jnp.argsort(E)
+    return E[order], Sinvh @ U[:, order]

@@ -31,8 +31,8 @@ def main():
     n = 10 ** rng.uniform(-12, 2, npts)
     ra = jnp.asarray(n)
     rb = jnp.asarray(n * rng.uniform(0.0, 1.0, npts))
-    za = 10 ** rng.uniform(-2, 2, npts)
-    zb = 10 ** rng.uniform(-2, 2, npts)
+    za = 10 ** rng.uniform(-2, 3, npts)
+    zb = 10 ** rng.uniform(-2, 3, npts)
     ga, gb = jnp.asarray(za) * ra, jnp.asarray(zb) * rb
     saa, sab, sbb = ga * ga, ga * gb, gb * gb
     # include exact-zero sigma points (density extrema)

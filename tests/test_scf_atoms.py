@@ -72,10 +72,21 @@ def test_fixed_occupations_and_perturbation():
     assert r3.E > r1.E + 0.1
 
 
-def test_krypton_hf():
-    """Heavy closed-shell atom: Kr HF limit -2752.054977 (robustness of the
-    guess + DIIS across the periodic table; Xe also verified manually)."""
+def test_krypton_hf_sub_uEh():
+    """Heavy closed-shell atom at the numerical HF limit: Kr
+    -2752.0549773415 (Cinal, J. Math. Chem. 58, 1571 (2020); Saito 2009
+    gives the same to its printed digits). Sub-uEh at this discretization --
+    the rebuild's heavy-atom accuracy evidence."""
     b = AtomicBasis(Z=36, lmax=2, mmax=2, rmax=40.0, nelem=8, nnodes=12, zexp=2.5)
-    res = scf_atom(b, 18, 18, convthr=1e-7, maxit=60)
+    res = scf_atom(b, 18, 18, convthr=1e-9, maxit=60)
     assert res.converged
-    assert abs(res.E + 2752.054977) < 2e-4
+    assert abs(res.E + 2752.0549773415) < 1e-8
+
+
+def test_xenon_hf_sub_uEh():
+    """Xe HF limit -7232.1383638 (Cinal 2020: -7232.13836380): sub-uEh for
+    a Z=54 atom with occupied d shells."""
+    b = AtomicBasis(Z=54, lmax=2, mmax=2, rmax=40.0, nelem=8, nnodes=12, zexp=2.5)
+    res = scf_atom(b, 27, 27, convthr=1e-9, maxit=80)
+    assert res.converged
+    assert abs(res.E + 7232.1383638) < 3e-7

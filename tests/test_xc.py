@@ -242,3 +242,64 @@ def test_revpbe_he_energy_direction():
     e_pbe = scf_atom(b, 1, 1, method="PBE", convthr=1e-7).E
     e_rev = scf_atom(b, 1, 1, method="revPBE", convthr=1e-7).E
     assert e_rev < e_pbe - 1e-3
+
+
+def test_scan_uniform_gas_limits():
+    """SCAN constraints at the uniform gas (sigma = 0, alpha = 1):
+    exchange = Slater LDA, correlation = PW92, for several densities and
+    spin polarizations."""
+    from helfem_tpu.ops.xc import get_functional
+
+    kf1 = (3.0 * np.pi**2) ** (1.0 / 3.0)
+    x = get_functional("mgga_x_scan")
+    c = get_functional("mgga_c_scan")
+    lx = get_functional("lda_x")
+    lc = get_functional("lda_c_pw")
+    z = jnp.array(0.0)
+    for ra, rb in [(0.3, 0.3), (0.5, 0.1), (2.0, 1.0)]:
+        # per-spin tau at the uniform-gas value: alpha = 1 in each channel
+        ta = 0.3 * kf1**2 * (2.0 * ra) ** (5.0 / 3.0) / 2.0
+        tb = 0.3 * kf1**2 * (2.0 * rb) ** (5.0 / 3.0) / 2.0
+        ex = float(x.f(jnp.array(ra), jnp.array(rb), z, z, z, jnp.array(ta), jnp.array(tb)))
+        el = float(lx.f(jnp.array(ra), jnp.array(rb), z, z, z))
+        assert abs(ex - el) < 1e-10, (ra, rb)
+        if ra == rb:
+            # total alpha = 1 requires zeta = 0 (ds factor)
+            ec = float(c.f(jnp.array(ra), jnp.array(rb), z, z, z, jnp.array(ta), jnp.array(tb)))
+            epw = float(lc.f(jnp.array(ra), jnp.array(rb), z, z, z))
+            assert abs(ec - epw) < 1e-10, (ra, rb)
+
+
+def test_scan_h_atom_exactness():
+    """SCAN defining constraints on the exact H density (alpha = 0,
+    zeta = 1): Ex = -0.3125 exactly (h0x = 1.174, a1 = 4.9479 were fixed by
+    this), Ec = 0 exactly (g_c(1) = 0)."""
+    from helfem_tpu.models.atomic_dft import eval_fxc
+    from helfem_tpu.ops.xc import get_functional
+    from helfem_tpu.utils.linalg import build_blocks, density_blocks, eig_blocks
+
+    b = AtomicBasis(Z=1, lmax=0, mmax=0, rmax=40.0, nelem=8, nnodes=12)
+    ops = b.build_operators()
+    blk_idx, blk_sinvh = build_blocks(np.asarray(ops.S), b.sym_blocks(2))
+    E, C = eig_blocks(ops.H0, jnp.asarray(blk_idx), jnp.asarray(blk_sinvh))
+    occ = np.zeros(np.asarray(E).shape)
+    occ[0, 0] = 1.0
+    Pa = density_blocks(C, jnp.asarray(occ), jnp.asarray(blk_idx), ops.S)
+    Pb = jnp.zeros_like(Pa)
+    g = build_dft_grid(b)
+    _, _, Ex, _ = eval_fxc((get_functional("mgga_x_scan"),), g, Pa, Pb, b.nrad)
+    _, _, Ec, _ = eval_fxc((get_functional("mgga_c_scan"),), g, Pa, Pb, b.nrad)
+    assert abs(float(Ex) + 0.3125) < 1e-5
+    # Ec is analytically zero; numerically the quadrature-level alpha != 0
+    # enters FIRST order through (1 - f_c(alpha)) * eps_c1, unlike TPSS's
+    # z^2-quadratic SIC, so the floor is ~1e-9 rather than 1e-10
+    assert abs(float(Ec)) < 1e-8
+
+
+def test_scan_scf_smoke():
+    """Self-consistent SCAN on He converges to a sane total energy (the
+    exact He energy is -2.9037; SCAN lands within ~5 mEh of it)."""
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=30.0, nelem=8, nnodes=10)
+    r = scf_atom(b, 1, 1, method="SCAN", convthr=1e-7, maxit=60)
+    assert r.converged
+    assert abs(r.E + 2.9037) < 1.5e-2
