@@ -133,12 +133,19 @@ def bench_xe():
     ops = basis.build_operators()
     setup_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    res = scf_atom(basis, 27, 27, convthr=1e-9, maxit=80, ops=ops)
+    scf_atom(basis, 27, 27, convthr=1e-8, maxit=4, ops=ops)  # compile warmup
+    compile_s = time.perf_counter() - t0
+    # convthr 3e-8 (not 1e-9): the DIIS-error floor of the emulated-f64 TPU
+    # eigh sits between 1e-9 and 1e-8 for ||F|| ~ 1e5 Fock matrices; the
+    # energy is already stable to ~1e-7 Eh well before that (gated below)
+    t0 = time.perf_counter()
+    res = scf_atom(basis, 27, 27, convthr=3e-8, maxit=50, ops=ops)
     scf_s = time.perf_counter() - t0
     return {
         "ok": bool(res.converged and abs(res.E - XE_HF_LIMIT) < 3e-6),
         "scf_s": round(scf_s, 3),
         "setup_s": round(setup_s, 3),
+        "compile_s": round(compile_s, 3),
         "iterations": res.niter,
         "per_iter_s": round(scf_s / max(res.niter, 1), 4),
         "energy": res.E,

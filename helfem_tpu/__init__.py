@@ -21,4 +21,20 @@ from helfem_tpu.utils.config import setup_x64
 
 setup_x64()
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Library globals (reference: helfem::verbose / set_verbosity() / version(),
+# libhelfem/include/helfem.source.h:26-41). The CLI drivers consult
+# `verbose` for their per-phase timing printouts.
+verbose: bool = False
+
+
+def set_verbosity(v: bool) -> None:
+    """Enable/disable library-wide verbose output."""
+    global verbose
+    verbose = bool(v)
+
+
+def version() -> str:
+    """Library version string."""
+    return __version__

@@ -69,13 +69,19 @@ def main(argv=None):
         from helfem_tpu.utils.checkpoint import load_diatomic
 
         bold, d = load_diatomic(args.load)
-        if bold.nbf != basis.nbf:
-            raise SystemExit("--load checkpoint basis does not match")
-        ops0 = basis.build_operators()
-        P0a = np.asarray(density_dia(ops0, jnp.asarray(d["orbs_a"]), jnp.asarray(d["occ_a"])))
-        if d["orbs_b"].size:
-            P0b = np.asarray(density_dia(ops0, jnp.asarray(d["orbs_b"]), jnp.asarray(d["occ_b"])))
-        print(f"warm start from {args.load} (E = {float(d['E']):.9f})")
+        if bold.nbf == basis.nbf and bold.lmax == basis.lmax:
+            ops0 = basis.build_operators()
+            P0a = np.asarray(density_dia(ops0, jnp.asarray(d["orbs_a"]), jnp.asarray(d["occ_a"])))
+            if d["orbs_b"].size:
+                P0b = np.asarray(density_dia(ops0, jnp.asarray(d["orbs_b"]), jnp.asarray(d["occ_b"])))
+            print(f"warm start from {args.load} (E = {float(d['E']):.9f})")
+        else:
+            # different discretization: cross-basis restart projection
+            # (reference: src/diatomic/main.cpp --load with interpolation)
+            from helfem_tpu.utils.checkpoint import warm_start_density_dia
+
+            P0a, P0b = warm_start_density_dia(basis, bold, d)
+            print(f"cross-basis warm start from {args.load} (E = {float(d['E']):.9f})")
     res = scf_diatomic(
         basis, nela, nelb, method=args.method, maxit=args.maxit,
         convthr=args.convthr, verbose=True, guess=args.guess,

@@ -399,6 +399,19 @@ def _pad_rad(M: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(M, pad)
 
 
+def _assembler(gidx: jnp.ndarray, nrad: int) -> jnp.ndarray:
+    """One-hot FEM assembly operator A[e, p, n] = [gidx[e, p] == n] over the
+    padded global radial axis (n = nrad is the trash slot).
+
+    Element-window gathers and scatter-add assembly become batched MATMULS
+    with A instead of XLA gather/scatter ops: Rw[e,f,p,q] = Rp[gi[e,p],
+    gi[f,q]] is einsum('epn,nm,fqm'), and the transpose pair sums windows
+    back. On TPU (especially under the f32-exponent f64 emulation) the
+    matmul form runs on the MXU while gather/scatter serializes -- this is
+    where most of the exchange-build time went."""
+    return (gidx[:, :, None] == jnp.arange(nrad + 1)[None, None, :]).astype(jnp.float64)
+
+
 def coulomb(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     """J(P), jittable. Prefix sums replace the reference's per-element-pair
     loops (TwoDBasis.cpp:888-923)."""
@@ -406,10 +419,12 @@ def coulomb(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     nrad = ops.Sinvh_rad.shape[0]
     gi = ops.gidx
     P4 = _to4(P, nang, nrad)
+    A = _assembler(gi, nrad)
     # angular (ket) contraction -> radial helpers per (L, M)
     Paux = jnp.einsum("LMab,abIJ->LMIJ", ops.G, P4)
-    # gather to element windows
-    Pg = _pad_rad(Paux)[:, :, gi[:, :, None], gi[:, None, :]]  # [NL,NM,e,i,j]
+    # element-window gather via the assembly matmul
+    Pp = _pad_rad(Paux)
+    Pg = jnp.einsum("ein,LMnm,ejm->LMeij", A, Pp, A)  # [NL,NM,e,i,j]
     # disjoint traces
     tsmall = jnp.einsum("Leij,LMeij->LMe", ops.disjL, Pg)
     tbig = jnp.einsum("Leij,LMeij->LMe", ops.disjm1L, Pg)
@@ -422,11 +437,8 @@ def coulomb(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
         + jnp.einsum("Leijkl,LMekl->LMeij", ops.tei, Pg)
     )
     Jel = Jel * ops.Lfac[:, None, None, None, None]
-    # scatter-add to global radial indices
-    NL, NM = Jel.shape[0], Jel.shape[1]
-    Jaux = jnp.zeros((NL, NM, nrad + 1, nrad + 1))
-    Jaux = Jaux.at[:, :, gi[:, :, None], gi[:, None, :]].add(Jel)
-    Jaux = Jaux[:, :, :nrad, :nrad]
+    # assembly scatter-add via the transposed matmul pair
+    Jaux = jnp.einsum("ein,LMeij,ejm->LMnm", A, Jel, A)[:, :, :nrad, :nrad]
     # angular (bra) expansion
     J4 = jnp.einsum("LMba,LMIJ->abIJ", ops.G, Jaux)
     return _from4(J4, nang, nrad)
@@ -446,23 +458,20 @@ def exchange_kernel_L(teiL, UL, VL, gidx, nrad, R):
     """
     nelem, nprim = gidx.shape
     Rp = _pad_rad(R)
-    ridx = gidx[:, None, :, None]
-    cidx = gidx[None, :, None, :]
+    A = _assembler(gidx, nrad)
     eidx = jnp.arange(nelem)
     lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]
     upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
-    batch = R.shape[:-2]
-    nb = len(batch)
-    gi = gidx
-    Rg = Rp[..., gi[:, :, None], gi[:, None, :]]  # [..., e, i, l]
+    # element-window gather as one assembly matmul pair (all e,f at once)
+    Rw = jnp.einsum("epn,...nm,fqm->...efpq", A, Rp, A)  # [..., e, f, p, q]
+    Rg = Rw[..., eidx, eidx, :, :]  # diagonal windows [..., e, i, l]
     Kdiag = jnp.einsum("eijkl,...eil->...ejk", teiL, Rg)
-    Rw = Rp[..., ridx, cidx]  # [..., e, f, p, q]
     lo = jnp.einsum("eip,...efpj->...efij", VL, jnp.einsum("fjq,...efpq->...efpj", UL, Rw))
     hi = jnp.einsum("eip,...efpj->...efij", UL, jnp.einsum("fjq,...efpq->...efpj", VL, Rw))
     Kpair = jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
     Kpair = Kpair.at[..., eidx, eidx, :, :].add(Kdiag)
-    K = jnp.zeros(batch + (nrad + 1, nrad + 1))
-    return K.at[..., ridx, cidx].add(Kpair)
+    # assembly scatter-add via the transposed matmul pair
+    return jnp.einsum("ein,...efij,fjm->...nm", A, Kpair, A)
 
 
 def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> jnp.ndarray:
@@ -479,19 +488,30 @@ def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> 
     (replacing OpenMP collapse(2), TwoDBasis.cpp:987-1135)."""
     nang = ops.G.shape[-1]
     nrad = ops.Sinvh_rad.shape[0]
+    nelem = ops.gidx.shape[0]
     P4 = _to4(P, nang, nrad)
+    A = _assembler(ops.gidx, nrad)
+    eidx = jnp.arange(nelem)
+    lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]
+    upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
 
-    def body(K4, xs):
-        GL, LfacL, teiL, UL, VL = xs
-        # R[b,c,I,J] = Lfac * sum_{M,a,d} G[M,b,a] G[M,c,d] P[a,d,I,J]
-        t1 = jnp.einsum("Mba,adIJ->MbdIJ", GL, P4)
-        R = LfacL * jnp.einsum("Mcd,MbdIJ->bcIJ", GL, t1)
-        K4 = K4 + exchange_kernel_L(teiL, UL, VL, ops.gidx, nrad, R)
-        return K4, None
-
-    K4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
-    K4, _ = jax.lax.scan(body, K4, (ops.G, Lfacv, tei, U, V), unroll=True)
-    K4 = K4[:, :, :nrad, :nrad]
+    # ALL L channels in each contraction (the reference's OpenMP-over-L loop,
+    # TwoDBasis.cpp:987-1135, becomes a handful of L-carrying einsums): on
+    # this backend every HLO op pays a large fixed cost, so fewer, larger
+    # contractions beat an unrolled per-L loop
+    # R[L,b,c,I,J] = Lfac_L * sum_{M,a,d} G[L,M,b,a] G[L,M,c,d] P[a,d,I,J]
+    t1 = jnp.einsum("LMba,adIJ->LMbdIJ", ops.G, P4)
+    R = Lfacv[:, None, None, None, None] * jnp.einsum("LMcd,LMbdIJ->LbcIJ", ops.G, t1)
+    Rp = _pad_rad(R)
+    Rw = jnp.einsum("epn,Lbcnm,fqm->Lbcefpq", A, Rp, A)
+    Rg = Rw[:, :, :, eidx, eidx, :, :]
+    Kdiag = jnp.einsum("Leijkl,Lbceil->Lbcejk", tei, Rg)
+    lo = jnp.einsum("Leip,Lbcefpj->Lbcefij", V, jnp.einsum("Lfjq,Lbcefpq->Lbcefpj", U, Rw))
+    hi = jnp.einsum("Leip,Lbcefpj->Lbcefij", U, jnp.einsum("Lfjq,Lbcefpq->Lbcefpj", V, Rw))
+    Kpair = jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
+    Kpair = Kpair.at[:, :, :, eidx, eidx, :, :].add(Kdiag)
+    # assembly scatter-add (sums the L axis too) and trash-slot drop
+    K4 = jnp.einsum("ein,Lbcefij,fjm->bcnm", A, Kpair, A)[:, :, :nrad, :nrad]
     return -_from4(K4, nang, nrad)
 
 
@@ -527,20 +547,18 @@ def erfc_exchange(ops: AtomicOperators, rs: "ErfcOperators", P: jnp.ndarray) -> 
     (reference: rs_exchange erfc path, src/atomic/TwoDBasis.cpp:1255-1283)."""
     nang = ops.G.shape[-1]
     nrad = ops.Sinvh_rad.shape[0]
-    gi = ops.gidx
+    A = _assembler(ops.gidx, nrad)
     P4 = _to4(P, nang, nrad)
-    ridx = gi[:, None, :, None]
-    cidx = gi[None, :, None, :]
 
     def body(K4, xs):
         GL, LfacL, teiL = xs
         t1 = jnp.einsum("Mba,adIJ->MbdIJ", GL, P4)
         R = LfacL * jnp.einsum("Mcd,MbdIJ->bcIJ", GL, t1)
         Rp = _pad_rad(R)
-        Rw = Rp[:, :, ridx, cidx]  # [b,c,e,f,i,l]
+        Rw = jnp.einsum("ein,bcnm,flm->bcefil", A, Rp, A)
         # K[j,k] over (e-window, f-window) = sum_il tei[e,f,i,j,k,l] R[i,l]
         Kpair = jnp.einsum("efijkl,bcefil->bcefjk", teiL, Rw)
-        K4 = K4.at[:, :, ridx, cidx].add(Kpair)
+        K4 = K4 + jnp.einsum("ejn,bcefjk,fkm->bcnm", A, Kpair, A)
         return K4, None
 
     K4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))

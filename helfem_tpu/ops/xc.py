@@ -479,6 +479,135 @@ def _ec_scan(ra, rb, saa, sab, sbb, ta, tb):
 
 
 # ----------------------------------------------------------------------------
+# rSCAN meta-GGA (Bartok-Yates, JCP 150, 161101 (2019)): SCAN with a
+# regularized iso-orbital indicator and polynomial interpolation functions
+# (removes SCAN's numerical pathologies around alpha = 1 on sparse grids)
+# ----------------------------------------------------------------------------
+
+# Degree-7 interpolation polynomials replacing SCAN's exponentials on
+# [0, 2.5). VERIFIED against their defining conditions (scripts run in-tree):
+# coefficients 0-2 equal the Taylor expansion of exp(-c1 a/(1-a)) at a=0
+# (1, -c1, c1^2/2 - c1 exactly), and value/1st/2nd derivative match the
+# -d exp(c2/(1-a)) branch at a = 2.5 to 1e-9.
+_RSCAN_CX = (1.0, -0.667, -0.4445555, -0.663086601049, 1.451297044490,
+             -0.887998041597, 0.234528941479, -0.023185843322)
+_RSCAN_CC = (1.0, -0.64, -0.4352, -1.535685604549, 3.061560252175,
+             -1.915710236206, 0.516884468372, -0.051848879792)
+_RSCAN_TAU_R = 1.0e-4
+_RSCAN_ALPHA_R = 1.0e-3
+
+
+def _rscan_falpha(alpha, cs, c2, d):
+    """rSCAN interpolation: degree-7 polynomial below alpha = 2.5, SCAN's
+    damped exponential above. Both pieces are smooth, so no safe-input
+    tricks are needed below the switch; the exponential branch gets the
+    same clamp as _scan_falpha."""
+    poly = jnp.zeros_like(alpha)
+    for c in reversed(cs):
+        poly = poly * alpha + c
+    a_hi = jnp.maximum(alpha, 2.5)
+    hi = -d * jnp.exp(c2 / (1.0 - a_hi))
+    return jnp.where(alpha < 2.5, poly, hi)
+
+
+def _rscan_alpha(num53, den53, inv53):
+    """Regularized alpha' = a^3/(a^2 + alpha_r) with
+    a = (tau - tau_W)/(tau_unif + tau_r): bounded derivatives at a = 0 (the
+    rSCAN regularization). Inputs are the tunif-scaled numerator
+    (tau - tw)*rho^(-5/3), the scaled tau_unif prefactor, and rho^(-5/3)
+    itself (tau_r must be rescaled by it to stay in energy units). a is
+    capped at 1e6 -- f(alpha) is constant there to 1e-6 -- so the
+    rational's vjp (a^4-scale numerator) cannot overflow the TPU
+    f32-exponent f64 emulation in far tails where a reaches ~1e9."""
+    a = num53 / (den53 + _RSCAN_TAU_R * inv53)
+    a = jnp.minimum(a, 1e6)
+    return a * a * a / (a * a + _RSCAN_ALPHA_R)
+
+
+def _ex_rscan(ra, rb, saa, sab, sbb, ta, tb, *, k1=0.065, k0=0.174):
+    """rSCAN exchange: SCAN's F_x with alpha -> alpha' and f_x -> the
+    polynomial interpolation. Keeps SCAN's hydrogen-atom exactness
+    (alpha' = 0 there) but relaxes the uniform-gas limit by ~6e-5
+    (f_x poly(1) != 0 exactly -- the documented rSCAN tradeoff)."""
+    muak = 10.0 / 81.0
+    b2 = (5913.0 / 405000.0) ** 0.5
+    b1 = (511.0 / 13500.0) / (2.0 * b2)
+    b3 = 0.5
+    b4 = muak * muak / k1 - 1606.0 / 18225.0 - b1 * b1
+    a1 = 4.9479
+    c2x, dx = 0.8, 1.24
+    h0x = 1.0 + k0
+
+    def exs(r2, s4, t2):
+        kf1 = (3.0 * jnp.pi**2) ** (1.0 / 3.0)
+        exu = -3.0 * kf1 * r2 ** (1.0 / 3.0) / (4.0 * jnp.pi)
+        inv43 = r2 ** (-4.0 / 3.0)
+        inv53 = r2 ** (-5.0 / 3.0)
+        p = (s4 * inv43) * inv43 / (4.0 * kf1**2)
+        tw = s4 / (8.0 * r2 + _TINY)
+        tau = jnp.maximum(t2, tw + _TINY)
+        alpha = _rscan_alpha(jnp.maximum((tau - tw) * inv53, 0.0), 0.3 * kf1**2, inv53)
+        oma = 1.0 - alpha
+        x = muak * p * (1.0 + (b4 * p / muak) * jnp.exp(-jnp.abs(b4) * p / muak)) + (
+            b1 * p + b2 * oma * jnp.exp(-b3 * oma * oma)
+        ) ** 2
+        x = jnp.minimum(x, 1e8)  # same far-tail vjp cap as _ex_scan
+        h1x = 1.0 + k1 - k1 / (1.0 + x / k1)
+        fx = _rscan_falpha(alpha, _RSCAN_CX, c2x, dx)
+        pf = jnp.maximum(p, 1e-20)
+        gx = 1.0 - jnp.exp(-a1 / jnp.sqrt(jnp.sqrt(pf)))
+        Fx = (h1x + fx * (h0x - h1x)) * gx
+        return r2 * exu * Fx
+
+    return 0.5 * (exs(2.0 * ra, 4.0 * saa, 2.0 * ta) + exs(2.0 * rb, 4.0 * sbb, 2.0 * tb))
+
+
+def _ec_rscan(ra, rb, saa, sab, sbb, ta, tb):
+    """rSCAN correlation: SCAN's eps_c0/eps_c1 interpolated by the f_c
+    polynomial of the regularized alpha'."""
+    c2c, dc = 1.5, 0.7
+    b1c, b2c, b3c = 0.0285764, 0.0889, 0.125541
+    chi_inf = 0.128026
+    gamma = 0.031091
+
+    rho = ra + rb
+    zeta = _clip_zeta((ra - rb) / rho)
+    sigma = saa + 2.0 * sab + sbb
+    tau = ta + tb
+    kf1 = (3.0 * jnp.pi**2) ** (1.0 / 3.0)
+    inv43 = rho ** (-4.0 / 3.0)
+    inv53 = rho ** (-5.0 / 3.0)
+    rs = (3.0 / (4.0 * jnp.pi)) ** (1.0 / 3.0) * rho ** (-1.0 / 3.0)
+    p = (sigma * inv43) * inv43 / (4.0 * kf1**2)
+    tw = sigma / (8.0 * rho + _TINY)
+    ds = 0.5 * ((1.0 + zeta) ** (5.0 / 3.0) + (1.0 - zeta) ** (5.0 / 3.0))
+    taus = jnp.maximum(tau, tw + _TINY)
+    alpha = _rscan_alpha(jnp.maximum((taus - tw) * inv53, 0.0), 0.3 * kf1**2 * ds, inv53)
+
+    eps_lsda = _ec_pw92_eps(rho, zeta)
+    phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
+    phi3 = phi * phi * phi
+    t2 = (sigma * inv43) / rho * (jnp.pi / (16.0 * kf1)) / (phi * phi)
+    w1 = jnp.expm1(-eps_lsda / (gamma * phi3))
+    beta_rs = 0.066725 * (1.0 + 0.1 * rs) / (1.0 + 0.1778 * rs)
+    y = beta_rs / (gamma * (w1 + _TINY)) * t2
+    g = (1.0 + 4.0 * y) ** (-0.25)
+    H1 = gamma * phi3 * jnp.log1p(w1 * (1.0 - g))
+    eps1 = eps_lsda + H1
+
+    eps_lda0 = -b1c / (1.0 + b2c * jnp.sqrt(rs) + b3c * rs)
+    w0 = jnp.expm1(-eps_lda0 / b1c)
+    ginf = (1.0 + 4.0 * chi_inf * p) ** (-0.25)
+    H0 = b1c * jnp.log1p(w0 * (1.0 - ginf))
+    dxz = 0.5 * ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0))
+    gcz = (1.0 - 2.3631 * (dxz - 1.0)) * (1.0 - zeta**12)
+    eps0 = (eps_lda0 + H0) * gcz
+
+    fc = _rscan_falpha(alpha, _RSCAN_CC, c2c, dc)
+    return rho * (eps1 + fc * (eps0 - eps1))
+
+
+# ----------------------------------------------------------------------------
 # BR89 exchange (laplacian-level meta-GGA)
 # ----------------------------------------------------------------------------
 
@@ -561,6 +690,8 @@ _CATALOG = {
     "mgga_c_tpss": Functional("mgga_c_tpss", "mgga", _ec_tpss),
     "mgga_x_scan": Functional("mgga_x_scan", "mgga", _ex_scan),
     "mgga_c_scan": Functional("mgga_c_scan", "mgga", _ec_scan),
+    "mgga_x_rscan": Functional("mgga_x_rscan", "mgga", _ex_rscan),
+    "mgga_c_rscan": Functional("mgga_c_rscan", "mgga", _ec_rscan),
     "mgga_x_br89": Functional("mgga_x_br89", "mggal", _ex_br89),
     "lda_x_erf": Functional("lda_x_erf", "lda", _ex_slater_erf),
 }
@@ -574,6 +705,7 @@ _ALIASES = {
     "blyp": (0.0, [(1.0, "gga_x_b88", {}), (1.0, "gga_c_lyp", {})]),
     "tpss": (0.0, [(1.0, "mgga_x_tpss", {}), (1.0, "mgga_c_tpss", {})]),
     "scan": (0.0, [(1.0, "mgga_x_scan", {}), (1.0, "mgga_c_scan", {})]),
+    "rscan": (0.0, [(1.0, "mgga_x_rscan", {}), (1.0, "mgga_c_rscan", {})]),
     "pbe0": (0.25, [(0.75, "gga_x_pbe", {}), (1.0, "gga_c_pbe", {})]),
     "pbeh": (0.25, [(0.75, "gga_x_pbe", {}), (1.0, "gga_c_pbe", {})]),
     # parameter-override variants (Zhang-Yang revPBE; Perdew et al. PBEsol)

@@ -14,6 +14,7 @@ __all__ = [
     "save_diatomic", "load_diatomic",
     "save_sadatom", "load_sadatom",
     "cross_radial_overlap", "project_orbitals",
+    "cross_overlap_dia", "warm_start_density_dia", "density_from_blocks_dia",
 ]
 
 
@@ -195,3 +196,109 @@ def project_orbitals(basis_new, basis_old, C_old_blocks, S_new: np.ndarray):
     S11_rad = basis_new.rb.overlap()
     proj = np.linalg.solve(S11_rad, S12_rad)
     return np.einsum("pq,aqk->apk", proj, C_old_blocks)
+
+
+def density_from_blocks_dia(basis, orbs: np.ndarray, occ: np.ndarray) -> np.ndarray:
+    """Full density matrix from a diatomic checkpoint's block orbitals,
+    without building operators (no TEI tables). The block structure
+    (m blocks, optionally split by l parity) is inferred from the stored
+    shapes."""
+    nbf = basis.nbf
+    blocks = None
+    for parity in (True, False):
+        b = basis.sym_blocks(parity)
+        if len(b) == orbs.shape[0]:
+            blocks = b
+            break
+    if blocks is None:
+        raise ValueError("checkpoint block count matches no symmetry setup")
+    P = np.zeros((nbf, nbf))
+    for i, idx in enumerate(blocks):
+        ni = len(idx)
+        C = orbs[i][:ni, :]
+        P[np.ix_(idx, idx)] += np.einsum("pk,k,qk->pq", C, occ[i], C)
+    return P
+
+
+def cross_radial_overlap_dia(bnew, bold, m: int, n: int) -> np.ndarray:
+    """<B_i^new(mu) | sinh^m cosh^n | B_j^old(mu)> between two prolate
+    radial bases on different mu element grids, by overlap-restricted
+    quadrature (the mu-coordinate analogue of cross_radial_overlap;
+    reference: RadialBasis::overlap(rad, rad), used by the diatomic
+    restart projection in src/diatomic/main.cpp)."""
+    from helfem_tpu.ops.quadrature import chebyshev
+
+    nq = max(bnew.nquad, bold.nquad)
+    xq, wq = chebyshev(nq)
+    fa, fb = bnew.fem, bold.fem
+    S = np.zeros((fa.nbf + 1, fb.nbf + 1))
+    for ie in range(fa.nelem):
+        a0, a1 = fa.bval[ie], fa.bval[ie + 1]
+        for je in range(fb.nelem):
+            b0, b1 = fb.bval[je], fb.bval[je + 1]
+            lo, hi = max(a0, b0), min(a1, b1)
+            if hi <= lo:
+                continue
+            mid, hl = 0.5 * (hi + lo), 0.5 * (hi - lo)
+            mu = mid + hl * xq
+            w = wq * hl * np.sinh(mu) ** m * np.cosh(mu) ** n
+            xa = (mu - fa.mids[ie]) / (0.5 * fa.lengths[ie])
+            xb = (mu - fb.mids[je]) / (0.5 * fb.lengths[je])
+            Ba = fa.eval_element(ie, xa, 0)[0]
+            Bb = fb.eval_element(je, xb, 0)[0]
+            S[np.ix_(fa.gidx[ie], fb.gidx[je])] += np.einsum("qi,q,qj->ij", Ba, w, Bb)
+    return S[: fa.nbf, : fb.nbf]
+
+
+def cross_overlap_dia(bnew, bold) -> np.ndarray:
+    """Full cross overlap <chi^new | chi^old> between two diatomic bases at
+    the SAME bond length (the mu <-> r mapping depends on Rhalf). Angular
+    factors are shared Legendre functions, so only the radial integrals
+    cross; the nu integral gives the same delta/cos^2 coupling pattern as
+    DiatomicBasis.overlap."""
+    if abs(bnew.Rbond - bold.Rbond) > 1e-10:
+        raise ValueError("cross-basis diatomic projection requires equal Rbond")
+    from helfem_tpu.models.diatomic import cosk_coupling
+
+    I12 = cross_radial_overlap_dia(bnew, bold, 1, 2)
+    I10 = cross_radial_overlap_dia(bnew, bold, 1, 0)
+    Rh = bnew.Rhalf
+    nrn, nro = bnew.nrad, bold.nrad
+    S = np.zeros((bnew.nbf, bold.nbf))
+    for a in range(bnew.nang):
+        la, ma = int(bnew.lval[a]), int(bnew.mval[a])
+        for b in range(bold.nang):
+            lb, mb = int(bold.lval[b]), int(bold.mval[b])
+            if ma != mb:
+                continue
+            blk = np.zeros((nrn, nro))
+            if la == lb:
+                blk += I12
+            c = cosk_coupling(2, la, ma, lb, mb)
+            if c != 0.0:
+                blk -= c * I10
+            S[a * nrn : (a + 1) * nrn, b * nro : (b + 1) * nro] = Rh**3 * blk
+    return S
+
+
+def warm_start_density_dia(bnew, bold, d: dict):
+    """(P0a, P0b) warm-start densities in a NEW diatomic basis from a
+    checkpoint written in a different discretization (element grid, nnodes,
+    lmax) at the same bond length: P_new = T P_old T^T with the projector
+    T = S11^-1 S12 (reference --load restart projection,
+    src/diatomic/main.cpp)."""
+    S12 = cross_overlap_dia(bnew, bold)
+    # solve on the valid (shell-masked) subspace only: masked functions are
+    # not part of the basis and would otherwise leak into the projector
+    valid = np.flatnonzero(bnew.shell_mask().reshape(-1) > 0)
+    S11 = bnew.overlap()
+    T = np.zeros_like(S12)
+    T[valid] = np.linalg.solve(S11[np.ix_(valid, valid)], S12[valid])
+
+    def build(orbs, occ):
+        P_old = density_from_blocks_dia(bold, orbs, occ)
+        return T @ P_old @ T.T
+
+    P0a = build(d["orbs_a"], d["occ_a"])
+    P0b = build(d["orbs_b"], d["occ_b"]) if d["orbs_b"].size else None
+    return P0a, P0b

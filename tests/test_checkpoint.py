@@ -151,3 +151,42 @@ def test_cross_basis_restart_on_finer_grid(tmp_path):
     assert warm.converged
     assert abs(warm.E - cold.E) < 1e-9
     assert warm.niter <= cold.niter
+
+
+def test_diatomic_cross_basis_warm_start():
+    """Cross-basis diatomic restart: an H2 HF checkpoint from a coarse
+    discretization warm-starts a finer one, reproducing the direct fine-
+    basis energy and converging faster than a cold start (reference:
+    src/diatomic/main.cpp --load restart projection)."""
+    from helfem_tpu.models.diatomic import DiatomicBasis
+    from helfem_tpu.scf.diatomic_scf import scf_diatomic
+    from helfem_tpu.utils.checkpoint import (
+        cross_overlap_dia,
+        save_diatomic,
+        load_diatomic,
+        warm_start_density_dia,
+    )
+
+    coarse = DiatomicBasis(Z1=1, Z2=1, Rbond=1.4, lmax=(4,), rmax=15.0, nelem=3, nnodes=6)
+    r0 = scf_diatomic(coarse, 1, 1, convthr=1e-8, maxit=40)
+    assert r0.converged
+    path = "/tmp/h2_coarse_ckpt.npz"
+    save_diatomic(path, coarse, r0)
+    bold, d = load_diatomic(path)
+
+    fine = DiatomicBasis(Z1=1, Z2=1, Rbond=1.4, lmax=(6,), rmax=15.0, nelem=4, nnodes=8)
+    # sanity: cross overlap against itself reproduces the basis overlap
+    Sself = cross_overlap_dia(fine, fine)
+    assert np.abs(Sself - fine.overlap()).max() < 1e-10
+
+    P0a, P0b = warm_start_density_dia(fine, bold, d)
+    assert P0b is None
+    # the projected density carries the right electron count
+    nel = float(np.sum(P0a * fine.overlap()))
+    assert abs(nel - 1.0) < 1e-3
+
+    r_warm = scf_diatomic(fine, 1, 1, convthr=1e-8, maxit=40, P0a=P0a)
+    r_cold = scf_diatomic(fine, 1, 1, convthr=1e-8, maxit=40)
+    assert r_warm.converged
+    assert abs(r_warm.E - r_cold.E) < 1e-7
+    assert r_warm.niter <= r_cold.niter

@@ -303,3 +303,45 @@ def test_scan_scf_smoke():
     r = scf_atom(b, 1, 1, method="SCAN", convthr=1e-7, maxit=60)
     assert r.converged
     assert abs(r.E + 2.9037) < 1.5e-2
+
+
+def test_rscan_constraints_and_proximity():
+    """rSCAN (regularized SCAN): H-atom exactness is preserved (alpha' = 0
+    on one-electron densities), the uniform-gas limit is relaxed only by
+    the documented ~6e-5 relative f_x(1) residual, and self-consistent
+    energies stay within a few mEh of SCAN."""
+    from helfem_tpu.models.atomic_dft import eval_fxc
+    from helfem_tpu.ops.xc import get_functional
+    from helfem_tpu.utils.linalg import build_blocks, density_blocks, eig_blocks
+
+    # uniform gas: |rscan - lda| / |lda| small but nonzero
+    kf1 = (3.0 * np.pi**2) ** (1.0 / 3.0)
+    x = get_functional("mgga_x_rscan")
+    lx = get_functional("lda_x")
+    z = jnp.array(0.0)
+    ra = 0.5
+    ta = 0.3 * kf1**2 * (2.0 * ra) ** (5.0 / 3.0) / 2.0
+    ex = float(x.f(jnp.array(ra), jnp.array(ra), z, z, z, jnp.array(ta), jnp.array(ta)))
+    el = float(lx.f(jnp.array(ra), jnp.array(ra), z, z, z))
+    assert abs(ex - el) / abs(el) < 5e-4
+
+    # H atom: Ex = -5/16, Ec = 0 still hold
+    b = AtomicBasis(Z=1, lmax=0, mmax=0, rmax=40.0, nelem=8, nnodes=12)
+    ops = b.build_operators()
+    blk_idx, blk_sinvh = build_blocks(np.asarray(ops.S), b.sym_blocks(2))
+    E, C = eig_blocks(ops.H0, jnp.asarray(blk_idx), jnp.asarray(blk_sinvh))
+    occ = np.zeros(np.asarray(E).shape)
+    occ[0, 0] = 1.0
+    Pa = density_blocks(C, jnp.asarray(occ), jnp.asarray(blk_idx), ops.S)
+    Pb = jnp.zeros_like(Pa)
+    g = build_dft_grid(b)
+    _, _, Ex, _ = eval_fxc((get_functional("mgga_x_rscan"),), g, Pa, Pb, b.nrad)
+    _, _, Ec, _ = eval_fxc((get_functional("mgga_c_rscan"),), g, Pa, Pb, b.nrad)
+    assert abs(float(Ex) + 0.3125) < 1e-4
+    assert abs(float(Ec)) < 1e-8
+
+    # SCF proximity to SCAN on He
+    b2 = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=30.0, nelem=8, nnodes=10)
+    e_scan = scf_atom(b2, 1, 1, method="SCAN", convthr=1e-7, maxit=60).E
+    e_rscan = scf_atom(b2, 1, 1, method="rSCAN", convthr=1e-7, maxit=60).E
+    assert abs(e_scan - e_rscan) < 5e-3
