@@ -154,10 +154,41 @@ def bench_xe():
     }
 
 
+def bench_gensap():
+    """BASELINE config 3: spherically-averaged atom + SAP-potential
+    generation (gensap) for Kr."""
+    import numpy as np
+
+    from helfem_tpu.models.sadatom import SadAtomBasis, coulomb_screening, solve_sadatom
+
+    basis = SadAtomBasis(Z=36, lmax=2, rmax=40.0, nelem=8, nnodes=12)
+    t0 = time.perf_counter()
+    res = solve_sadatom(basis, method="SVWN", convthr=1e-7, search=False)
+    scf_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    Zeff = coulomb_screening(basis, np.asarray(res.Pl).sum(axis=0))  # SAP export
+    sap_s = time.perf_counter() - t0
+    # closed-shell Kr: the spherically-averaged LSD atom equals full LSD;
+    # NIST "Atomic Reference Data" gives -2750.147940
+    ok = (
+        res.converged
+        and abs(res.E + 2750.147940) < 1e-5
+        and np.all(np.isfinite(np.asarray(Zeff)))
+    )
+    return {
+        "ok": bool(ok),
+        "scf_s": round(scf_s, 3),
+        "sap_export_s": round(sap_s, 3),
+        "energy": res.E,
+        "converged": bool(res.converged),
+    }
+
+
 def main():
     ar = bench_ar()
     n2 = bench_n2()
     xe = bench_xe()
+    sap = bench_gensap()
     ok = ar["ok"] and n2["ok"]
     value = ar["scf_s"] + n2["scf_s"] if ok else float("inf")
     print(
@@ -167,7 +198,8 @@ def main():
                 "value": round(value, 3) if ok else value,
                 "unit": "s",
                 "vs_baseline": round(BASELINE_LOCAL / value, 3) if BASELINE_LOCAL else 1.0,
-                "profile": {"ar_hf": ar, "n2_pbe": n2, "xe_hf_lmax3": xe},
+                "profile": {"ar_hf": ar, "n2_pbe": n2, "xe_hf_lmax3": xe,
+                            "gensap_kr": sap},
             }
         )
     )

@@ -32,6 +32,29 @@ def main(argv=None):
     p.add_argument("--scan", action="store_true",
                    help="with --unrestricted: full multiplicity scan (reference restricted=0)")
     p.add_argument("--Q", type=int, default=0, help="total charge")
+    # finite nucleus + sub-grid (reference: main.cpp:104-110)
+    p.add_argument("--finitenuc", default="point",
+                   help="point|gaussian|spherical|hollow|regularized")
+    p.add_argument("--Rrms", type=float, default=0.0, help="nuclear rms radius")
+    p.add_argument("--nelem0", type=int, default=0, help="nuclear sub-grid elements")
+    p.add_argument("--grid0", type=int, default=2)
+    p.add_argument("--zexp0", type=float, default=2.0)
+    # confinement (reference: main.cpp:138-143)
+    p.add_argument("--iconf", type=int, default=0,
+                   help="1 polynomial, 2 exponential, 3 barrier, 4 Junquera")
+    p.add_argument("--conf_N", type=int, default=0)
+    p.add_argument("--conf_R", type=float, default=0.0)
+    p.add_argument("--conf_barrier", type=float, default=0.0)
+    p.add_argument("--shift_conf", type=float, default=0.0)
+    p.add_argument("--add_conf", action="store_true",
+                   help="insert an element boundary at the confinement onset")
+    # analysis outputs (reference: main.cpp:129-137)
+    p.add_argument("--completeness", action="store_true",
+                   help="write GTO/STO completeness + importance profiles")
+    p.add_argument("--saveing", action="store_true",
+                   help="write the xc-ingredient table xcing_<El>.dat")
+    p.add_argument("--saveorb", action="store_true",
+                   help="write radial orbital coefficients per l channel")
     args = p.parse_args(argv)
 
     import jax
@@ -55,6 +78,11 @@ def main(argv=None):
     basis = SadAtomBasis(
         Z=Z, lmax=args.lmax, rmax=args.Rmax, nelem=args.nelem,
         nnodes=args.nnodes, primbas=args.primbas, igrid=args.grid, zexp=args.zexp,
+        finitenuc=args.finitenuc, Rrms=args.Rrms, nelem0=args.nelem0,
+        igrid0=args.grid0, zexp0=args.zexp0,
+        iconf=args.iconf, conf_N=args.conf_N, conf_R=args.conf_R,
+        conf_barrier=args.conf_barrier, shift_conf=args.shift_conf,
+        conf_boundary=args.shift_conf if (args.add_conf and args.iconf) else 0.0,
     )
     occs = None
     if args.occs == "hf":
@@ -88,9 +116,16 @@ def main(argv=None):
             print(line)
     occstr = " ".join(f"{shells[l]}^{n}" for l, n in enumerate(res.occs) if n)
     print(f"\nConfiguration: {occstr}")
+    Epot = res.E - res.Ekin - res.Ecoul - res.Exx - res.Exc
+    Econf = 0.0
+    if basis.Vconf is not None:
+        Econf = float(np.sum(res.Pl.sum(axis=0) * np.asarray(basis.Vconf)))
     print(f"Etot  = % 18.9f" % res.E)
     print(f"Ekin  = % 18.9f" % res.Ekin)
     print(f"Ecoul = % 18.9f" % res.Ecoul)
+    print(f"Eenuc = % 18.9f" % (Epot - Econf))
+    if basis.Vconf is not None:
+        print(f"Econf = % 18.9f" % Econf)
     print(f"Exc   = % 18.9f" % (res.Exx + res.Exc))
 
     # SAP potential table (reference: RestrictedPotential 9-column format)
@@ -106,6 +141,40 @@ def main(argv=None):
     path = args.output or f"result_{SYMBOLS[Z]}.dat"
     np.savetxt(path, out[order])
     print(f"SAP potential written to {path}")
+
+    if args.completeness:
+        # GTO/STO completeness + importance profiles per l channel
+        # (reference: gto/sto_{completeness,importance}_profile,
+        # src/sadatom/solver.cpp; 501 exponents on [1e-5, 1e10])
+        from helfem_tpu.ops.lcao import completeness_profile, importance_profile
+
+        expn = np.logspace(-5, 10, 501)
+        for kind in ("GTO", "STO"):
+            comp = [np.log10(expn)]
+            imp = [np.log10(expn)]
+            for l in range(args.lmax + 1):
+                comp.append(completeness_profile(basis.rb, l, expn, kind))
+                # number of (partially) occupied orbitals: shell capacity
+                # is 2(2l+1) electrons per radial orbital
+                occn = int(np.ceil(res.occs[l] / (2.0 * (2 * l + 1))))
+                C_occ = np.asarray(res.orbs[l])[:, :occn]
+                imp.append(importance_profile(basis.rb, C_occ, l, expn, kind))
+            np.savetxt(f"completeness_{kind}_{SYMBOLS[Z]}.dat", np.column_stack(comp))
+            np.savetxt(f"importance_{kind}_{SYMBOLS[Z]}.dat", np.column_stack(imp))
+            print(f"{kind} completeness + importance profiles written")
+
+    if args.saveing:
+        from helfem_tpu.models.sadatom import xc_ingredients
+
+        ing = xc_ingredients(basis, res.Pl)
+        iorder = np.argsort(ing[:, 0])
+        np.savetxt(f"xcing_{SYMBOLS[Z]}.dat", ing[iorder])
+        print(f"xc ingredients written to xcing_{SYMBOLS[Z]}.dat")
+
+    if args.saveorb:
+        for l in range(args.lmax + 1):
+            np.savetxt(f"orbs_{SYMBOLS[Z]}_l{l}.dat", res.orbs[l])
+        print("radial orbital coefficients written")
 
     if args.unrestricted:
         # spin-polarized solve + the five potential variants

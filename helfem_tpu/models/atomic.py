@@ -66,6 +66,41 @@ class AtomicOperators(NamedTuple):
     # (G.shape[-1], Sinvh_rad.shape[0]) so the pytree carries no static ints.
 
 
+def confinement_Vr(r: np.ndarray, rmax: float, N, R: float, iconf: int = 1,
+                   shift: float = 0.0) -> np.ndarray:
+    """Confinement potentials on radial points (reference:
+    RadialBasis.cpp:361-455): 1 polynomial ((r-shift)/R)^N, 2 exponential
+    N! (e^x - sum_{k<N} x^k/k!) with x=(r-shift)/R, 3 barrier V0*theta(r-R)
+    (N reused as the height), 4 Junquera
+    V0 e^{-(rmax-shift)/(r-shift)} / (rmax-r)^N (N, V0=R slot)."""
+    if iconf == 1:
+        Vr = np.where(r > shift, ((r - shift) / R) ** int(N), 0.0)
+    elif iconf == 2:
+        x = np.where(r > shift, (r - shift) / R, 0.0)
+        s = np.zeros_like(x)
+        fact = 1.0
+        xk = np.ones_like(x)
+        for k in range(int(N)):
+            s += xk / fact
+            fact *= k + 1
+            xk = xk * x
+        Vr = np.where(r > shift, fact * (np.exp(x) - s), 0.0)
+    elif iconf == 3:
+        Vr = np.where(r > R, float(N), 0.0)
+    elif iconf == 4:
+        rc = rmax
+        with np.errstate(over="ignore", divide="ignore"):
+            Vr = np.where(
+                r > shift,
+                R * np.exp(-(rc - shift) / np.maximum(r - shift, 1e-300))
+                / np.maximum(rc - r, 1e-300) ** int(N),
+                0.0,
+            )
+    else:
+        raise NotImplementedError(f"confinement type {iconf}")
+    return Vr
+
+
 def nuclear_model_V(model: str, Z: float, Rrms: float):
     """V(r) callable for a finite-nucleus charge model (reference: libhelfem
     {Gaussian,Spherical,Hollow,Regularized}Nucleus.cpp). model in
@@ -214,39 +249,7 @@ class AtomicBasis:
         return out
 
     def confinement(self, N, R: float, iconf: int = 1, shift: float = 0.0) -> np.ndarray:
-        """Confinement potentials (reference: RadialBasis.cpp:361-455):
-        1 polynomial ((r-shift)/R)^N, 2 exponential
-        N! (e^x - sum_{k<N} x^k/k!) with x=(r-shift)/R, 3 barrier
-        V0*theta(r-R) (N reused as the height), 4 Junquera
-        V0 e^{-(rmax-shift)/(r-shift)} / (rmax-r)^N (N, V0=R slot)."""
-        import math
-
-        r = self.rb.r
-        if iconf == 1:
-            Vr = np.where(r > shift, ((r - shift) / R) ** int(N), 0.0)
-        elif iconf == 2:
-            x = np.where(r > shift, (r - shift) / R, 0.0)
-            s = np.zeros_like(x)
-            fact = 1.0
-            xk = np.ones_like(x)
-            for k in range(int(N)):
-                s += xk / fact
-                fact *= k + 1
-                xk = xk * x
-            Vr = np.where(r > shift, fact * (np.exp(x) - s), 0.0)
-        elif iconf == 3:
-            Vr = np.where(r > R, float(N), 0.0)
-        elif iconf == 4:
-            rc = self.rmax
-            with np.errstate(over="ignore", divide="ignore"):
-                Vr = np.where(
-                    r > shift,
-                    R * np.exp(-(rc - shift) / np.maximum(r - shift, 1e-300))
-                    / np.maximum(rc - r, 1e-300) ** int(N),
-                    0.0,
-                )
-        else:
-            raise NotImplementedError(f"confinement type {iconf}")
+        Vr = confinement_Vr(self.rb.r, self.rmax, N, R, iconf, shift)
         return np.kron(np.eye(self.nang), self.rb.model_potential(Vr))
 
     def nuclear_offcenter(self, Zl: int, Zr: int, Rhalf: float) -> np.ndarray:
@@ -488,30 +491,24 @@ def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> 
     (replacing OpenMP collapse(2), TwoDBasis.cpp:987-1135)."""
     nang = ops.G.shape[-1]
     nrad = ops.Sinvh_rad.shape[0]
-    nelem = ops.gidx.shape[0]
     P4 = _to4(P, nang, nrad)
-    A = _assembler(ops.gidx, nrad)
-    eidx = jnp.arange(nelem)
-    lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]
-    upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
 
-    # ALL L channels in each contraction (the reference's OpenMP-over-L loop,
-    # TwoDBasis.cpp:987-1135, becomes a handful of L-carrying einsums): on
-    # this backend every HLO op pays a large fixed cost, so fewer, larger
-    # contractions beat an unrolled per-L loop
-    # R[L,b,c,I,J] = Lfac_L * sum_{M,a,d} G[L,M,b,a] G[L,M,c,d] P[a,d,I,J]
-    t1 = jnp.einsum("LMba,adIJ->LMbdIJ", ops.G, P4)
-    R = Lfacv[:, None, None, None, None] * jnp.einsum("LMcd,LMbdIJ->LbcIJ", ops.G, t1)
-    Rp = _pad_rad(R)
-    Rw = jnp.einsum("epn,Lbcnm,fqm->Lbcefpq", A, Rp, A)
-    Rg = Rw[:, :, :, eidx, eidx, :, :]
-    Kdiag = jnp.einsum("Leijkl,Lbceil->Lbcejk", tei, Rg)
-    lo = jnp.einsum("Leip,Lbcefpj->Lbcefij", V, jnp.einsum("Lfjq,Lbcefpq->Lbcefpj", U, Rw))
-    hi = jnp.einsum("Leip,Lbcefpj->Lbcefij", U, jnp.einsum("Lfjq,Lbcefpq->Lbcefpj", V, Rw))
-    Kpair = jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
-    Kpair = Kpair.at[:, :, :, eidx, eidx, :, :].add(Kdiag)
-    # assembly scatter-add (sums the L axis too) and trash-slot drop
-    K4 = jnp.einsum("ein,Lbcefij,fjm->bcnm", A, Kpair, A)[:, :, :nrad, :nrad]
+    # lax.scan over L channels: batching the L axis into the einsums was
+    # measured speed-NEUTRAL on the TPU backend but multiplies the
+    # [nang, nang, nelem, nelem, np, np] working set by NL -- at Xe lmax=3
+    # that overflows HBM (31 GB requested). Per-L working sets keep the
+    # peak at 1/NL while the (b, c, e, f) batch already fills the MXU.
+    def body(K4, xs):
+        GL, LfacL, teiL, UL, VL = xs
+        # R[b,c,I,J] = Lfac * sum_{M,a,d} G[M,b,a] G[M,c,d] P[a,d,I,J]
+        t1 = jnp.einsum("Mba,adIJ->MbdIJ", GL, P4)
+        R = LfacL * jnp.einsum("Mcd,MbdIJ->bcIJ", GL, t1)
+        K4 = K4 + exchange_kernel_L(teiL, UL, VL, ops.gidx, nrad, R)
+        return K4, None
+
+    K4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
+    K4, _ = jax.lax.scan(body, K4, (ops.G, Lfacv, tei, U, V))
+    K4 = K4[:, :, :nrad, :nrad]
     return -_from4(K4, nang, nrad)
 
 

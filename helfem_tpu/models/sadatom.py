@@ -76,15 +76,36 @@ class SadAtomBasis:
     igrid: int = 4
     zexp: float = 2.0
     primbas: int = 4
+    # finite-nucleus model + optional sub-grid (reference: gensap --finitenuc
+    # --Rrms --nelem0 --grid0 --zexp0, src/sadatom/main.cpp:104-110)
+    finitenuc: str = "point"
+    Rrms: float = 0.0
+    nelem0: int = 0
+    igrid0: int = 2
+    zexp0: float = 2.0
+    # confinement potential (gensap --iconf family, main.cpp:138-143)
+    iconf: int = 0
+    conf_N: int = 0
+    conf_R: float = 0.0
+    conf_barrier: float = 0.0
+    shift_conf: float = 0.0
+    conf_boundary: float = 0.0  # insert an element boundary here if > 0
 
     rb: RadialBasis = field(init=False)
 
     def __post_init__(self):
+        from helfem_tpu.ops.grids import form_grid
+
         poly = get_basis(self.primbas, self.nnodes)
         if self.nquad == 0:
             self.nquad = 5 * self.nnodes
-        bval = get_grid(self.rmax, self.nelem, self.igrid, self.zexp)
+        bval = form_grid(
+            self.finitenuc, self.Rrms, self.nelem, self.rmax, self.igrid,
+            self.zexp, self.nelem0, self.igrid0, self.zexp0, self.Z,
+            0, 0, 0.0, self.conf_boundary,
+        )
         self.rb = RadialBasis(FEMBasis(poly, bval), self.nquad)
+        self.Vconf = None  # set by build_ops when iconf != 0
 
     @property
     def nrad(self) -> int:
@@ -102,7 +123,27 @@ class SadAtomBasis:
         G = np.zeros((NL, 1, 1, 1))
         G[0, 0, 0, 0] = 1.0 / np.sqrt(4.0 * np.pi)
         T = rb.kinetic()
-        Vnuc = self.Z * rb.nuclear()
+        if self.finitenuc == "point":
+            Vnuc = self.Z * rb.nuclear()
+        else:
+            from helfem_tpu.models.atomic import nuclear_model_V
+
+            Vnuc = rb.model_potential(
+                nuclear_model_V(self.finitenuc, self.Z, self.Rrms)(rb.r)
+            )
+        if self.iconf:
+            from helfem_tpu.models.atomic import confinement_Vr
+
+            N = self.conf_N if self.iconf != 3 else self.conf_barrier
+            self.Vconf = rb.model_potential(
+                confinement_Vr(rb.r, self.rmax, N, self.conf_R, self.iconf,
+                               self.shift_conf)
+            )
+            # folded into the nuclear slot: the Fock build and total energy
+            # pick it up; the CLI separates Econf = <P, Vconf> for printing
+            Vnuc = Vnuc + self.Vconf
+        else:
+            self.Vconf = None
         at = AtomicOperators(
             gidx=jnp.asarray(rb.fem.gidx),
             G=jnp.asarray(G),
@@ -369,6 +410,25 @@ def radial_density(basis: SadAtomBasis, Prad: np.ndarray):
         + 4.0 * np.einsum("eij,eqi,eqj->eq", Pg, rb.db, rb.b) / rb.r
     ) / fourpi
     return rb.r.ravel(), n.ravel(), dn.ravel(), ln.ravel(), (rb.wr * fourpi * rb.r**2).ravel()
+
+
+def xc_ingredients(basis: SadAtomBasis, Pla: np.ndarray, Plb: np.ndarray | None = None):
+    """XC-ingredient table on the radial grid: columns [r, rho_a, rho_b,
+    sigma_aa, sigma_ab, sigma_bb, lapl_a, lapl_b, tau_a, tau_b]
+    (reference: SCFSolver::XCIngredients -> DFTGrid::eval_ing,
+    src/sadatom/solver.cpp:1585-1597, dftgrid.cpp:1099-1135; gensap
+    --saveing writes it as xcing.dat). Restricted input (Plb=None) splits
+    the density evenly over the spins like the reference's P/2 call."""
+    if Plb is None:
+        Pla = Pla / 2.0
+        Plb = Pla
+    r, na, dna, lna, _ = radial_density(basis, Pla.sum(axis=0))
+    _, nb, dnb, lnb, _ = radial_density(basis, Plb.sum(axis=0))
+    ta = kinetic_energy_density(basis, Pla)
+    tb = kinetic_energy_density(basis, Plb)
+    return np.column_stack(
+        [r, na, nb, dna * dna, dna * dnb, dnb * dnb, lna, lnb, ta, tb]
+    )
 
 
 def kinetic_energy_density(basis: SadAtomBasis, Pl: np.ndarray):

@@ -280,3 +280,66 @@ def test_gga_potential_matches_lda_when_gradient_free():
     _, vra, *_ = xc_eval(funcs, half, half, z, z, z)
     rv = xc_screening(b, P, funcs)
     assert np.abs(rv - r * np.asarray(vra)).max() < 1e-12
+
+
+def test_sadatom_confinement_matches_atomic():
+    """Confined He (polynomial (r/R)^2 well): the spherically-averaged
+    solver must agree with the atomic program for a closed shell
+    (gensap --iconf parity, reference: src/sadatom/main.cpp:138-143)."""
+    import numpy as np
+
+    from helfem_tpu.models.atomic import AtomicBasis
+    from helfem_tpu.scf.atomic_scf import scf_atom
+
+    b = SadAtomBasis(Z=2, lmax=0, nelem=8, nnodes=10, rmax=20.0,
+                     iconf=1, conf_N=2, conf_R=4.0)
+    r = solve_sadatom(b, method="HF", convthr=1e-8, search=False)
+    assert r.converged
+
+    ba = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=20.0, nelem=8, nnodes=10)
+    ra = scf_atom(ba, 1, 1, method="HF", convthr=1e-8, iconf=1, conf_N=2, conf_R=4.0)
+    assert ra.converged
+    assert abs(r.E - ra.E) < 1e-8
+    # confinement raises the energy above the free atom
+    rfree = scf_atom(ba, 1, 1, method="HF", convthr=1e-8)
+    assert r.E > rfree.E + 1e-3
+
+
+def test_sadatom_finite_nucleus_matches_atomic():
+    """Gaussian finite nucleus in the spherically-averaged solver matches
+    the atomic program (gensap --finitenuc parity)."""
+    from helfem_tpu.models.atomic import AtomicBasis
+    from helfem_tpu.scf.atomic_scf import scf_atom
+
+    Rrms = 1e-2  # exaggerated radius so the shift is well above noise
+    b = SadAtomBasis(Z=2, lmax=0, nelem=8, nnodes=10, rmax=20.0,
+                     finitenuc="gaussian", Rrms=Rrms, nelem0=2)
+    r = solve_sadatom(b, method="HF", convthr=1e-8, search=False)
+    assert r.converged
+
+    ba = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=20.0, nelem=8, nnodes=10,
+                     finitenuc="gaussian", Rrms=Rrms, nelem0=2)
+    ra = scf_atom(ba, 1, 1, method="HF", convthr=1e-8, finitenuc="gaussian", Rrms=Rrms)
+    assert ra.converged
+    assert abs(r.E - ra.E) < 1e-7
+    # finite nucleus softens the cusp -> energy above the point nucleus
+    bp = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=20.0, nelem=8, nnodes=10)
+    rp = scf_atom(bp, 1, 1, method="HF", convthr=1e-8)
+    assert r.E > rp.E + 1e-5
+
+
+def test_xc_ingredients_integrals():
+    """The xcing table (gensap --saveing) must integrate to the electron
+    count and the kinetic energy."""
+    import numpy as np
+
+    from helfem_tpu.models.sadatom import radial_density, xc_ingredients
+
+    b = SadAtomBasis(Z=10, lmax=1, nelem=8, nnodes=10)
+    r = solve_sadatom(b, method="SVWN", convthr=1e-7, search=False)
+    ing = xc_ingredients(b, r.Pl)
+    _, _, _, _, wt = radial_density(b, r.Pl.sum(axis=0))
+    nel = np.sum((ing[:, 1] + ing[:, 2]) * wt)
+    assert abs(nel - 10.0) < 1e-8
+    ekin = np.sum((ing[:, 8] + ing[:, 9]) * wt)
+    assert abs(ekin - r.Ekin) < 1e-7
