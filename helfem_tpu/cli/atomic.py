@@ -9,6 +9,34 @@ import argparse
 import numpy as np
 
 
+def _apply_pars_files(method: str, x_pars: str, c_pars: str) -> str:
+    """Fold --x_pars/--c_pars parameter files into the method string
+    (reference: libxc ext_params files, src/atomic/main.cpp:107-108; here
+    the files hold 'key=value' lines matched against the functional's named
+    parameters). Only 'x_func,c_func' pair methods (or a single functional
+    with --x_pars) can take parameter files."""
+    parts = method.split(",")
+    if len(parts) > 2 or "[" in method:
+        raise SystemExit("--x_pars/--c_pars need a plain 'x_func,c_func' method")
+
+    def read(path):
+        kv = []
+        with open(path) as f:
+            for line in f:
+                line = line.split("#")[0].strip()
+                if line:
+                    kv.append(line.replace(" ", ""))
+        return ",".join(kv)
+
+    if x_pars:
+        parts[0] = f"{parts[0]}[{read(x_pars)}]"
+    if c_pars:
+        if len(parts) < 2:
+            raise SystemExit("--c_pars given but the method has no correlation part")
+        parts[1] = f"{parts[1]}[{read(c_pars)}]"
+    return ",".join(parts)
+
+
 def parse_nela_nelb(Z: int, Q: int, M: int, nela: int, nelb: int):
     """(reference: scf::parse_nela_nelb)."""
     if nela or nelb:
@@ -69,6 +97,33 @@ def main(argv=None):
     p.add_argument("--shift_conf", type=float, default=0.0)
     p.add_argument("--save", default="helfem.npz", help="checkpoint file")
     p.add_argument("--dftthr", type=float, default=1e-12)
+    # SCF control knobs (reference: src/atomic/main.cpp:63-119)
+    p.add_argument("--restricted", type=int, default=-1,
+                   help="-1 auto, 0 unrestricted, 1 restricted (ROHF if open shell)")
+    p.add_argument("--symmetry", type=int, default=-1,
+                   help="force symmetry blocking: 0 none, 1 m, 2 (l,m); -1 auto")
+    p.add_argument("--maverage", action="store_true",
+                   help="average the Fock matrix over m within each l")
+    p.add_argument("--perturb", type=float, default=0.0,
+                   help="random orthogonal rotation amplitude for the guess orbitals")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dampfock", type=float, default=1.0,
+                   help="damping factor for occupied-virtual MO Fock blocks")
+    p.add_argument("--dampthr", type=float, default=0.5,
+                   help="apply damping while the DIIS error is above this")
+    p.add_argument("--diisorder", type=int, default=10, help="DIIS history length")
+    p.add_argument("--diiseps", type=float, default=0.1,
+                   help="DIIS error below which extrapolation starts mixing in")
+    p.add_argument("--ldft", type=int, default=0,
+                   help="theta rule order for the dft grid (0 = auto)")
+    p.add_argument("--mdft", type=int, default=0,
+                   help="accepted for reference parity; the phi integral is "
+                        "evaluated analytically here, so it has no effect")
+    p.add_argument("--angstrom", action="store_true",
+                   help="off-center distance Rmid given in angstrom")
+    p.add_argument("--x_pars", default="", help="file of 'key=value' parameter "
+                   "overrides for the exchange functional")
+    p.add_argument("--c_pars", default="", help="same for the correlation functional")
     args = p.parse_args(argv)
 
     import jax
@@ -83,6 +138,12 @@ def main(argv=None):
     Z = get_Z(args.Z)
     Zl = get_Z(args.Zl) if args.Zl else 0
     Zr = get_Z(args.Zr) if args.Zr else 0
+    if args.angstrom:
+        from helfem_tpu.utils.elements import ANGSTROM_IN_BOHR
+
+        args.Rmid *= ANGSTROM_IN_BOHR
+    if args.x_pars or args.c_pars:
+        args.method = _apply_pars_files(args.method, args.x_pars, args.c_pars)
     nela, nelb = parse_nela_nelb(Z + Zl + Zr, args.Q, args.M, args.nela, args.nelb)
     guess = {0: "core", 1: "GSZ", 2: "SAP", 3: "TF"}[args.iguess]
     nucmodel = {0: "point", 1: "point", 2: "gaussian", 3: "spherical",
@@ -176,6 +237,10 @@ def main(argv=None):
         shift_conf=args.shift_conf, finitenuc=nucmodel, Rrms=args.Rrms,
         Zl=Zl, Zr=Zr, Rmid=args.Rmid, occs=occs, P0a=P0a, P0b=P0b,
         save_cb=save_cb if args.save else None,
+        restricted=args.restricted, symmetry=args.symmetry,
+        maverage=args.maverage, perturb=args.perturb, seed=args.seed,
+        dampfock=args.dampfock, dampthr=args.dampthr,
+        diisorder=args.diisorder, diiseps=args.diiseps, ldft=args.ldft,
     )
     timer.lap("SCF")
     print()
@@ -198,6 +263,22 @@ def main(argv=None):
             print(f"  {i + 1:3d} {res.orbsym_a[i]:>8s}  % .9f  {tag}" % res.orbE_a[i])
     if not res.converged:
         print("WARNING: SCF did not converge!")
+    # post-SCF analysis (reference: src/atomic/main.cpp:1000-1059)
+    from helfem_tpu.scf.atomic_scf import atomic_analysis
+
+    symm_used = args.symmetry if args.symmetry >= 0 else (
+        1 if (args.Ez or args.Qzz or ((Zl or Zr) and args.Rmid > 0)) else 2
+    )
+    ana = atomic_analysis(basis, res, symm=symm_used)
+    print()
+    print(f"Virial ratio -E/T     : {ana['virial_ratio']:.10f}")
+    for n in (-1, 1, 2, 3):
+        print(f"<r^{n:+d}>                : {ana[f'<r^{n}>']:.10f}")
+    print(f"Density at nucleus    : {ana['density_at_nucleus']:.10f}")
+    print(f"Density gradient      : {ana['density_gradient_at_nucleus']:.10f}")
+    print(f"Cusp -n'(0)/(2 Z n(0)): {ana['cusp']:.10f}")
+    print(f"Dipole <z>            : {ana['dipole_z']:.10e}")
+    print(f"Quadrupole <zz>       : {ana['quadrupole_zz']:.10e}")
     if args.save:
         save_atomic(args.save, basis, res)
         print(f"checkpoint saved to {args.save}")

@@ -33,6 +33,26 @@ def main(argv=None):
     p.add_argument("--Ez", type=float, default=0.0, help="electric field along the bond")
     p.add_argument("--Qzz", type=float, default=0.0, help="quadrupole field strength")
     p.add_argument("--Bz", type=float, default=0.0, help="magnetic field along the bond")
+    p.add_argument("--restricted", type=int, default=-1,
+                   help="-1 auto, 0 unrestricted, 1 restricted")
+    p.add_argument("--perturb", type=float, default=0.0,
+                   help="random orthogonal rotation amplitude for the guess orbitals")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--diisorder", type=int, default=10, help="DIIS history length")
+    p.add_argument("--diiseps", type=float, default=0.1,
+                   help="DIIS error below which extrapolation starts mixing in")
+    p.add_argument("--dftthr", type=float, default=1e-12)
+    p.add_argument("--ldft", type=int, default=0,
+                   help="eta rule order for the dft grid (0 = auto)")
+    p.add_argument("--mdft", type=int, default=0,
+                   help="accepted for reference parity; the phi integral is "
+                        "evaluated analytically here, so it has no effect")
+    p.add_argument("--readocc", type=int, default=0,
+                   help="read per-symmetry-block occupations from occs.dat "
+                        "(lines 'na nb'), used until this iteration (<0: always)")
+    p.add_argument("--x_pars", default="", help="file of 'key=value' parameter "
+                   "overrides for the exchange functional")
+    p.add_argument("--c_pars", default="", help="same for the correlation functional")
     p.add_argument("--finitenuc", default="point",
                    help="nuclear model: point|gaussian|spherical|hollow|regularized")
     p.add_argument("--Rrms1", type=float, default=0.0, help="nucleus 1 rms radius")
@@ -52,6 +72,17 @@ def main(argv=None):
     R = args.Rbond * (ANGSTROM_IN_BOHR if args.angstrom else 1.0)
     lmax = tuple(int(x) for x in str(args.lmax).split(","))
     nela, nelb = parse_nela_nelb(Z1 + Z2, args.Q, args.M, args.nela, args.nelb)
+    if args.x_pars or args.c_pars:
+        from helfem_tpu.cli.atomic import _apply_pars_files
+
+        args.method = _apply_pars_files(args.method, args.x_pars, args.c_pars)
+    occs = None
+    if args.readocc:
+        import numpy as np
+
+        occs = np.loadtxt("occs.dat", ndmin=2)
+        if occs.shape[1] < 2:
+            raise SystemExit("occs.dat needs at least two columns (na nb)")
 
     basis = DiatomicBasis(
         Z1=Z1, Z2=Z2, Rbond=R, lmax=lmax, rmax=args.Rmax, nelem=args.nelem,
@@ -87,6 +118,9 @@ def main(argv=None):
         convthr=args.convthr, verbose=True, guess=args.guess,
         P0a=P0a, P0b=P0b, Ez=args.Ez, Qzz=args.Qzz, Bz=args.Bz,
         finitenuc=args.finitenuc, Rrms1=args.Rrms1, Rrms2=args.Rrms2,
+        restricted=args.restricted, perturb=args.perturb, seed=args.seed,
+        diisorder=args.diisorder, diiseps=args.diiseps, dftthr=args.dftthr,
+        ldft=args.ldft, occs=occs, readocc_until=args.readocc,
     )
     if args.save:
         from helfem_tpu.utils.checkpoint import save_diatomic

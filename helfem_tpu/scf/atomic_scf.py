@@ -256,6 +256,50 @@ def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
     return chunk
 
 
+def _fock_m_average(F, basis) -> np.ndarray:
+    """Average the diagonal (l,m) radial blocks over m for each l
+    (reference: scf::fock_symmetry_average, src/general/scf_helpers.cpp:264,
+    the --maverage option)."""
+    F = np.array(F)
+    nrad = basis.nrad
+    for l in np.unique(basis.lval):
+        shells = np.nonzero(basis.lval == l)[0]
+        if len(shells) < 2:
+            continue
+        mean = sum(
+            F[a * nrad : (a + 1) * nrad, a * nrad : (a + 1) * nrad] for a in shells
+        ) / len(shells)
+        for a in shells:
+            F[a * nrad : (a + 1) * nrad, a * nrad : (a + 1) * nrad] = mean
+    return F
+
+
+def _damp_fock_mo(F, C_blocks, occ, blk_idx, S, factor: float) -> np.ndarray:
+    """Scale the occupied-virtual MO blocks of F by `factor`
+    (reference: the --dampfock off-diagonal damping,
+    src/atomic/main.cpp:919-935; applied per symmetry block, which is
+    equivalent to the reference's global MO transform when the Fock is
+    symmetry-blocked)."""
+    F = np.array(F)
+    S = np.asarray(S)
+    nbf = F.shape[0]
+    for b in range(blk_idx.shape[0]):
+        idx = blk_idx[b]
+        idx = idx[idx < nbf]
+        ni = len(idx)
+        C = np.asarray(C_blocks[b])[:ni, :ni]
+        occm = np.asarray(occ[b])[:ni] > 0
+        if not occm.any() or occm.all():
+            continue
+        Fb = F[np.ix_(idx, idx)]
+        Sb = S[np.ix_(idx, idx)]
+        M = C.T @ Fb @ C
+        M[np.ix_(occm, ~occm)] *= factor
+        M[np.ix_(~occm, occm)] *= factor
+        F[np.ix_(idx, idx)] = Sb @ C @ M @ C.T @ Sb
+    return F
+
+
 def scf_atom(
     basis: AtomicBasis,
     nela: int,
@@ -287,6 +331,13 @@ def scf_atom(
     P0a: np.ndarray | None = None,
     P0b: np.ndarray | None = None,
     save_cb=None,
+    symmetry: int = -1,
+    maverage: bool = False,
+    dampfock: float = 1.0,
+    dampthr: float = 0.5,
+    diisorder: int = 10,
+    diiseps: float = 0.1,
+    ldft: int = 0,
 ) -> SCFResult:
     """Restricted/unrestricted SCF. method: 'HF', 'LDA', 'SVWN', 'PBE', or
     an 'x_func,c_func' pair of functional names.
@@ -319,7 +370,7 @@ def scf_atom(
             kfrac, kshort = kfrac + kshort, 0.0
         else:
             rs = basis.build_erfc(omega) if kernel == "erfc" else basis.build_yukawa(omega)
-    g = build_dft_grid(basis) if funcs else None
+    g = build_dft_grid(basis, ntheta=ldft) if funcs else None
     fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr, kshort=kshort, kernel=kernel)
 
     # extra one-electron terms
@@ -339,8 +390,11 @@ def scf_atom(
         Vextra += basis.nuclear_offcenter(Zl, Zr, Rmid)
     Vextra = jnp.asarray(Vextra)
 
-    # symmetry blocks: (l,m) unless a field/off-center term couples l channels
+    # symmetry blocks: (l,m) unless a field/off-center term couples l
+    # channels; overridable via `symmetry` (reference --symmetry 0/1/2)
     symm = 1 if (Ez != 0.0 or Qzz != 0.0 or ((Zl or Zr) and Rmid > 0.0)) else 2
+    if symmetry >= 0:
+        symm = symmetry
     blk_idx_np, blk_sinvh_np = build_blocks(np.asarray(ops.S), basis.sym_blocks(symm))
     blk_idx = jnp.asarray(blk_idx_np)
     blk_sinvh = jnp.asarray(blk_sinvh_np)
@@ -395,7 +449,7 @@ def scf_atom(
                          kshort=kshort, kernel=kernel)
     Sinvh_np = _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
     Sinvh_dev = jnp.asarray(Sinvh_np)
-    diis = DIIS(np.asarray(ops.S), Sinvh_np)
+    diis = DIIS(np.asarray(ops.S), Sinvh_np, max_hist=diisorder, diis_eps=diiseps)
     Sh_np = None
     if rohf:
         from helfem_tpu.utils.linalg import form_sh, rohf_update
@@ -407,10 +461,10 @@ def scf_atom(
     converged = False
     occa = occb = None
     # fused on-device chunks engage after the host warmup for both the
-    # restricted and the plain-unrestricted paths; ROHF/CUHF needs the
-    # host-side NO-basis Fock coupling every iteration and stays on the
-    # host loop
-    warmup = maxit if rohf else 2
+    # restricted and the plain-unrestricted paths; ROHF/CUHF, Fock
+    # m-averaging, and MO-basis damping need host-side per-iteration Fock
+    # surgery and stay on the host loop
+    warmup = maxit if (rohf or maverage or dampfock != 1.0) else 2
     fused = None
     hist = None
     it = 0
@@ -525,6 +579,10 @@ def scf_atom(
         dE = Etot - Eold
         Eold = Etot
 
+        if maverage:
+            Fa = jnp.asarray(_fock_m_average(Fa, basis))
+            Fb = Fa if restricted else jnp.asarray(_fock_m_average(Fb, basis))
+
         if restricted:
             ev = _diis_error(Fa, Pa, ops.S, Sinvh_dev)
             err = diis.update_with_error([np.asarray(Fa)], np.asarray(ev))
@@ -542,6 +600,15 @@ def scf_atom(
                 [np.asarray(Fa), np.asarray(Fb)], [np.asarray(Pa), np.asarray(Pb)]
             )
             Fa_, Fb_ = diis.solve()
+
+        if dampfock != 1.0 and err >= dampthr:
+            if verbose:
+                print(f"damping off-diagonal Fock elements by {dampfock:.3f}")
+            Fa_ = _damp_fock_mo(Fa_, Ca, occa, blk_idx_np, ops.S, dampfock)
+            if restricted:
+                Fb_ = Fa_
+            else:
+                Fb_ = _damp_fock_mo(Fb_, Cb, occb, blk_idx_np, ops.S, dampfock)
 
         if verbose:
             print(f"iter {it:3d}  E = {Etot:+.12f}  dE = {dE:+.3e}  diis = {err:.3e}")
@@ -635,6 +702,8 @@ def atomic_analysis(basis: AtomicBasis, res: SCFResult, symm: int = 2) -> dict:
     out["cusp"] = -dn0 / (2.0 * basis.Z * n0) if n0 > 0 else 0.0
     out["dipole_z"] = -float(np.vdot(P, basis.dipole_z()))
     out["quadrupole_zz"] = -float(np.vdot(P, basis.quadrupole_zz()))
+    # virial ratio -E/T = 1 exactly at the basis-set limit (main.cpp:1010)
+    out["virial_ratio"] = -res.E / res.Ekin if res.Ekin else 0.0
     return out
 
 

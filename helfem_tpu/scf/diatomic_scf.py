@@ -104,6 +104,16 @@ def _aufbau_blocks(E: np.ndarray, nel: float) -> np.ndarray:
     return occ.reshape(nblk, blen)
 
 
+def _occ_fixed_blocks(E: np.ndarray, nocc: np.ndarray) -> np.ndarray:
+    """Occupations with a FIXED electron count per symmetry block
+    (reference --readocc): aufbau within each block independently."""
+    nblk, blen = E.shape
+    occ = np.zeros((nblk, blen))
+    for b in range(nblk):
+        occ[b] = _aufbau_blocks(E[b : b + 1], float(nocc[b]))[0]
+    return occ
+
+
 @dataclass
 class DiaSCFResult:
     converged: bool
@@ -236,6 +246,15 @@ def scf_diatomic(
     Rrms1: float = 0.0,
     Rrms2: float = 0.0,
     shift: float = 0.0,
+    restricted: int = -1,
+    perturb: float = 0.0,
+    seed: int = 0,
+    diisorder: int = 10,
+    diiseps: float = 0.1,
+    dftthr: float = 1e-12,
+    ldft: int = 0,
+    occs: np.ndarray | None = None,
+    readocc_until: int = 0,
 ) -> DiaSCFResult:
     """Diatomic SCF. Ez/Qzz/Bz add the electric-dipole, quadrupole, and
     magnetic (orbital Zeeman + diamagnetic + spin) field operators
@@ -255,7 +274,7 @@ def scf_diatomic(
     if funcs:
         from helfem_tpu.models.diatomic_dft import build_dia_grid
 
-        g = build_dia_grid(basis)
+        g = build_dia_grid(basis, neta=ldft)
 
     # extra one-electron terms folded into H0 (tracked as Efield)
     Vextra = np.zeros((nbf, nbf))
@@ -276,14 +295,23 @@ def scf_diatomic(
         ops = ops._replace(H0=ops.H0 + Vextra_dev)
     Enucrep = basis.Z1 * basis.Z2 / basis.Rbond
 
-    restricted = nela == nelb and Bz == 0.0
-    fock = make_dia_fock(tuple(funcs), kfrac, restricted=restricted)
+    # restricted: -1 auto (the reference convention); forcing restricted=1
+    # needs equal spin counts (no diatomic ROHF coupling implemented)
+    if restricted == -1:
+        restricted = nela == nelb and Bz == 0.0
+    elif restricted == 1:
+        if nela != nelb:
+            raise NotImplementedError("diatomic restricted open-shell (ROHF) not supported")
+        restricted = Bz == 0.0
+    else:
+        restricted = False
+    fock = make_dia_fock(tuple(funcs), kfrac, dftthr=dftthr, restricted=restricted)
     if P0a is not None:
         # warm start from a density (e.g. a loaded checkpoint): build the
         # Fock of the supplied density and diagonalize it as the guess
         # (reference --load restart, src/diatomic/main.cpp).
         P0b_ = P0a if P0b is None else P0b
-        gfock = fock if P0b is None else make_dia_fock(tuple(funcs), kfrac)
+        gfock = fock if P0b is None else make_dia_fock(tuple(funcs), kfrac, dftthr=dftthr)
         Fg_a, Fg_b, *_ = gfock(ops, g, jnp.asarray(P0a), jnp.asarray(P0b_))
         Ea, Ca = eig_blocks_dia(ops, Fg_a)
         Ea = np.asarray(Ea)
@@ -302,7 +330,15 @@ def scf_diatomic(
         Ea, Ca = eig_blocks_dia(ops, Hguess)
         Ea = np.asarray(Ea)
         Eb, Cb = Ea.copy(), Ca
-    diis = DIIS(np.asarray(ops.S), _full_sinvh(ops, nbf))
+    if perturb:
+        from helfem_tpu.utils.linalg import perturbation_matrix
+
+        R = perturbation_matrix(Ca.shape[-1], perturb, seed)
+        Ca = jnp.einsum("bpk,kq->bpq", Ca, jnp.asarray(R))
+        if not restricted:
+            Cb = jnp.einsum("bpk,kq->bpq", jnp.asarray(Cb), jnp.asarray(R))
+
+    diis = DIIS(np.asarray(ops.S), _full_sinvh(ops, nbf), max_hist=diisorder, diis_eps=diiseps)
 
     Eold, Etot, converged = 0.0, 0.0, False
     # fused on-device chunks engage after a short host warmup; the level
@@ -316,15 +352,21 @@ def scf_diatomic(
     it = 0
     while it < maxit:
         it += 1
-        occa = _aufbau_blocks(Ea, nela)
-        occb = occa if restricted else _aufbau_blocks(Eb, nelb)
+        if occs is not None and (readocc_until < 0 or it <= readocc_until):
+            # enforced per-symmetry-block occupations (reference --readocc
+            # occs.dat, used until the nth Fock build): occs[b] = (na, nb)
+            occa = _occ_fixed_blocks(Ea, np.asarray(occs)[:, 0])
+            occb = occa if restricted else _occ_fixed_blocks(Eb, np.asarray(occs)[:, 1])
+        else:
+            occa = _aufbau_blocks(Ea, nela)
+            occb = occa if restricted else _aufbau_blocks(Eb, nelb)
 
         if it > warmup:
             if fused is None:
                 nhist = 10
                 CH = 4
                 fused = make_dia_fused_chunk(
-                    tuple(funcs), kfrac, nhist, CH, 1e-12, restricted, Bz
+                    tuple(funcs), kfrac, nhist, CH, dftthr, restricted, Bz
                 )
                 Sinvh_full_dev = jnp.asarray(_full_sinvh(ops, nbf))
                 nerr = (1 if restricted else 2) * nbf * nbf

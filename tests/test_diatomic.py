@@ -124,3 +124,25 @@ def test_core_basis_scan_h2plus():
                       rmax=20.0, nelem=3, nnodes=14)
     E = core_channel_energies(b, {0: 1})
     assert abs(E[0] + 1.1026342144949) < 1e-8
+
+
+def test_dia_scf_control_knobs():
+    """Diatomic SCF control parity (--restricted/--perturb/--diisorder/
+    --readocc): all paths converge to the same H2 HF energy."""
+    import numpy as np
+
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=1.4, lmax=(4,), rmax=15.0, nelem=3, nnodes=6)
+    ops = b.build_operators()
+    e_ref = scf_diatomic(b, 1, 1, convthr=1e-8, ops=ops).E
+    r_u = scf_diatomic(b, 1, 1, convthr=1e-8, ops=ops, restricted=0, maxit=60)
+    assert r_u.converged and abs(r_u.E - e_ref) < 1e-7
+    r_p = scf_diatomic(b, 1, 1, convthr=1e-8, ops=ops, perturb=0.05, seed=1,
+                       diisorder=6, maxit=60)
+    assert r_p.converged and abs(r_p.E - e_ref) < 1e-8
+    # enforced occupations: put both electrons in the gerade sigma block
+    nblk = np.asarray(ops.blk_idx).shape[0]
+    occs = np.zeros((nblk, 2))
+    occs[0, 0] = occs[0, 1] = 1.0
+    r_o = scf_diatomic(b, 1, 1, convthr=1e-8, ops=ops, occs=occs,
+                       readocc_until=-1, maxit=60)
+    assert r_o.converged and abs(r_o.E - e_ref) < 1e-8

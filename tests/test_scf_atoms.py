@@ -90,3 +90,42 @@ def test_xenon_hf_sub_uEh():
     res = scf_atom(b, 27, 27, convthr=1e-9, maxit=80)
     assert res.converged
     assert abs(res.E + 7232.1383638) < 3e-7
+
+
+def test_scf_control_knobs():
+    """Reference-parity SCF controls: --symmetry/--maverage/--dampfock/
+    --diisorder/--perturb all converge to the same Ne HF energy
+    (src/atomic/main.cpp:63-119 option block)."""
+    b = AtomicBasis(Z=10, lmax=1, mmax=1, rmax=30.0, nelem=8, nnodes=10)
+    ops = b.build_operators()
+    e_ref = scf_atom(b, 5, 5, convthr=1e-8, ops=ops).E
+    # forced m-symmetry blocks (symmetry=1) instead of (l,m)
+    e_sym1 = scf_atom(b, 5, 5, convthr=1e-8, ops=ops, symmetry=1).E
+    assert abs(e_sym1 - e_ref) < 1e-9
+    # no symmetry blocking at all
+    e_sym0 = scf_atom(b, 5, 5, convthr=1e-8, ops=ops, symmetry=0).E
+    assert abs(e_sym0 - e_ref) < 1e-9
+    # Fock m-averaging is a no-op at a closed-shell solution
+    e_mav = scf_atom(b, 5, 5, convthr=1e-8, ops=ops, maverage=True).E
+    assert abs(e_mav - e_ref) < 1e-9
+    # MO off-diagonal damping slows but does not change the fixed point
+    r_damp = scf_atom(b, 5, 5, convthr=1e-8, ops=ops, dampfock=0.7, dampthr=1e-4,
+                      maxit=80)
+    assert r_damp.converged and abs(r_damp.E - e_ref) < 1e-9
+    # short DIIS history + perturbed guess
+    r_p = scf_atom(b, 5, 5, convthr=1e-8, ops=ops, diisorder=5, perturb=0.1, seed=3,
+                   maxit=80)
+    assert r_p.converged and abs(r_p.E - e_ref) < 1e-9
+
+
+def test_x_pars_files(tmp_path):
+    """--x_pars/--c_pars files fold named parameter overrides into the
+    method string (the libxc ext_params equivalent)."""
+    from helfem_tpu.cli.atomic import _apply_pars_files
+    from helfem_tpu.ops.xc import parse_method
+
+    xp = tmp_path / "x.pars"
+    xp.write_text("kappa = 1.245\n# comment\nmu=0.3\n")
+    m = _apply_pars_files("gga_x_pbe,gga_c_pbe", str(xp), "")
+    funcs, _ = parse_method(m)
+    assert dict(funcs[0].params) == {"kappa": 1.245, "mu": 0.3}
