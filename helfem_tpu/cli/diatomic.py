@@ -135,6 +135,17 @@ def main(argv=None):
         ("Total", res.E),
     ]:
         print(f"{name:<21s} energy: % .16f" % val)
+    if res.orbsym_a is not None and nela > 0:
+        from helfem_tpu.utils.elements import HARTREE_IN_EV
+
+        nshow = min(nela + 2, len(res.orbE_a))
+        print("\noccupied + lowest virtual orbital energies:")
+        for i in range(nshow):
+            tag = "occ" if i < nela else "vir"
+            print(f"  {i + 1:3d} {res.orbsym_a[i]:>8s}  % .9f  {tag}" % res.orbE_a[i])
+        if len(res.orbE_a) > nela:
+            gap = (res.orbE_a[nela] - res.orbE_a[nela - 1]) * HARTREE_IN_EV
+            print(f"HOMO-LUMO gap: {gap:.3f} eV")
     if not res.converged:
         print("WARNING: SCF did not converge!")
     return res

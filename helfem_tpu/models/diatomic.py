@@ -333,6 +333,29 @@ class DiatomicBasis:
                     blocks.append(np.array(idx))
         return blocks
 
+    def sym_labels(self, parity: bool = True) -> list[str]:
+        """Spectroscopic label per symmetry block, in sym_blocks order:
+        sigma/pi/delta/... by |m|, with g/u parity for homonuclear
+        (Y_lm inversion parity is (-1)^l; reference: classify_orbitals,
+        src/diatomic/main.cpp)."""
+        greek = ["sigma", "pi", "delta", "phi", "gamma", "eta"]
+        labels = []
+        parities = [0, 1] if (self.Z1 == self.Z2 and parity) else [None]
+        mask = self.shell_mask()
+        for m in sorted(set(self.mval)):
+            for par in parities:
+                has = any(
+                    self.mval[a] == m and (par is None or self.lval[a] % 2 == par)
+                    for a in range(self.nang)
+                )
+                if not has:
+                    continue
+                name = greek[m] if m < len(greek) else f"m={m}"
+                if par is not None:
+                    name += "g" if par == 0 else "u"
+                labels.append(name)
+        return labels
+
     # --- TEI tables -------------------------------------------------------------------
     def _legendre_tables(self):
         """P/Q at all outer and inner quadrature points, per element."""

@@ -132,6 +132,8 @@ class DiaSCFResult:
     orbs_b: np.ndarray | None = None
     occ_b: np.ndarray | None = None
     Efield: float = 0.0
+    orbsym_a: list[str] | None = None  # spectroscopic label per orbE_a entry
+    orbsym_b: list[str] | None = None
 
 
 @lru_cache(maxsize=None)
@@ -450,6 +452,19 @@ def scf_diatomic(
 
     oe = np.sort(Ea.ravel())
     eb = np.sort(np.asarray(Eb).ravel())
+
+    # spectroscopic label per sorted eigenvalue (sigma g/u, pi g/u, ...)
+    nblk = np.asarray(Ea).shape[0]
+    labels = basis.sym_labels(True)
+    if len(labels) != nblk:
+        labels = basis.sym_labels(False)
+
+    def _sorted_syms(E):
+        flat = np.asarray(E).ravel()
+        order = np.argsort(flat)
+        order = order[flat[order] < _BIG / 2]
+        return [labels[i // E.shape[1]] for i in order] if len(labels) == nblk else None
+
     return DiaSCFResult(
         converged=converged,
         niter=it,
@@ -467,6 +482,8 @@ def scf_diatomic(
         orbs_b=None if restricted else np.asarray(Cb),
         occ_b=None if restricted else occb,
         Efield=Efield,
+        orbsym_a=_sorted_syms(Ea),
+        orbsym_b=None if restricted else _sorted_syms(np.asarray(Eb)),
     )
 
 

@@ -44,3 +44,30 @@ def test_diatomic_1e_cli():
     # exact H2+ ground state at R=2
     E0 = out[0] if np.ndim(out) else out
     assert abs(float(np.ravel(out)[0]) + 1.1026342145) < 1e-6
+
+
+def test_diatomic_dline_dgrid_cli(tmp_path, monkeypatch):
+    """Density post-processing programs (reference: diatomic_dline/dgrid):
+    run H2 HF, then extract the axis line and half-plane densities."""
+    monkeypatch.chdir(tmp_path)
+    from helfem_tpu.cli.diatomic import main as dia_main
+    from helfem_tpu.cli.diatomic_dgrid import main as dgrid_main
+    from helfem_tpu.cli.diatomic_dline import main as dline_main
+
+    ck = str(tmp_path / "h2.npz")
+    res = dia_main(["--Z1", "H", "--Z2", "H", "--Rbond", "1.4", "--lmax", "4",
+                    "--nelem", "3", "--nnodes", "6", "--Rmax", "15",
+                    "--method", "HF", "--convthr", "1e-7", "--save", ck])
+    assert res.converged
+    assert res.orbsym_a[0] == "sigmag"  # H2 ground state is 1 sigma_g
+    dline_main(["--load", ck, "--output", str(tmp_path / "dl.dat"), "--npts", "50"])
+    dgrid_main(["--load", ck, "--output", str(tmp_path / "dg.dat"),
+                "--nz", "20", "--nrho", "10"])
+    dl = np.loadtxt(tmp_path / "dl.dat")
+    assert dl.shape == (50, 2)
+    # density peaks at the nuclei (z = +-0.7), not the midpoint
+    n_mid = dl[np.abs(dl[:, 0]).argmin(), 1]
+    n_nuc = dl[np.abs(dl[:, 0] - 0.7).argmin(), 1]
+    assert 0.0 < n_mid < n_nuc
+    dg = np.loadtxt(tmp_path / "dg.dat")
+    assert dg.shape == (200, 3) and dg[:, 2].min() >= 0.0
