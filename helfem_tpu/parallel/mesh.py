@@ -27,7 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from helfem_tpu.models.atomic import AtomicOperators, coulomb, exchange
 from helfem_tpu.utils.linalg import eigh_refined
 
-__all__ = ["make_mesh", "pad_ops_for_mesh", "sharded_scf_step", "sharded_dia_fock"]
+__all__ = ["make_mesh", "pad_ops_for_mesh", "sharded_scf_step",
+           "sharded_dia_fock", "sharded_xc_fock", "pad_grid_for_mesh"]
 
 
 def make_mesh(n_devices: int, backend: str | None = None) -> Mesh:
@@ -155,6 +156,71 @@ def sharded_scf_step(mesh: Mesh, ops: AtomicOperators, kfrac: float = 1.0):
         return Fa, Fb, Ea, Ca, Eb, Cb, Ekin + Enuc + Ecoul + Exx
 
     return step, ops
+
+
+def pad_grid_for_mesh(g, nrad: int, n: int):
+    """Pad the radial-element axis of a DFTGridOps to a multiple of n.
+    Padded elements carry zero quadrature weight, r = 1 (no division by
+    zero in the gradient terms), and trash-slot gidx (they gather zero
+    density and scatter into the dropped row) -- they contribute exactly
+    nothing."""
+    nelem = g.r.shape[0]
+    pad = (-nelem) % n
+    if pad == 0:
+        return g
+
+    def padz(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    return g._replace(
+        bg=padz(g.bg),
+        dbg=padz(g.dbg),
+        d2bg=padz(g.d2bg),
+        r=jnp.concatenate([g.r, jnp.ones((pad,) + g.r.shape[1:])]),
+        w2=padz(g.w2),
+        gidx=jnp.concatenate(
+            [g.gidx, jnp.full((pad,) + g.gidx.shape[1:], nrad, g.gidx.dtype)]
+        ),
+    )
+
+
+def sharded_xc_fock(mesh: Mesh, g, funcs, nrad: int, thr: float = 1e-12):
+    """XC Fock build sharded over the radial-element axis of the quadrature
+    grid: the TPU-native replacement for the reference DFTGrid's
+    OpenMP-over-elements loop with even/odd write sweeps
+    (src/atomic/dftgrid.cpp:817-870) -- each device integrates its element
+    shard and the partial Fxc / Exc / Nel are psum'ed (overlapping FEM rows
+    sum correctly, which is exactly the race the even/odd sweep avoided).
+
+    Returns (xc_fn, g_padded) with xc_fn(Pa, Pb) -> (Fxca, Fxcb, Exc, Nel).
+    """
+    from helfem_tpu.models.atomic_dft import DFTGridOps, eval_fxc
+
+    n = mesh.devices.size
+    g = pad_grid_for_mesh(g, nrad, n)
+    espec = DFTGridOps(
+        bg=P("ch"), dbg=P("ch"), r=P("ch"), w2=P("ch"),
+        wth=P(), TT=P(), dTT=P(), dTT2=P(), TTm2=P(),
+        gidx=P("ch"), d2bg=P("ch"), LTT=P(),
+    )
+
+    def xc_shard(g_l, Pa, Pb):
+        Fa, Fb, Exc, Nel = eval_fxc(funcs, g_l, Pa, Pb, nrad, thr)
+        return (
+            jax.lax.psum(Fa, "ch"),
+            jax.lax.psum(Fb, "ch"),
+            jax.lax.psum(Exc, "ch"),
+            jax.lax.psum(Nel, "ch"),
+        )
+
+    xc_sm = jax.shard_map(
+        xc_shard,
+        mesh=mesh,
+        in_specs=(espec, P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(lambda Pa, Pb: xc_sm(g, Pa, Pb)), g
 
 
 def sharded_dia_fock(mesh: Mesh, ops, kfrac: float = 1.0):

@@ -58,3 +58,35 @@ def test_sharded_dia_fock_matches(ndev=4):
     K = exchange_dia(ops, Pa)
     Fref = ops.H0 + J + K
     assert np.abs(np.asarray(Fa) - np.asarray(Fref)).max() < 1e-10
+
+
+@pytest.mark.parametrize("ndev", [4, 8])
+def test_sharded_xc_fock_matches(ndev):
+    """Element-sharded XC quadrature (the DFTGrid OpenMP-loop replacement)
+    reproduces the single-device Fxc/Exc/Nel bit-for-bit-close."""
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from helfem_tpu.models.atomic_dft import build_dft_grid, eval_fxc
+    from helfem_tpu.ops.xc import parse_method
+    from helfem_tpu.parallel.mesh import sharded_xc_fock
+
+    b = AtomicBasis(Z=4, lmax=1, mmax=1, rmax=15.0, nelem=5, nnodes=6, nquad=40)
+    b.build_operators()
+    g = build_dft_grid(b)
+    funcs, _ = parse_method("PBE")
+    mesh = make_mesh(ndev)
+    xc, _ = sharded_xc_fock(mesh, g, tuple(funcs), b.nrad)
+
+    rng = np.random.default_rng(1)
+    nang, nrad = b.nang, b.nrad
+    Pa = np.zeros((b.nbf, b.nbf))
+    for a in range(nang):
+        X = rng.standard_normal((nrad, 2)) * 0.1
+        Pa[a * nrad : (a + 1) * nrad, a * nrad : (a + 1) * nrad] = X @ X.T
+    Pa = jnp.asarray(Pa)
+
+    Fa, Fb, Exc, Nel = xc(Pa, Pa)
+    Fr_a, Fr_b, Exc_r, Nel_r = eval_fxc(tuple(funcs), g, Pa, Pa, b.nrad)
+    assert np.abs(np.asarray(Fa) - np.asarray(Fr_a)).max() < 1e-11
+    assert abs(float(Exc) - float(Exc_r)) < 1e-11
+    assert abs(float(Nel) - float(Nel_r)) < 1e-11
