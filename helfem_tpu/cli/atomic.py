@@ -124,6 +124,8 @@ def main(argv=None):
     p.add_argument("--x_pars", default="", help="file of 'key=value' parameter "
                    "overrides for the exchange functional")
     p.add_argument("--c_pars", default="", help="same for the correlation functional")
+    p.add_argument("--zeroder", action="store_true",
+                   help="drop the derivative DOF at Rmax too (Hermite bases)")
     args = p.parse_args(argv)
 
     import jax
@@ -159,6 +161,7 @@ def main(argv=None):
         finitenuc=nucmodel, Rrms=args.Rrms, nelem0=args.nelem0,
         igrid0=args.grid0, zexp0=args.zexp0, Zl=Zl, Zr=Zr, Rmid=args.Rmid,
         conf_boundary=args.shift_conf if (args.add_conf and args.iconf) else 0.0,
+        zeroder=args.zeroder,
     )
     timer.lap("basis set formation")
     print(f"Running {args.method} on Z={Z} with {nela}+{nelb} electrons, "

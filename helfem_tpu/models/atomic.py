@@ -156,6 +156,9 @@ class AtomicBasis:
     Zr: int = 0
     Rmid: float = 0.0
     conf_boundary: float = 0.0
+    # drop the derivative DOF at Rmax too (Hermite bases; reference
+    # --zeroder, src/atomic/main.cpp)
+    zeroder: bool = False
 
     lval: np.ndarray = field(init=False)
     mval: np.ndarray = field(init=False)
@@ -171,7 +174,8 @@ class AtomicBasis:
             self.zexp, self.nelem0, self.igrid0, self.zexp0, self.Z,
             self.Zl, self.Zr, self.Rmid, self.conf_boundary,
         )
-        fem = FEMBasis(poly, bval, drop_first=True, drop_last=True)
+        fem = FEMBasis(poly, bval, drop_first=True, drop_last=True,
+                       drop_last_deriv=self.zeroder)
         self.rb = RadialBasis(fem, self.nquad)
 
     # --- sizes ---------------------------------------------------------------

@@ -708,6 +708,13 @@ _ALIASES = {
     "rscan": (0.0, [(1.0, "mgga_x_rscan", {}), (1.0, "mgga_c_rscan", {})]),
     "pbe0": (0.25, [(0.75, "gga_x_pbe", {}), (1.0, "gga_c_pbe", {})]),
     "pbeh": (0.25, [(0.75, "gga_x_pbe", {}), (1.0, "gga_c_pbe", {})]),
+    # TPSSh: 10 % exact exchange (Staroverov et al. 2003)
+    "tpssh": (0.10, [(0.9, "mgga_x_tpss", {}), (1.0, "mgga_c_tpss", {})]),
+    # B3LYP with the VWN5 correlation variant ("B3LYP5"): the 0.72 weight
+    # multiplies the FULL B88 (LDA + gradient correction), so the Slater
+    # weight is 0.80 - 0.72 = 0.08
+    "b3lyp5": (0.20, [(0.08, "lda_x", {}), (0.72, "gga_x_b88", {}),
+                      (0.19, "lda_c_vwn", {}), (0.81, "gga_c_lyp", {})]),
     # parameter-override variants (Zhang-Yang revPBE; Perdew et al. PBEsol)
     "revpbe": (0.0, [(1.0, "gga_x_pbe", {"kappa": 1.245}), (1.0, "gga_c_pbe", {})]),
     "pbesol": (0.0, [(1.0, "gga_x_pbe", {"mu": 10.0 / 81.0}),

@@ -129,3 +129,15 @@ def test_x_pars_files(tmp_path):
     m = _apply_pars_files("gga_x_pbe,gga_c_pbe", str(xp), "")
     funcs, _ = parse_method(m)
     assert dict(funcs[0].params) == {"kappa": 1.245, "mu": 0.3}
+
+
+def test_zeroder_hip_basis():
+    """--zeroder (drop the derivative DOF at Rmax, Hermite bases): one
+    fewer radial function, He HF energy unchanged at this Rmax."""
+    b0 = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=30.0, nelem=6, nnodes=8, primbas=5)
+    b1 = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=30.0, nelem=6, nnodes=8, primbas=5,
+                     zeroder=True)
+    assert b1.nrad == b0.nrad - 1
+    e0 = scf_atom(b0, 1, 1, convthr=1e-8).E
+    e1 = scf_atom(b1, 1, 1, convthr=1e-8).E
+    assert abs(e0 - e1) < 1e-9

@@ -345,3 +345,20 @@ def test_rscan_constraints_and_proximity():
     e_scan = scf_atom(b2, 1, 1, method="SCAN", convthr=1e-7, maxit=60).E
     e_rscan = scf_atom(b2, 1, 1, method="rSCAN", convthr=1e-7, maxit=60).E
     assert abs(e_scan - e_rscan) < 5e-3
+
+
+def test_tpssh_b3lyp_hybrid_consistency():
+    """TPSSh (10 % exact exchange) and B3LYP5 (20 %): the exact-exchange
+    component scales with the advertised fraction, and the totals sit in
+    the physically sensible window around the exact He energy -2.9037."""
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=30.0, nelem=8, nnodes=10)
+    ops = b.build_operators()
+    rhf = scf_atom(b, 1, 1, method="HF", convthr=1e-8, ops=ops)
+    rt = scf_atom(b, 1, 1, method="TPSSh", convthr=1e-7, ops=ops, maxit=60)
+    assert rt.converged
+    assert abs(rt.Exx - 0.10 * rhf.Exx) < 5e-3
+    assert abs(rt.E + 2.9037) < 2e-2
+    rb3 = scf_atom(b, 1, 1, method="B3LYP5", convthr=1e-7, ops=ops, maxit=60)
+    assert rb3.converged
+    assert abs(rb3.Exx - 0.20 * rhf.Exx) < 5e-3
+    assert abs(rb3.E + 2.9037) < 2e-2
