@@ -91,6 +91,7 @@ def main(argv=None):
     print(f"Running {args.method} on Z1={Z1} Z2={Z2} R={R} with {nela}+{nelb} electrons")
     print(f"{basis.nang} angular shells x {basis.nrad} radial functions; "
           f"{len(basis.lm_map)} (L,|M|) channels")
+    ops = basis.build_operators(parity=(args.Ez == 0.0))
     P0a = P0b = None
     if args.load:
         import jax.numpy as jnp
@@ -101,7 +102,7 @@ def main(argv=None):
 
         bold, d = load_diatomic(args.load)
         if bold.nbf == basis.nbf and bold.lmax == basis.lmax:
-            ops0 = basis.build_operators()
+            ops0 = ops
             P0a = np.asarray(density_dia(ops0, jnp.asarray(d["orbs_a"]), jnp.asarray(d["occ_a"])))
             if d["orbs_b"].size:
                 P0b = np.asarray(density_dia(ops0, jnp.asarray(d["orbs_b"]), jnp.asarray(d["occ_b"])))
@@ -115,7 +116,7 @@ def main(argv=None):
             print(f"cross-basis warm start from {args.load} (E = {float(d['E']):.9f})")
     res = scf_diatomic(
         basis, nela, nelb, method=args.method, maxit=args.maxit,
-        convthr=args.convthr, verbose=True, guess=args.guess,
+        convthr=args.convthr, verbose=True, guess=args.guess, ops=ops,
         P0a=P0a, P0b=P0b, Ez=args.Ez, Qzz=args.Qzz, Bz=args.Bz,
         finitenuc=args.finitenuc, Rrms1=args.Rrms1, Rrms2=args.Rrms2,
         restricted=args.restricted, perturb=args.perturb, seed=args.seed,
@@ -135,6 +136,60 @@ def main(argv=None):
         ("Total", res.E),
     ]:
         print(f"{name:<21s} energy: % .16f" % val)
+    # post-SCF analysis (reference: src/diatomic/main.cpp:1000-1086)
+    print(f"{'Virial ratio':<21s}       : % .16f" % (-res.E / res.Ekin))
+    Eel = res.E - res.Enucrep
+    print(f"{'Hellmann-Feynman':<21s}  force: %e"
+          % ((2 * res.Ekin + res.Enucattr + res.Enucrep + res.Ecoul + res.Exx + res.Exc) / R))
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helfem_tpu.models.diatomic_tools import (
+        nuclear_densities_dia,
+        occupied_orbital_vectors_dia,
+        orbital_moments_dia,
+    )
+    from helfem_tpu.scf.diatomic_scf import density_dia
+
+    ops_post = ops
+    Pa_f = np.asarray(density_dia(ops_post, jnp.asarray(res.orbs_a), jnp.asarray(res.occ_a)))
+    Pb_f = Pa_f if res.orbs_b is None else np.asarray(
+        density_dia(ops_post, jnp.asarray(res.orbs_b), jnp.asarray(res.occ_b))
+    )
+    P_f = Pa_f + Pb_f
+    mv = basis.shell_mask().reshape(-1)
+    eldip = -float(np.vdot(P_f, basis.dipole_z() * mv[:, None] * mv[None, :]))
+    elquad = -float(np.vdot(P_f, basis.quadrupole_zz() * mv[:, None] * mv[None, :]))
+    nucdip = (Z2 - Z1) * basis.Rhalf
+    nucquad = (Z1 + Z2) * basis.Rhalf**2
+    print()
+    print(f"Electronic dipole     moment % .10e" % eldip)
+    print(f"Nuclear    dipole     moment % .10e" % nucdip)
+    print(f"Total      dipole     moment % .10e" % (eldip + nucdip))
+    print(f"Electronic quadrupole moment % .10e" % elquad)
+    print(f"Nuclear    quadrupole moment % .10e" % nucquad)
+    print(f"Total      quadrupole moment % .10e" % (elquad + nucquad))
+    print("\nNuclear electron densities")
+    nl, nr = nuclear_densities_dia(basis, P_f)
+    if Z1:
+        print(f"left : % .10e" % nl)
+    if Z2:
+        print(f"right: % .10e" % nr)
+
+    if res.orbE_blocks_a is not None and nela > 0:
+        orbs_occ = occupied_orbital_vectors_dia(
+            basis, res.orbs_a, res.occ_a, res.orbE_blocks_a
+        )
+        print("\nOccupied orbital analysis (alpha):")
+        print(f"{'io':>2s} {'energy':>13s} {'1/<rl^-1>':>12s} {'<rl>':>12s} "
+              f"{'sqrt(<rc^2>)':>12s} {'<rr>':>12s}")
+        for io, (E_o, _, c) in enumerate(orbs_occ):
+            m = orbital_moments_dia(basis, c)
+            print(f"{io + 1:2d} % e %e %e %e %e"
+                  % (E_o, 1.0 / m['left'][-1], m['left'][1],
+                     np.sqrt(m['center'][2]), m['right'][1]))
+
     if res.orbsym_a is not None and nela > 0:
         from helfem_tpu.utils.elements import HARTREE_IN_EV
 

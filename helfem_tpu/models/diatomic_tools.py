@@ -17,6 +17,9 @@ __all__ = [
     "guess_hamiltonian_dia",
     "density_line",
     "density_grid",
+    "orbital_moments_dia",
+    "nuclear_densities_dia",
+    "occupied_orbital_vectors_dia",
 ]
 
 
@@ -248,3 +251,79 @@ def core_basis_scan(
                 E = Et
         results.append((thr, tuple(lmax)))
     return results
+
+
+def orbital_moments_dia(basis: DiatomicBasis, c: np.ndarray) -> dict:
+    """Radial moments of one orbital |phi|^2 about the left/right nucleus
+    and the geometrical center (reference: TwoDBasis::radial_moments +
+    the per-orbital analysis tables, src/diatomic/main.cpp:1033-1086).
+
+    c: full-basis coefficient vector [nbf] (one m channel). Returns
+    {'left': {n: <r_l^n>}, 'right': ..., 'center': {2: <r_c^2>}} with
+    n in (-1, 1, 2, 3); in prolate coordinates r_{l,r} = Rh (cosh mu +- eta)
+    so the moments are plain quadrature sums."""
+    from helfem_tpu.ops.quadrature import gauss_legendre
+
+    nang, nrad = basis.nang, basis.nrad
+    lmax = int(basis.lval.max())
+    neta = 2 * lmax + 16
+    eta, weta = gauss_legendre(neta)
+    Pb = legendre_Pbar(lmax, eta)
+    Th = np.zeros((nang, neta))
+    for a in range(nang):
+        Th[a] = Pb[basis.lval[a], abs(basis.mval[a])]
+    mask = basis.shell_mask()
+    c4 = (c.reshape(nang, nrad) * mask)
+    # radial part per shell on the quadrature grid: [nang, nelem, nq]
+    gi = basis.fem.gidx
+    cpad = np.zeros((nang, nrad + 1))
+    cpad[:, :nrad] = c4
+    phi_mu = np.einsum("eqi,aei->aeq", basis.B, cpad[:, gi])
+    # orbital on the (mu, eta) grid (all shells share one m in a symmetry
+    # orbital, so the pointwise square is the physical density)
+    F = np.einsum("aeq,at->eqt", phi_mu, Th)
+    ch = np.cosh(basis.mu)
+    w3 = (ch[:, :, None] ** 2 - eta[None, None, :] ** 2) * (
+        np.sinh(basis.mu) * basis.wmu
+    )[:, :, None] * weta[None, None, :]
+    dens = F * F * w3
+    norm = dens.sum()
+    Rh = basis.Rhalf
+    r_l = Rh * (ch[:, :, None] + eta[None, None, :])
+    r_r = Rh * (ch[:, :, None] - eta[None, None, :])
+    rc2 = Rh**2 * (ch[:, :, None] ** 2 + eta[None, None, :] ** 2 - 1.0)
+    out = {"left": {}, "right": {}, "center": {}}
+    for n in (-1, 1, 2, 3):
+        out["left"][n] = float((dens * r_l**n).sum() / norm)
+        out["right"][n] = float((dens * r_r**n).sum() / norm)
+    out["center"][2] = float((dens * rc2).sum() / norm)
+    return out
+
+
+def nuclear_densities_dia(basis: DiatomicBasis, P: np.ndarray):
+    """Electron density at the two nuclei (reference:
+    TwoDBasis::nuclear_density, src/diatomic/main.cpp:1024-1031)."""
+    eps = 1e-7
+    z = np.array([-basis.Rhalf * (1.0 - eps), basis.Rhalf * (1.0 - eps)])
+    n = eval_density_points(basis, P, z, np.full(2, basis.Rhalf * eps))
+    return float(n[0]), float(n[1])
+
+
+def occupied_orbital_vectors_dia(basis: DiatomicBasis, orbs, occ, E_blocks):
+    """Expand block orbitals into full-basis vectors for the occupied
+    columns, sorted by eigenvalue. Returns [(E, occ, c[nbf]), ...]."""
+    for parity in (True, False):
+        blocks = basis.sym_blocks(parity)
+        if len(blocks) == np.asarray(orbs).shape[0]:
+            break
+    out = []
+    for b, idx in enumerate(blocks):
+        ni = len(idx)
+        for k in range(np.asarray(occ).shape[1]):
+            if occ[b][k] <= 0:
+                continue
+            c = np.zeros(basis.nbf)
+            c[idx] = np.asarray(orbs)[b][:ni, k]
+            out.append((float(E_blocks[b][k]), float(occ[b][k]), c))
+    out.sort(key=lambda t: t[0])
+    return out

@@ -134,6 +134,8 @@ class DiaSCFResult:
     Efield: float = 0.0
     orbsym_a: list[str] | None = None  # spectroscopic label per orbE_a entry
     orbsym_b: list[str] | None = None
+    orbE_blocks_a: np.ndarray | None = None  # [nblk, blen] block eigenvalues
+    orbE_blocks_b: np.ndarray | None = None
 
 
 @lru_cache(maxsize=None)
@@ -484,6 +486,8 @@ def scf_diatomic(
         Efield=Efield,
         orbsym_a=_sorted_syms(Ea),
         orbsym_b=None if restricted else _sorted_syms(np.asarray(Eb)),
+        orbE_blocks_a=np.asarray(Ea),
+        orbE_blocks_b=None if restricted else np.asarray(Eb),
     )
 
 

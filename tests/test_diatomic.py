@@ -146,3 +146,32 @@ def test_dia_scf_control_knobs():
     r_o = scf_diatomic(b, 1, 1, convthr=1e-8, ops=ops, occs=occs,
                        readocc_until=-1, maxit=60)
     assert r_o.converged and abs(r_o.E - e_ref) < 1e-8
+
+
+def test_orbital_moments_and_nuclear_density():
+    """Per-orbital radial moments about a focus and the on-nucleus density
+    (reference: radial_moments + nuclear_density post-SCF analysis,
+    src/diatomic/main.cpp:1000-1086): hydrogen-as-diatomic reproduces the
+    exact 1s values <r^-1>=1, <r>=3/2, <r^2>=3, <r^3>=15/2, n(0)=1/pi."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from helfem_tpu.models.diatomic_tools import (
+        nuclear_densities_dia,
+        occupied_orbital_vectors_dia,
+        orbital_moments_dia,
+    )
+    from helfem_tpu.scf.diatomic_scf import density_dia
+
+    b = DiatomicBasis(Z1=1, Z2=0, Rbond=2.0, lmax=(8,), rmax=30.0, nelem=5, nnodes=10)
+    r = scf_diatomic(b, 1, 0, convthr=1e-8, maxit=30)
+    assert r.converged and abs(r.E + 0.5) < 2e-7
+    E0, occ0, c = occupied_orbital_vectors_dia(b, r.orbs_a, r.occ_a, r.orbE_blocks_a)[0]
+    assert abs(E0 + 0.5) < 2e-7
+    m = orbital_moments_dia(b, c)
+    for n, exact in [(-1, 1.0), (1, 1.5), (2, 3.0), (3, 7.5)]:
+        assert abs(m["left"][n] - exact) < 1e-3, (n, m["left"][n])
+    ops = b.build_operators()
+    P = np.asarray(density_dia(ops, jnp.asarray(r.orbs_a), jnp.asarray(r.occ_a)))
+    nl, _ = nuclear_densities_dia(b, P)
+    assert abs(nl - 1.0 / np.pi) < 1e-6
