@@ -138,7 +138,6 @@ def main(argv=None):
         print(f"{name:<21s} energy: % .16f" % val)
     # post-SCF analysis (reference: src/diatomic/main.cpp:1000-1086)
     print(f"{'Virial ratio':<21s}       : % .16f" % (-res.E / res.Ekin))
-    Eel = res.E - res.Enucrep
     print(f"{'Hellmann-Feynman':<21s}  force: %e"
           % ((2 * res.Ekin + res.Enucattr + res.Enucrep + res.Ecoul + res.Exx + res.Exc) / R))
 

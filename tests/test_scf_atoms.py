@@ -141,3 +141,14 @@ def test_zeroder_hip_basis():
     e0 = scf_atom(b0, 1, 1, convthr=1e-8).E
     e1 = scf_atom(b1, 1, 1, convthr=1e-8).E
     assert abs(e0 - e1) < 1e-9
+
+
+def test_radon_hf_f_shells():
+    """Periodic-table breadth: Rn (Z=86, occupied 4f/5d shells, 43+43
+    electrons over s/p/d/f symmetry blocks) converges to the numerical HF
+    limit -21866.77224 (Saito, ADNDT 95, 836 (2009)) at the 1e-5 level at
+    this discretization."""
+    b = AtomicBasis(Z=86, lmax=3, mmax=3, rmax=40.0, nelem=8, nnodes=12, zexp=2.5)
+    res = scf_atom(b, 43, 43, convthr=1e-9, maxit=80)
+    assert res.converged
+    assert abs(res.E + 21866.77224) < 1e-5
