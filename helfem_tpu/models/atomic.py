@@ -96,6 +96,11 @@ def confinement_Vr(r: np.ndarray, rmax: float, N, R: float, iconf: int = 1,
                 / np.maximum(rc - r, 1e-300) ** int(N),
                 0.0,
             )
+        # the wall diverges at r = rc; cap it so quadrature points at or
+        # beyond rc (the finite-nucleus grid extends past rmax, matching
+        # the reference's finite_nuclear_grid) give a huge finite barrier
+        # instead of inf poisoning the Hamiltonian
+        Vr = np.minimum(Vr, 1e8)
     else:
         raise NotImplementedError(f"confinement type {iconf}")
     return Vr

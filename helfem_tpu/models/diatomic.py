@@ -350,7 +350,8 @@ class DiatomicBasis:
                 )
                 if not has:
                     continue
-                name = greek[m] if m < len(greek) else f"m={m}"
+                # mval carries SIGNED m; the spectroscopic letter is by |m|
+                name = greek[abs(m)] if abs(m) < len(greek) else f"m={m}"
                 if par is not None:
                     name += "g" if par == 0 else "u"
                 labels.append(name)

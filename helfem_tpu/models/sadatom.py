@@ -267,8 +267,13 @@ def sad_xc(funcs, ops: SadOps, Pla, Plb, thr: float = 1e-12):
 # ----------------------------------------------------------------------------
 
 
-def shell_capacity(l: int, restricted: bool) -> int:
-    return (2 if restricted else 1) * (2 * l + 1)
+# one shared definition of the shell-filling rules (sadconf also runs the
+# configuration searches with them; keeping a second copy here risked the
+# two silently diverging)
+from helfem_tpu.models.sadconf import (  # noqa: E402
+    aufbau_from_energies as aufbau_occs,
+    shell_capacity,
+)
 
 
 def density_cubes(C: np.ndarray, occs: np.ndarray, restricted: bool):
@@ -289,23 +294,6 @@ def density_cubes(C: np.ndarray, occs: np.ndarray, restricted: bool):
             left -= nocc
             io += 1
     return Pl, Pang
-
-
-def aufbau_occs(E: np.ndarray, nel: int, restricted: bool) -> np.ndarray:
-    """Fill nel electrons into shells sorted by orbital energy
-    (reference: OrbitalChannel::AufbauOccupations)."""
-    nl, nmo = E.shape
-    shells = [(E[l, io], l) for l in range(nl) for io in range(nmo)]
-    shells.sort()
-    occs = np.zeros(nl, dtype=int)
-    left = nel
-    for e, l in shells:
-        if left <= 0:
-            break
-        n = min(shell_capacity(l, restricted), left)
-        occs[l] += n
-        left -= n
-    return occs
 
 
 @lru_cache(maxsize=None)
@@ -1009,7 +997,7 @@ def search_sadatom_unrestricted(
             Vg = jnp.asarray(basis.rb.model_potential(potential(guess, basis.Z)(basis.rb.r)))
             nl = basis.lmax + 1
             ll1 = np.arange(nl) * (np.arange(nl) + 1.0)
-            Hg = (basis.build_ops().at.T + Vg)[None] + jnp.asarray(ll1[:, None, None]) * ops.Tl[None]
+            Hg = (ops.at.T + Vg)[None] + jnp.asarray(ll1[:, None, None]) * ops.Tl[None]
             Eg, _ = eig_channels(Hg, ops.at.Sinvh_rad)
             occ0 = aufbau_occs(np.asarray(Eg), nel, True)
         occa0, occb0 = hund_rule(occ0)

@@ -774,7 +774,6 @@ def _parse_part(part: str) -> Functional:
     return get_functional(part)
 
 
-@lru_cache(maxsize=None)
 class MethodSpec(NamedTuple):
     """Parsed method: semilocal functionals plus the exact-exchange mixing
     (reference: range_separation(), src/general/dftfuncs.cpp:505-560).
@@ -827,6 +826,7 @@ def _split_bracket(m: str):
     return base, kv
 
 
+@lru_cache(maxsize=None)
 def parse_method_rs(method: str) -> MethodSpec:
     """Parse a method string including range-separated hybrids.
 

@@ -340,7 +340,11 @@ def scf_diatomic(
         R = perturbation_matrix(Ca.shape[-1], perturb, seed)
         Ca = jnp.einsum("bpk,kq->bpq", Ca, jnp.asarray(R))
         if not restricted:
-            Cb = jnp.einsum("bpk,kq->bpq", jnp.asarray(Cb), jnp.asarray(R))
+            # INDEPENDENT rotation per spin channel (the reference draws a
+            # fresh perturbation for beta) so a symmetric guess can break
+            # spin symmetry, e.g. toward spin-polarized UHF at stretch
+            Rb = perturbation_matrix(np.asarray(Cb).shape[-1], perturb, seed + 1)
+            Cb = jnp.einsum("bpk,kq->bpq", jnp.asarray(Cb), jnp.asarray(Rb))
 
     diis = DIIS(np.asarray(ops.S), _full_sinvh(ops, nbf), max_hist=diisorder, diis_eps=diiseps)
 
