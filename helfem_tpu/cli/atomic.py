@@ -112,6 +112,11 @@ def main(argv=None):
     p.add_argument("--dampthr", type=float, default=0.5,
                    help="apply damping while the DIIS error is above this")
     p.add_argument("--diisorder", type=int, default=10, help="DIIS history length")
+    p.add_argument("--diisthr", type=float, default=None,
+                   help="DIIS error below which extrapolation is pure C2-DIIS; "
+                        "between diisthr and diiseps the DIIS/ADIIS weights are "
+                        "blended on the reference's sliding scale "
+                        "(src/general/diis.cpp:241); unset = hard switch at diiseps")
     p.add_argument("--diiseps", type=float, default=0.1,
                    help="DIIS error below which extrapolation starts mixing in")
     p.add_argument("--ldft", type=int, default=0,
@@ -243,7 +248,8 @@ def main(argv=None):
         restricted=args.restricted, symmetry=args.symmetry,
         maverage=args.maverage, perturb=args.perturb, seed=args.seed,
         dampfock=args.dampfock, dampthr=args.dampthr,
-        diisorder=args.diisorder, diiseps=args.diiseps, ldft=args.ldft,
+        diisorder=args.diisorder, diiseps=args.diiseps, diisthr=args.diisthr,
+        ldft=args.ldft,
     )
     timer.lap("SCF")
     print()

@@ -34,13 +34,23 @@ def main(argv=None):
     p.add_argument("--Qzz", type=float, default=0.0, help="quadrupole field strength")
     p.add_argument("--Bz", type=float, default=0.0, help="magnetic field along the bond")
     p.add_argument("--restricted", type=int, default=-1,
-                   help="-1 auto, 0 unrestricted, 1 restricted")
+                   help="-1 auto, 0 unrestricted, 1 restricted (ROHF if open shell)")
+    p.add_argument("--symmetry", type=int, default=-1,
+                   help="force orbital symmetry (reference --symmetry, "
+                        "src/diatomic/main.cpp:120): 0/1 m blocks only, "
+                        "2 add gerade/ungerade; -1 auto (g/u for homonuclear "
+                        "without an axial electric field)")
     p.add_argument("--perturb", type=float, default=0.0,
                    help="random orthogonal rotation amplitude for the guess orbitals")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--diisorder", type=int, default=10, help="DIIS history length")
     p.add_argument("--diiseps", type=float, default=0.1,
                    help="DIIS error below which extrapolation starts mixing in")
+    p.add_argument("--diisthr", type=float, default=None,
+                   help="DIIS error below which extrapolation is pure C2-DIIS; "
+                        "between diisthr and diiseps the DIIS/ADIIS weights are "
+                        "blended on the reference's sliding scale "
+                        "(src/general/diis.cpp:241); unset = hard switch at diiseps")
     p.add_argument("--dftthr", type=float, default=1e-12)
     p.add_argument("--ldft", type=int, default=0,
                    help="eta rule order for the dft grid (0 = auto)")
@@ -91,7 +101,19 @@ def main(argv=None):
     print(f"Running {args.method} on Z1={Z1} Z2={Z2} R={R} with {nela}+{nelb} electrons")
     print(f"{basis.nang} angular shells x {basis.nrad} radial functions; "
           f"{len(basis.lm_map)} (L,|M|) channels")
-    ops = basis.build_operators(parity=(args.Ez == 0.0))
+    # symmetry blocking: auto uses g/u for homonuclear without an axial
+    # field; --symmetry 2 forces g/u (relaxed with a warning under fields,
+    # like the reference, src/diatomic/main.cpp:313-319); 0/1 force m-only
+    parity = args.Ez == 0.0
+    if args.symmetry in (0, 1):
+        parity = False
+    elif args.symmetry == 2:
+        if args.Ez != 0.0:
+            print("Warning - asked for full orbital symmetry in presence of "
+                  "electric field. Relaxing restriction.")
+        else:
+            parity = True
+    ops = basis.build_operators(parity=parity)
     P0a = P0b = None
     if args.load:
         import jax.numpy as jnp
@@ -114,6 +136,25 @@ def main(argv=None):
 
             P0a, P0b = warm_start_density_dia(basis, bold, d)
             print(f"cross-basis warm start from {args.load} (E = {float(d['E']):.9f})")
+    # crash-recovery checkpoint: write the current state every host pass
+    # (reference: per-iteration HDF5 checkpoint, src/diatomic/main.cpp)
+    from types import SimpleNamespace
+
+    from helfem_tpu.utils.checkpoint import save_diatomic as _save_dia
+
+    def save_cb(it, Etot, Ea, Ca, occa, Eb, Cb, occb):
+        import numpy as _np
+
+        st = SimpleNamespace(
+            converged=False, E=Etot,
+            orbE_a=_np.sort(_np.asarray(Ea).ravel()), orbs_a=_np.asarray(Ca),
+            occ_a=occa,
+            orbE_b=None if Eb is None else _np.sort(_np.asarray(Eb).ravel()),
+            orbs_b=None if Cb is None else _np.asarray(Cb),
+            occ_b=occb,
+        )
+        _save_dia(args.save, basis, st)
+
     res = scf_diatomic(
         basis, nela, nelb, method=args.method, maxit=args.maxit,
         convthr=args.convthr, verbose=True, guess=args.guess, ops=ops,
@@ -122,6 +163,7 @@ def main(argv=None):
         restricted=args.restricted, perturb=args.perturb, seed=args.seed,
         diisorder=args.diisorder, diiseps=args.diiseps, dftthr=args.dftthr,
         ldft=args.ldft, occs=occs, readocc_until=args.readocc,
+        diisthr=args.diisthr, save_cb=save_cb if args.save else None,
     )
     if args.save:
         from helfem_tpu.utils.checkpoint import save_diatomic

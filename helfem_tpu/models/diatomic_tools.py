@@ -312,10 +312,14 @@ def nuclear_densities_dia(basis: DiatomicBasis, P: np.ndarray):
 def occupied_orbital_vectors_dia(basis: DiatomicBasis, orbs, occ, E_blocks):
     """Expand block orbitals into full-basis vectors for the occupied
     columns, sorted by eigenvalue. Returns [(E, occ, c[nbf]), ...]."""
+    blocks = None
     for parity in (True, False):
-        blocks = basis.sym_blocks(parity)
-        if len(blocks) == np.asarray(orbs).shape[0]:
+        b = basis.sym_blocks(parity)
+        if len(b) == np.asarray(orbs).shape[0]:
+            blocks = b
             break
+    if blocks is None:
+        raise ValueError("orbital block count matches no symmetry setup")
     out = []
     for b, idx in enumerate(blocks):
         ni = len(idx)

@@ -196,13 +196,14 @@ def make_fused_chunk(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
             Cn, E, histF, histE, count, Etot, errmax, Nel, comps = inner(
                 ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count
             )
-            return (Cn, histF, histE, count), (E, Etot, errmax, Nel, comps)
+            return (Cn, histF, histE, count), (E, Cn, Etot, errmax, Nel, comps)
 
-        (C, histF, histE, count), (Es, Etots, errs, Nels, comps) = jax.lax.scan(
+        # per-step (E, C) stacks come back so the host can report the
+        # orbitals of the EXACT convergence iteration, not the chunk end
+        (C, histF, histE, count), (Es, Cs, Etots, errs, Nels, comps) = jax.lax.scan(
             body, (C, histF, histE, count), None, length=nsteps
         )
-        last = jax.tree.map(lambda x: x[-1], comps)
-        return C, Es[-1], histF, histE, count, Etots, errs, Nels[-1], last
+        return Cs, Es, histF, histE, count, Etots, errs, Nels, comps
 
     return chunk
 
@@ -242,15 +243,16 @@ def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
             Ea, Cna = eig_blocks(Fuse[0], blk_idx, blk_sinvh)
             Eb, Cnb = eig_blocks(Fuse[1], blk_idx, blk_sinvh)
             return (Cna, Cnb, histF, histE, count), (
-                Ea, Eb, Etot, errmax, Nel, (Ekin, Enuc, Ecoul, Exx, Exc, Efield)
+                Ea, Eb, Cna, Cnb, Etot, errmax, Nel,
+                (Ekin, Enuc, Ecoul, Exx, Exc, Efield),
             )
 
-        (Ca, Cb, histF, histE, count), (Eas, Ebs, Etots, errs, Nels, comps) = jax.lax.scan(
+        # per-step stacks so the host selects the exact reported iteration
+        (Ca, Cb, histF, histE, count), (Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = jax.lax.scan(
             body, (Ca, Cb, histF, histE, count), None, length=nsteps
         )
-        last = jax.tree.map(lambda x: x[-1], comps)
         return (
-            Ca, Cb, Eas[-1], Ebs[-1], histF, histE, count, Etots, errs, Nels[-1], last
+            Cas, Cbs, Eas, Ebs, histF, histE, count, Etots, errs, Nels, comps
         )
 
     return chunk
@@ -337,6 +339,7 @@ def scf_atom(
     dampthr: float = 0.5,
     diisorder: int = 10,
     diiseps: float = 0.1,
+    diisthr: float | None = None,
     ldft: int = 0,
 ) -> SCFResult:
     """Restricted/unrestricted SCF. method: 'HF', 'LDA', 'SVWN', 'PBE', or
@@ -415,6 +418,7 @@ def scf_atom(
         Ea, Ca = eig_blocks(Hg, blk_idx, blk_sinvh)
         Ea = np.asarray(Ea)
         Eb_w, Cb_w = None, None
+    Ca_unpert = Ca
     if perturb:
         from helfem_tpu.utils.linalg import perturbation_matrix
 
@@ -443,13 +447,22 @@ def scf_atom(
     # 1 with nela != nelb runs ROHF via the CUHF Fock update
     rohf = restricted == 1 and nela != nelb
     restricted = (nela == nelb and Bz == 0.0) if restricted == -1 else (restricted == 1 and not rohf and Bz == 0.0)
+    if perturb and not restricted and Cb_w is None:
+        # INDEPENDENT beta rotation (seed+1, applied to the UNperturbed
+        # guess) so a symmetric guess can break spin symmetry -- matching
+        # the diatomic path and the reference's fresh beta perturbation
+        from helfem_tpu.utils.linalg import perturbation_matrix
+
+        Rb = perturbation_matrix(np.asarray(Ca_unpert).shape[-1], perturb, seed + 1)
+        Cb = jnp.einsum("bpk,kq->bpq", Ca_unpert, jnp.asarray(Rb))
     if restricted:
         # Pa == Pb throughout: build the exchange once per Fock
         fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr, restricted=True,
                          kshort=kshort, kernel=kernel)
     Sinvh_np = _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
     Sinvh_dev = jnp.asarray(Sinvh_np)
-    diis = DIIS(np.asarray(ops.S), Sinvh_np, max_hist=diisorder, diis_eps=diiseps)
+    diis = DIIS(np.asarray(ops.S), Sinvh_np, max_hist=diisorder, diis_eps=diiseps,
+                diis_thr=diisthr)
     Sh_np = None
     if rohf:
         from helfem_tpu.utils.linalg import form_sh, rohf_update
@@ -495,17 +508,17 @@ def scf_atom(
                     jnp.zeros((nhist, basis.nbf * basis.nbf)),
                     jnp.asarray(0),
                 )
-            Ca, Ea_d, hF, hE, cnt, Etots, errs, Nel, comps = fused(
+            Cs, Es, hF, hE, cnt, Etots, errs, Nels, comps = fused(
                 ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, jnp.asarray(occa), Ca, *hist
             )
             hist = (hF, hE, cnt)
-            Ea = np.asarray(Ea_d)
-            Eb, Cb = Ea, Ca
             Etots = np.asarray(Etots)
             errs = np.asarray(errs)
-            Ekin, Enuc, Ecoul, Exx, Exc, Efield = comps
+            # never report iterations past maxit: the chunk may run a few
+            # steps beyond, but they are not counted or used
+            kmax = min(len(Etots), maxit - it + 1)
             k = 0
-            for k in range(len(Etots)):
+            for k in range(kmax):
                 Etot = float(Etots[k])
                 err = float(errs[k])
                 dE = Etot - Eold
@@ -515,12 +528,15 @@ def scf_atom(
                 if err < convthr and abs(dE) < convthr:
                     converged = True
                     break
-            # true iteration count: the chunk ran k+1 fused iterations (one
-            # was already counted by the outer loop). Post-convergence
-            # iterations inside the chunk are not counted; the returned
-            # orbitals are from the END of the chunk (a few extra converged
-            # iterations, which only tighten the result).
+            # true iteration count: the chunk ran k+1 counted iterations (one
+            # was already counted by the outer loop); state is taken from the
+            # exact reported iteration k, not the chunk end
             it += k
+            Ca = Cs[k]
+            Ea = np.asarray(Es[k])
+            Eb, Cb = Ea, Ca
+            Nel = Nels[k]
+            Ekin, Enuc, Ecoul, Exx, Exc, Efield = (x[k] for x in comps)
             if save_cb is not None:
                 save_cb(it, Etot, Ea, Ca, occa, None, None, None)
             if converged or it >= maxit:
@@ -542,19 +558,17 @@ def scf_atom(
                     jnp.zeros((nhist, 2 * basis.nbf * basis.nbf)),
                     jnp.asarray(0),
                 )
-            Ca, Cb, Ea_d, Eb_d, hF, hE, cnt, Etots, errs, Nel, comps = fused(
+            Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps = fused(
                 ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full,
                 jnp.asarray(occa), jnp.asarray(occb), Ca, Cb, *hist
             )
             hist = (hF, hE, cnt)
-            Ea = np.asarray(Ea_d)
-            Eb = np.asarray(Eb_d)
             Etots = np.asarray(Etots)
             errs = np.asarray(errs)
-            Ekin, Enuc, Ecoul, Exx, Exc, Efield = comps
             Emag = -0.5 * Bz * (nela - nelb)
+            kmax = min(len(Etots), maxit - it + 1)
             k = 0
-            for k in range(len(Etots)):
+            for k in range(kmax):
                 Etot = float(Etots[k]) + Emag
                 err = float(errs[k])
                 dE = Etot - Eold
@@ -565,6 +579,11 @@ def scf_atom(
                     converged = True
                     break
             it += k
+            Ca, Cb = Cas[k], Cbs[k]
+            Ea = np.asarray(Eas[k])
+            Eb = np.asarray(Ebs[k])
+            Nel = Nels[k]
+            Ekin, Enuc, Ecoul, Exx, Exc, Efield = (x[k] for x in comps)
             if save_cb is not None:
                 save_cb(it, Etot, Ea, Ca, occa, Eb, Cb, occb)
             if converged or it >= maxit:

@@ -218,15 +218,15 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
                 Ea, Cna = eig_blocks_dia(ops, Fuse[0])
                 Eb, Cnb = eig_blocks_dia(ops, Fuse[1])
             return (Cna, Cnb, histF, histE, count), (
-                Ea, Eb, Etot, errmax, Nel,
+                Ea, Eb, Cna, Cnb, Etot, errmax, Nel,
                 (Ekin, Enuc, Ecoul, Exx, Exc, Efield),
             )
 
-        (Ca, Cb, histF, histE, count), (Eas, Ebs, Etots, errs, Nels, comps) = jax.lax.scan(
+        # per-step stacks so the host selects the exact reported iteration
+        (Ca, Cb, histF, histE, count), (Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = jax.lax.scan(
             body, (Ca, Cb, histF, histE, count), None, length=nsteps
         )
-        last = jax.tree.map(lambda x: x[-1], comps)
-        return Ca, Cb, Eas[-1], Ebs[-1], histF, histE, count, Etots, errs, Nels[-1], last
+        return Cas, Cbs, Eas, Ebs, histF, histE, count, Etots, errs, Nels, comps
 
     return chunk
 
@@ -259,6 +259,8 @@ def scf_diatomic(
     ldft: int = 0,
     occs: np.ndarray | None = None,
     readocc_until: int = 0,
+    diisthr: float | None = None,
+    save_cb=None,
 ) -> DiaSCFResult:
     """Diatomic SCF. Ez/Qzz/Bz add the electric-dipole, quadrupole, and
     magnetic (orbital Zeeman + diamagnetic + spin) field operators
@@ -299,14 +301,16 @@ def scf_diatomic(
         ops = ops._replace(H0=ops.H0 + Vextra_dev)
     Enucrep = basis.Z1 * basis.Z2 / basis.Rbond
 
-    # restricted: -1 auto (the reference convention); forcing restricted=1
-    # needs equal spin counts (no diatomic ROHF coupling implemented)
+    # restricted: -1 auto (the reference convention); restricted=1 with
+    # nela != nelb runs ROHF via the CUHF Fock update, exactly like the
+    # atomic driver (reference: scf::ROHF_update wired in the diatomic SCF
+    # loop, src/diatomic/main.cpp:902-904)
+    rohf = False
     if restricted == -1:
         restricted = nela == nelb and Bz == 0.0
     elif restricted == 1:
-        if nela != nelb:
-            raise NotImplementedError("diatomic restricted open-shell (ROHF) not supported")
-        restricted = Bz == 0.0
+        rohf = nela != nelb
+        restricted = (not rohf) and Bz == 0.0
     else:
         restricted = False
     fock = make_dia_fock(tuple(funcs), kfrac, dftthr=dftthr, restricted=restricted)
@@ -346,12 +350,20 @@ def scf_diatomic(
             Rb = perturbation_matrix(np.asarray(Cb).shape[-1], perturb, seed + 1)
             Cb = jnp.einsum("bpk,kq->bpq", jnp.asarray(Cb), jnp.asarray(Rb))
 
-    diis = DIIS(np.asarray(ops.S), _full_sinvh(ops, nbf), max_hist=diisorder, diis_eps=diiseps)
+    Sinvh_np = _full_sinvh(ops, nbf)
+    diis = DIIS(np.asarray(ops.S), Sinvh_np, max_hist=diisorder,
+                diis_eps=diiseps, diis_thr=diisthr)
+    Sh_np = None
+    if rohf:
+        from helfem_tpu.utils.linalg import form_sh
+
+        Sh_np = form_sh(np.asarray(ops.S))
 
     Eold, Etot, converged = 0.0, 0.0, False
     # fused on-device chunks engage after a short host warmup; the level
-    # shift needs per-iteration host logic and keeps the host loop
-    warmup = 2 if shift == 0.0 else maxit
+    # shift and the ROHF Fock surgery need per-iteration host logic and
+    # keep the host loop
+    warmup = 2 if (shift == 0.0 and not rohf) else maxit
     fused = None
     hist = None
     Nel = 0.0
@@ -369,30 +381,33 @@ def scf_diatomic(
             occa = _aufbau_blocks(Ea, nela)
             occb = occa if restricted else _aufbau_blocks(Eb, nelb)
 
-        if it > warmup:
+        # a finite --readocc boundary must land on the exact iteration
+        # (reference semantics: enforced until the nth Fock build), so stay
+        # on the host loop until it has passed; fused chunks freeze
+        # occupations for 4 iterations at a time
+        readocc_hold = occs is not None and 0 < readocc_until and it <= readocc_until
+        if it > warmup and not readocc_hold:
             if fused is None:
                 nhist = 10
                 CH = 4
                 fused = make_dia_fused_chunk(
                     tuple(funcs), kfrac, nhist, CH, dftthr, restricted, Bz
                 )
-                Sinvh_full_dev = jnp.asarray(_full_sinvh(ops, nbf))
+                Sinvh_full_dev = jnp.asarray(Sinvh_np)
                 nerr = (1 if restricted else 2) * nbf * nbf
                 fshape = (nhist, nbf, nbf) if restricted else (nhist, 2, nbf, nbf)
                 hist = (jnp.zeros(fshape), jnp.zeros((nhist, nerr)), jnp.asarray(0))
-            Ca, Cb, Ea_d, Eb_d, hF, hE, cnt, Etots, errs, Nel, comps = fused(
+            Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps = fused(
                 ops, g, Vextra_dev, Sinvh_full_dev,
                 jnp.asarray(occa), jnp.asarray(occb), Ca, Cb, *hist
             )
             hist = (hF, hE, cnt)
-            Ea = np.asarray(Ea_d)
-            Eb = np.asarray(Eb_d)
             Etots = np.asarray(Etots)
             errs = np.asarray(errs)
-            Ekin, Enuc, Ecoul, Exx, Exc, Efield = comps
             Emag = -0.5 * Bz * (nela - nelb)
+            kmax = min(len(Etots), maxit - it + 1)
             k = 0
-            for k in range(len(Etots)):
+            for k in range(kmax):
                 Etot = float(Etots[k]) + Enucrep + Emag
                 err = float(errs[k])
                 dE = Etot - Eold
@@ -403,7 +418,17 @@ def scf_diatomic(
                     converged = True
                     break
             it += k
+            Ca, Cb = Cas[k], Cbs[k]
+            Ea = np.asarray(Eas[k])
+            Eb = np.asarray(Ebs[k])
+            Nel = Nels[k]
+            Ekin, Enuc, Ecoul, Exx, Exc, Efield = (x[k] for x in comps)
             Efield = float(Efield)
+            if save_cb is not None:
+                save_cb(it, Etot, Ea, Ca, occa,
+                        None if restricted else Eb,
+                        None if restricted else Cb,
+                        None if restricted else occb)
             if converged or it >= maxit:
                 break
             continue
@@ -426,11 +451,23 @@ def scf_diatomic(
             (Fa_,) = diis.solve()
             Fb_ = Fa_
         else:
+            if rohf:
+                from helfem_tpu.utils.linalg import rohf_update
+
+                Fa, Fb = rohf_update(
+                    np.asarray(Fa), np.asarray(Fb), np.asarray(Pa + Pb),
+                    Sh_np, Sinvh_np, nela, nelb,
+                )
             err = diis.update([np.asarray(Fa), np.asarray(Fb)], [np.asarray(Pa), np.asarray(Pb)])
             Fa_, Fb_ = diis.solve()
 
         if verbose:
             print(f"iter {it:3d}  E = {Etot:+.12f}  dE = {dE:+.3e}  diis = {err:.3e}")
+        if save_cb is not None:
+            save_cb(it, Etot, Ea, Ca, occa,
+                    None if restricted else Eb,
+                    None if restricted else Cb,
+                    None if restricted else occb)
         if err < convthr and abs(dE) < convthr and it > 1:
             converged = True
             break

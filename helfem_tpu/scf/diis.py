@@ -58,11 +58,16 @@ def device_diis_step(histF, histE, count, F, errv):
 
 class DIIS:
     def __init__(self, S, Sinvh, max_hist: int = 10, diis_eps: float = 0.1, damp: float = 0.5,
-                 adiis: bool = True):
+                 adiis: bool = True, diis_thr: float | None = None):
+        """diis_thr (reference --diisthr, src/general/diis.cpp:241): when
+        set, errors in (diis_thr, diis_eps] use the reference's sliding
+        DIIS/ADIIS weight blend diisw = 1 - (err-thr)/(eps-thr) instead of
+        the hard switch at diis_eps; below diis_thr it is pure C2-DIIS."""
         self.S = np.asarray(S)
         self.Sinvh = np.asarray(Sinvh)
         self.max_hist = max_hist
         self.diis_eps = diis_eps
+        self.diis_thr = diis_thr
         self.damp = damp
         self.adiis = adiis
         self.Fs: list[list[np.ndarray]] = []
@@ -136,10 +141,11 @@ class DIIS:
         if n == 1:
             return self.Fs[-1]
         err = float(np.max(np.abs(self.errs[-1])))
+        have_adiis = self.adiis and all(P is not None for P in self.Ps)
         if err > self.diis_eps:
             # not in the DIIS basin yet: ADIIS energy-model weights when the
             # density history is available, damped Roothaan otherwise
-            if self.adiis and all(P is not None for P in self.Ps):
+            if have_adiis:
                 c = self._adiis_weights()
                 return [
                     sum(c[i] * self.Fs[i][ch] for i in range(n))
@@ -173,6 +179,12 @@ class DIIS:
         if best is None:
             best = np.zeros(n)
             best[-1] = 1.0
+        if (self.diis_thr is not None and err > self.diis_thr
+                and self.diis_eps > self.diis_thr and have_adiis):
+            # sliding DIIS/ADIIS scale between diisthr and diiseps
+            # (reference: src/general/diis.cpp:241-243)
+            diisw = max(min(1.0 - (err - self.diis_thr) / (self.diis_eps - self.diis_thr), 1.0), 0.0)
+            best = diisw * best + (1.0 - diisw) * self._adiis_weights()
         return [
             sum(best[i] * self.Fs[i][ch] for i in range(n))
             for ch in range(len(self.Fs[0]))

@@ -32,6 +32,7 @@ def save_atomic(path: str, basis, res) -> None:
         finitenuc=basis.finitenuc, Rrms=basis.Rrms, nelem0=basis.nelem0,
         igrid0=basis.igrid0, zexp0=basis.zexp0, Zl=basis.Zl, Zr=basis.Zr,
         Rmid=basis.Rmid, conf_boundary=basis.conf_boundary,
+        zeroder=basis.zeroder,
         converged=res.converged, E=res.E,
         orbE_a=res.orbE_a, orbs_a=res.orbs_a, occ_a=res.occ_a,
         orbE_b=_opt(res.orbE_b), orbs_b=_opt(res.orbs_b), occ_b=_opt(res.occ_b),
@@ -57,6 +58,7 @@ def load_atomic(path: str):
         Zr=int(d["Zr"]) if "Zr" in d else 0,
         Rmid=float(d["Rmid"]) if "Rmid" in d else 0.0,
         conf_boundary=float(d["conf_boundary"]) if "conf_boundary" in d else 0.0,
+        zeroder=bool(d["zeroder"]) if "zeroder" in d else False,
     )
     return basis, dict(d)
 

@@ -140,9 +140,11 @@ def perturbation_matrix(n: int, magnitude: float, seed: int = 0) -> np.ndarray:
 
 
 def form_sh(S: np.ndarray) -> np.ndarray:
-    """Symmetric square root S^{1/2}."""
+    """Symmetric square root S^{1/2}. Eigenvalues are clamped at zero so
+    masked (singular) overlaps -- e.g. the diatomic shell-masked S -- do
+    not produce NaNs from roundoff-negative eigenvalues."""
     w, U = np.linalg.eigh(S)
-    return U @ np.diag(np.sqrt(w)) @ U.T
+    return U @ np.diag(np.sqrt(np.clip(w, 0.0, None))) @ U.T
 
 
 def rohf_update(Fa, Fb, P, Sh, Sinvh, nocca, noccb):

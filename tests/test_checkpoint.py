@@ -23,6 +23,20 @@ def test_save_load_roundtrip(tmp_path):
     assert np.allclose(d["orbs_a"], res.orbs_a)
 
 
+def test_save_load_zeroder_roundtrip(tmp_path):
+    """--zeroder runs must reload with the same basis dimension (the flag
+    drops one radial derivative DOF; losing it on reload shifted shapes)."""
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=20.0, nelem=5, nnodes=8,
+                    zeroder=True)
+    res = scf_atom(b, 1, 1, convthr=1e-8)
+    path = str(tmp_path / "he0.npz")
+    save_atomic(path, b, res)
+    b2, d = load_atomic(path)
+    assert b2.zeroder
+    assert b2.nbf == b.nbf
+    assert np.allclose(d["orbs_a"], res.orbs_a)
+
+
 def test_diatomic_save_load_warmstart(tmp_path):
     """H2 checkpoint round-trip; warm start converges in fewer iterations."""
     from helfem_tpu.models.diatomic import DiatomicBasis

@@ -146,6 +146,32 @@ def test_dia_scf_control_knobs():
     r_o = scf_diatomic(b, 1, 1, convthr=1e-8, ops=ops, occs=occs,
                        readocc_until=-1, maxit=60)
     assert r_o.converged and abs(r_o.E - e_ref) < 1e-8
+    # sliding DIIS/ADIIS scale (--diisthr, reference diis.cpp:241)
+    r_t = scf_diatomic(b, 1, 1, convthr=1e-8, ops=ops, diisthr=1e-3,
+                       diiseps=1e-2, maxit=60)
+    assert r_t.converged and abs(r_t.E - e_ref) < 1e-8
+    # finite readocc boundary: enforced occs released on the exact iteration
+    r_b = scf_diatomic(b, 1, 1, convthr=1e-8, ops=ops, occs=occs,
+                       readocc_until=5, maxit=60)
+    assert r_b.converged and abs(r_b.E - e_ref) < 1e-8
+
+
+def test_beh_rohf():
+    """Diatomic ROHF via the CUHF Fock update (reference: scf::ROHF_update
+    wired in the diatomic SCF loop, src/diatomic/main.cpp:902-904): BeH
+    radical (2-Sigma+, 3+2 electrons, integer sigma aufbau) with
+    restricted=1. ROHF is variationally above UHF but must be close."""
+    b = DiatomicBasis(Z1=4, Z2=1, Rbond=2.537, lmax=(4, 4), rmax=25.0,
+                      nelem=4, nnodes=8)
+    ops = b.build_operators()
+    r_u = scf_diatomic(b, 3, 2, convthr=1e-7, ops=ops, restricted=0, maxit=60)
+    assert r_u.converged
+    r_ro = scf_diatomic(b, 3, 2, convthr=1e-7, ops=ops, restricted=1, maxit=80)
+    assert r_ro.converged
+    # variational ordering and proximity
+    assert r_ro.E >= r_u.E - 1e-8
+    assert r_ro.E - r_u.E < 5e-3
+    assert r_ro.orbE_b is not None
 
 
 def test_orbital_moments_and_nuclear_density():
