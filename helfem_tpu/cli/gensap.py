@@ -55,6 +55,19 @@ def main(argv=None):
                    help="write the xc-ingredient table xcing_<El>.dat")
     p.add_argument("--saveorb", action="store_true",
                    help="write radial orbital coefficients per l channel")
+    p.add_argument("--savepot", action="store_true",
+                   help="write the multiplicative xc potential to xcpot.dat "
+                        "(reference: SCFSolver::XCPotential, main.cpp:666-668)")
+    p.add_argument("--pot", default="none",
+                   help="compute the exported result_<El>.dat potential with "
+                        "THIS functional instead of the SCF one "
+                        "(reference --pot, main.cpp:119,672-678)")
+    p.add_argument("--vdwthr", type=float, default=1e-3,
+                   help="density threshold for the van der Waals radius")
+    p.add_argument("--eps_el", type=float, default=0.073416683704840394115,
+                   help="electron count outside the electron-count radius "
+                        "(default: H-atom value matching the 1e-3 vdW "
+                        "threshold, Rahm 2016)")
     args = p.parse_args(argv)
 
     import jax
@@ -64,11 +77,14 @@ def main(argv=None):
     from helfem_tpu.models.sadatom import (
         SadAtomBasis,
         coulomb_screening,
+        electron_count_radius,
         kinetic_energy_density,
         potential_table,
         radial_density,
         solve_sadatom,
         solve_sadatom_unrestricted,
+        vdw_radius,
+        xc_potential_table,
         xc_screening,
     )
     from helfem_tpu.ops.xc import parse_method
@@ -128,19 +144,41 @@ def main(argv=None):
         print(f"Econf = % 18.9f" % Econf)
     print(f"Exc   = % 18.9f" % (res.Exx + res.Exc))
 
-    # SAP potential table (reference: RestrictedPotential 9-column format)
     Prad = res.Pl.sum(axis=0)
+    # vdW + electron-count radii (reference: main.cpp:632-639)
+    BOHR_A = 0.529177210903
+    rvdw = vdw_radius(basis, Prad, args.vdwthr)
+    print(f"\nEstimated vdW radius with density threshold {args.vdwthr:e} "
+          f"is {rvdw:.6f} bohr = {rvdw * BOHR_A:.6f} A")
+    print("Note that this criterion is sensitive to numerical noise.")
+    rincl = electron_count_radius(basis, Prad, (Z - args.Q) - args.eps_el)
+    print(f"Estimated vdW radius with electron count threshold "
+          f"{args.eps_el:e} is {rincl:.6f} bohr = {rincl * BOHR_A:.6f} A")
+
+    # SAP potential table (reference: RestrictedPotential 9-column format);
+    # --pot computes the exported screening with a DIFFERENT functional
+    # than the SCF (reference: main.cpp:672-678)
     funcs, _ = parse_method(args.method)
+    pot_funcs = funcs if args.pot == "none" else parse_method(args.pot)[0]
+    if args.pot != "none":
+        print(f"exported potential computed with {args.pot}")
     r, n, dn, ln, wt = radial_density(basis, Prad)
     tau = kinetic_energy_density(basis, res.Pl)
     vcoul = coulomb_screening(basis, Prad)
-    vxc = xc_screening(basis, Prad, funcs)
+    vxc = xc_screening(basis, Prad, pot_funcs)
     zeff = Z - (vcoul + vxc)
     out = np.column_stack([r, n, dn, ln, tau, vcoul, vxc, wt, zeff])
     order = np.argsort(r)
     path = args.output or f"result_{SYMBOLS[Z]}.dat"
     np.savetxt(path, out[order])
     print(f"SAP potential written to {path}")
+
+    if args.savepot:
+        # multiplicative xc potential table (reference: XCPotential ->
+        # xcpot.dat, main.cpp:666-668); restricted spin densities are Pl/2
+        rp, va, vb = xc_potential_table(basis, res.Pl / 2.0, res.Pl / 2.0, funcs)
+        np.savetxt("xcpot.dat", np.column_stack([rp, va, vb]))
+        print("xc potential written to xcpot.dat")
 
     if args.completeness:
         # GTO/STO completeness + importance profiles per l channel
@@ -213,9 +251,21 @@ def main(argv=None):
                 print(line)
             M = int(sum(r_u.occs) - sum(r_u.occs_b) + 1)
         print(f"selected multiplicity {M}, E = {r_u.E:.9f}")
+        # radii of the spin-polarized ground state (reference: main.cpp:707-710)
+        Prad_u = (r_u.Pl + r_u.Plb).sum(axis=0)
+        rvdw_u = vdw_radius(basis, Prad_u, args.vdwthr)
+        print(f"Estimated vdW radius with density threshold {args.vdwthr:e} "
+              f"is {rvdw_u:.6f} bohr = {rvdw_u * BOHR_A:.6f} A")
+        rincl_u = electron_count_radius(basis, Prad_u, nel - args.eps_el)
+        print(f"Estimated vdW radius with electron count threshold "
+              f"{args.eps_el:e} is {rincl_u:.6f} bohr = {rincl_u * BOHR_A:.6f} A")
+        if args.savepot:
+            rp, va, vb = xc_potential_table(basis, r_u.Pl, r_u.Plb, funcs)
+            np.savetxt("xcpot.dat", np.column_stack([rp, va, vb]))
+            print("xc potential written to xcpot.dat")
         for tag, mode in [("U", "mean"), ("M", "average"), ("W", "weighted"),
                           ("S", "highspin"), ("s", "lowspin")]:
-            tab = potential_table(basis, r_u.Pl, r_u.Plb, funcs, mode=mode)
+            tab = potential_table(basis, r_u.Pl, r_u.Plb, pot_funcs, mode=mode)
             vpath = f"result{tag}_{SYMBOLS[Z]}.dat"
             np.savetxt(vpath, tab)
             print(f"{mode} potential written to {vpath}")

@@ -594,16 +594,23 @@ def vdw_radius(basis: SadAtomBasis, Prad: np.ndarray, threshold: float = 0.001) 
 
 
 def electron_count_radius(basis: SadAtomBasis, Prad: np.ndarray, nel_inside: float) -> float:
-    """Radius enclosing `nel_inside` electrons (reference: sadatom
-    electron-count radius solver)."""
+    """Radius enclosing `nel_inside` electrons (reference:
+    TwoDBasis::electron_count_radius, src/sadatom/basis.cpp:1119-1165,
+    which bisects for the radius OUTSIDE of which eps electrons remain;
+    callers pass nel_inside = nel_total - eps). Linear interpolation on the
+    cumulative quadrature sum replaces the in-element bisection."""
     r, n, _, _, w = radial_density(basis, Prad)
     order = np.argsort(r)
     r, nw = r[order], (n * w)[order]
     cum = np.cumsum(nw)
-    idx = np.searchsorted(cum, nel_inside)
+    idx = int(np.searchsorted(cum, nel_inside))
     if idx >= len(r):
-        return r[-1]
-    return float(r[idx])
+        return float(r[-1])
+    if idx == 0:
+        return float(r[0])
+    c1, c2 = cum[idx - 1], cum[idx]
+    t = (nel_inside - c1) / max(c2 - c1, 1e-300)
+    return float(r[idx - 1] + t * (r[idx] - r[idx - 1]))
 
 
 def xc_potential_table(basis: SadAtomBasis, Pla, Plb, funcs):
