@@ -502,21 +502,39 @@ def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> 
     nrad = ops.Sinvh_rad.shape[0]
     P4 = _to4(P, nang, nrad)
 
-    # lax.scan over L channels: batching the L axis into the einsums was
-    # measured speed-NEUTRAL on the TPU backend but multiplies the
-    # [nang, nang, nelem, nelem, np, np] working set by NL -- at Xe lmax=3
-    # that overflows HBM (31 GB requested). Per-L working sets keep the
-    # peak at 1/NL while the (b, c, e, f) batch already fills the MXU.
+    # lax.scan over CHUNKS of L channels. Batching the FULL L axis into the
+    # einsums multiplies the [nang, nang, nelem, nelem, np, np] working set
+    # by NL -- at Xe lmax=3 that overflows HBM (31 GB requested) -- but
+    # per-L steps leave the TPU latency-bound (~3-20 ms per dot stage
+    # regardless of size). Chunks of `chunk` channels keep the working set
+    # HBM-sized while cutting the sequential step count NL -> NL/chunk.
+    NL = int(Lfacv.shape[0])
+    nelem, nprim = ops.gidx.shape
+    per_L = 8.0 * nang * nang * nelem * nelem * nprim * nprim * 6.0
+    import os as _os
+
+    budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
+    chunk = max(1, min(NL, int(budget // max(per_L, 1.0))))
+    npad = (-NL) % chunk
+    G, Lf = ops.G, Lfacv
+    if npad:
+        # zero-padded channels contribute exactly zero (G = tei = U = V = 0)
+        zpad = lambda x: jnp.pad(x, [(0, npad)] + [(0, 0)] * (x.ndim - 1))
+        G, Lf, tei, U, V = zpad(G), zpad(Lf), zpad(tei), zpad(U), zpad(V)
+    resh = lambda x: x.reshape((NL + npad) // chunk, chunk, *x.shape[1:])
+
     def body(K4, xs):
-        GL, LfacL, teiL, UL, VL = xs
-        # R[b,c,I,J] = Lfac * sum_{M,a,d} G[M,b,a] G[M,c,d] P[a,d,I,J]
-        t1 = jnp.einsum("Mba,adIJ->MbdIJ", GL, P4)
-        R = LfacL * jnp.einsum("Mcd,MbdIJ->bcIJ", GL, t1)
-        K4 = K4 + exchange_kernel_L(teiL, UL, VL, ops.gidx, nrad, R)
-        return K4, None
+        GL, LfacL, teiL, UL, VL = xs  # leading axis: chunk of L channels
+        # R[g,b,c,I,J] = Lfac_g * sum_{M,a,d} G[g,M,b,a] G[g,M,c,d] P[a,d,I,J]
+        t1 = jnp.einsum("gMba,adIJ->gMbdIJ", GL, P4)
+        R = LfacL[:, None, None, None, None] * jnp.einsum("gMcd,gMbdIJ->gbcIJ", GL, t1)
+        Kg = jax.vmap(
+            lambda t, u, v, r: exchange_kernel_L(t, u, v, ops.gidx, nrad, r)
+        )(teiL, UL, VL, R)
+        return K4 + Kg.sum(axis=0), None
 
     K4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
-    K4, _ = jax.lax.scan(body, K4, (ops.G, Lfacv, tei, U, V))
+    K4, _ = jax.lax.scan(body, K4, tuple(resh(x) for x in (G, Lf, tei, U, V)))
     K4 = K4[:, :, :nrad, :nrad]
     return -_from4(K4, nang, nrad)
 

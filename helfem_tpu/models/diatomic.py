@@ -614,8 +614,17 @@ def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
 
 
 def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
-    """K(P) (negative contribution): scan over flattened (channel, bra-shell)
-    steps (reference: src/diatomic/basis.cpp:1532-1734)."""
+    """K(P) (negative contribution): scan over CHUNKS of the flattened
+    (channel, bra-shell) step list (reference: src/diatomic/basis.cpp:
+    1532-1734). Per-step work alone leaves the TPU latency-bound (~3-20 ms
+    per dot stage regardless of size), and at reference-converged
+    discretizations the step list runs to thousands of entries -- chunking
+    `gs` steps into one vmapped batch cuts the sequential length nsteps ->
+    nsteps/gs while an HBM budget (HELFEM_EXCHANGE_HBM, default 4 GB)
+    bounds the batched working set. Padded steps carry weight 0 and
+    contribute exactly nothing."""
+    import os as _os
+
     nang = ops.GmLM.shape[-1]
     nrad = ops.shellmask.shape[-1]
     nelem, nprim = ops.gidx.shape
@@ -628,11 +637,26 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     ridx = gi[:, None, :, None]
     cidx = gi[None, :, None, :]
 
-    def body(K3, xs):
-        ilm, b, sp, sm, wm = xs
+    nsteps = int(ops.step_ilm.shape[0])
+    # dominant batched intermediates: Rw-family [4, nang, nelem^2, np^2]
+    # (x3 for lo/hi/T temporaries) + the per-step TEI gather [4, nelem, np^4]
+    per_step = 8.0 * 4 * (3.0 * nang * nelem * nelem * nprim * nprim
+                          + nelem * nprim**4)
+    budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
+    gs = max(1, min(nsteps, int(budget // max(per_step, 1.0))))
+    npad = (-nsteps) % gs
+    wv = jnp.concatenate([jnp.ones(nsteps), jnp.zeros(npad)])
+    stepxs = tuple(
+        jnp.pad(x, (0, npad))
+        for x in (ops.step_ilm, ops.step_b, ops.step_sp, ops.step_sm, ops.step_wm)
+    ) + (wv,)
+    xs = tuple(x.reshape((nsteps + npad) // gs, gs) for x in stepxs)
+
+    def step_K(ilm, b, sp, sm, wm, w):
+        """Kb[c, nrad+1, nrad+1] for one (channel, bra-shell) step."""
         fac = ops.LMfac[ilm]
         # R matrices for all output shells c, batch over the 4 families
-        def Rfams(s, w):
+        def Rfams(s, wgt):
             um = ops.GmLM[s][b]  # [nang]
             up = ops.GpLM[s][b]
             tm = jnp.einsum("a,adIJ->dIJ", um, P4)
@@ -641,9 +665,9 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
             R02 = -jnp.einsum("cd,dIJ->cIJ", ops.GpLM[s], tm)
             R20 = -jnp.einsum("cd,dIJ->cIJ", ops.GmLM[s], tp)
             R22 = jnp.einsum("cd,dIJ->cIJ", ops.GpLM[s], tp)
-            return w * jnp.stack([R00, R02, R20, R22])
+            return wgt * jnp.stack([R00, R02, R20, R22])
 
-        R = fac * (Rfams(sp, 1.0) + Rfams(sm, wm))  # [4, nang, nrad, nrad]
+        R = (w * fac) * (Rfams(sp, 1.0) + Rfams(sm, wm))  # [4, nang, nrad, nrad]
         Rp = jnp.pad(R, ((0, 0), (0, 0), (0, 1), (0, 1)))
         tei = jnp.stack(
             [ops.tei00[ilm], ops.tei02[ilm], ops.tei20[ilm], ops.tei22[ilm]]
@@ -672,13 +696,15 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
         hi = cross(p0, p2, q0, q2)
         Kpair = jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
         Kpair = Kpair.at[:, eidx, eidx].add(Kdiag)
-        Kb = jnp.zeros((nang, nrad + 1, nrad + 1)).at[:, ridx, cidx].add(Kpair)
-        K3 = K3.at[b].add(Kb[:, :nrad, :nrad])
+        return jnp.zeros((nang, nrad + 1, nrad + 1)).at[:, ridx, cidx].add(Kpair)
+
+    def body(K3, xs_):
+        ilm, b, sp, sm, wm, w = xs_
+        Kbg = jax.vmap(step_K)(ilm, b, sp, sm, wm, w)  # [gs, c, nrad+1, .]
+        K3 = K3.at[b].add(Kbg[:, :, :nrad, :nrad])
         return K3, None
 
     K3 = jnp.zeros((nang, nang, nrad, nrad))  # [b, c, I, J]
-    K3, _ = jax.lax.scan(
-        body, K3, (ops.step_ilm, ops.step_b, ops.step_sp, ops.step_sm, ops.step_wm)
-    )
+    K3, _ = jax.lax.scan(body, K3, xs)
     m2 = ops.shellmask.reshape(-1)
     return -_from4(K3, nang, nrad) * m2[:, None] * m2[None, :]

@@ -296,6 +296,104 @@ def density_cubes(C: np.ndarray, occs: np.ndarray, restricted: bool):
     return Pl, Pang
 
 
+def occ_weight_vectors(occs: np.ndarray, nl: int, nmo: int, restricted: bool):
+    """(occw, angw)[nl, nmo]: per-orbital electron counts and
+    capacity-averaged angular weights for fixed per-l electron counts --
+    the static-occupation form of density_cubes, so the density build can
+    run on device as one einsum."""
+    occw = np.zeros((nl, nmo))
+    angw = np.zeros((nl, nmo))
+    for l in range(nl):
+        cap = shell_capacity(l, restricted)
+        left = int(occs[l])
+        io = 0
+        while left > 0:
+            nocc = min(cap, left)
+            occw[l, io] = nocc
+            angw[l, io] = nocc / cap
+            left -= nocc
+            io += 1
+    return occw, angw
+
+
+@lru_cache(maxsize=None)
+def make_sad_fused_chunk(funcs, kfrac, nl, nrad, nhist, nsteps,
+                         dftthr=1e-12, restricted=True, shift=1.0):
+    """`nsteps` fully on-device sadatom SCF iterations in ONE jitted
+    lax.scan (density -> Fock -> device C2-DIIS -> level-shifted channel
+    eigh), the sadatom analogue of the atomic fused chunk. The level shift
+    switches off on-device once the DIIS error drops below 1e-3
+    (reference: solver.cpp:1190-1193), so the whole solve stays fused.
+    Occupations are FIXED within a chunk (per-configuration solves have
+    static occupations; unrestricted aufbau refreshes between chunks)."""
+    from helfem_tpu.scf.diis import device_diis_step
+
+    fock = make_sad_fock(funcs, kfrac, nl, nrad, dftthr)
+
+    @jax.jit
+    def chunk(ops, occw, angw, occwb, angwb, C, Cb, histF, histE, count):
+        S = ops.at.S
+        Sinvh = ops.at.Sinvh_rad
+
+        def dens(C_, w):
+            return jnp.einsum("lpk,lk,lqk->lpq", C_, w, C_)
+
+        def errof(F, P):
+            FPS = jnp.einsum("lpq,lqr,rs->lps", F, P, S)
+            comm = FPS - jnp.swapaxes(FPS, 1, 2)
+            return jnp.einsum("pi,lpq,qj->lij", Sinvh, comm, Sinvh).reshape(-1)
+
+        def eig_sh(F, Cprev, w, shift_eff):
+            # level shift on the span of the previous virtuals
+            # (reference: OrbitalChannel::UpdateOrbitalsShifted)
+            virt = (w <= 0.0).astype(F.dtype)
+            Cv = Cprev * virt[:, None, :]
+            SC = jnp.einsum("pq,lqk->lpk", S, Cv)
+            Fsh = F + shift_eff * jnp.einsum("lpk,lrk->lpr", SC, SC)
+            Forth = jnp.einsum("pi,lpq,qj->lij", Sinvh, Fsh, Sinvh)
+            E, V = eigh_refined(Forth)
+            return E, jnp.einsum("pi,lij->lpj", Sinvh, V)
+
+        def body(carry, _):
+            C, Cb, histF, histE, count = carry
+            if restricted:
+                Pl = dens(C, occw)
+                Pang = dens(C, angw)
+                Fla, Flb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(
+                    ops, Pl / 2.0, Pl / 2.0, Pang, Pang
+                )
+                err = errof(Fla, Pl / 2.0)
+                F = Fla
+            else:
+                Pla, Plb = dens(C, occw), dens(Cb, occwb)
+                Panga, Pangb = dens(C, angw), dens(Cb, angwb)
+                Fla, Flb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(
+                    ops, Pla, Plb, Panga, Pangb
+                )
+                err = jnp.concatenate([errof(Fla, Pla), errof(Flb, Plb)])
+                F = jnp.stack([Fla, Flb])
+            Etot = Ekin + Enuc + Ecoul + Exx + Exc
+            errmax = jnp.max(jnp.abs(err))
+            Fuse, histF, histE, count = device_diis_step(histF, histE, count, F, err)
+            shift_eff = jnp.where(errmax > 1e-3, shift, 0.0)
+            if restricted:
+                E, Cn = eig_sh(Fuse, C, occw, shift_eff)
+                Eb, Cnb = E, Cn
+            else:
+                E, Cn = eig_sh(Fuse[0], C, occw, shift_eff)
+                Eb, Cnb = eig_sh(Fuse[1], Cb, occwb, shift_eff)
+            return (Cn, Cnb, histF, histE, count), (
+                E, Eb, Cn, Cnb, Etot, errmax, (Ekin, Ecoul, Exx, Exc, Nel)
+            )
+
+        (C, Cb, histF, histE, count), (Es, Ebs, Cs, Cbs, Etots, errs, comps) = jax.lax.scan(
+            body, (C, Cb, histF, histE, count), None, length=nsteps
+        )
+        return Es, Ebs, Cs, Cbs, Etots, errs, comps, histF, histE, count
+
+    return chunk
+
+
 @lru_cache(maxsize=None)
 def make_sad_fock(funcs, kfrac, nl, nrad, dftthr=1e-12):
     @jax.jit
@@ -692,18 +790,75 @@ def solve_sadatom_unrestricted(
     if occs_b is None:
         occs_b = aufbau_occs(Eb, nelb, False)
 
+    from helfem_tpu.scf.diis import DIIS
+
     Svec = np.asarray(ops.at.S)
     Sinvh = np.asarray(ops.at.Sinvh_rad)
+    diis = DIIS(Svec, Sinvh, max_hist=10, diis_eps=0.1, adiis=False)
     Eold, Etot, converged = 0.0, 0.0, False
-    hist_F, hist_e = [], []
+    Ekin = Ecoul = Exx = Exc = 0.0
     out = None
-    for it in range(1, maxit + 1):
+    warmup = 2
+    nhist, CH = 10, 4
+    fused = None
+    hist = None
+    it = 0
+    while it < maxit:
+        it += 1
+        if it > warmup:
+            # fused on-device chunks; occupations frozen per chunk and
+            # (if not fixed) refreshed by aufbau between chunks
+            if fused is None:
+                fused = make_sad_fused_chunk(
+                    tuple(funcs), kfrac, nl, nrad, nhist, CH,
+                    restricted=False, shift=shift,
+                )
+                hist = (
+                    jnp.zeros((nhist, 2, nl, nrad, nrad)),
+                    jnp.zeros((nhist, 2 * nl * nrad * nrad)),
+                    jnp.asarray(0),
+                )
+            ow_a, aw_a = occ_weight_vectors(occs_a, nl, nrad, False)
+            ow_b, aw_b = occ_weight_vectors(occs_b, nl, nrad, False)
+            Eas, Ebs, Cas, Cbs, Etots, errs, comps, hF, hE, cnt = fused(
+                ops, jnp.asarray(ow_a), jnp.asarray(aw_a),
+                jnp.asarray(ow_b), jnp.asarray(aw_b),
+                jnp.asarray(Ca), jnp.asarray(Cb), *hist
+            )
+            hist = (hF, hE, cnt)
+            Etots = np.asarray(Etots)
+            errs = np.asarray(errs)
+            kmax = min(CH, maxit - it + 1)
+            k = 0
+            for k in range(kmax):
+                Etot = float(Etots[k])
+                err = float(errs[k])
+                dE = Etot - Eold
+                Eold = Etot
+                if verbose:
+                    print(f"  it {it + k:3d} E={Etot:+.10f} dE={dE:+.2e} err={err:.2e}")
+                if err < convthr and abs(dE) < convthr:
+                    converged = True
+                    break
+            it += k
+            Ea, Eb = np.asarray(Eas[k]), np.asarray(Ebs[k])
+            Ca, Cb = Cas[k], Cbs[k]
+            Ekin, Ecoul, Exx, Exc, _Nel = (float(x[k]) for x in comps)
+            if converged or it >= maxit:
+                out = (Etot, Ekin, Ecoul, Exx, Exc)
+                break
+            if not fixed:
+                occs_a = aufbau_occs(Ea, nela, False)
+                occs_b = aufbau_occs(Eb, nelb, False)
+            continue
+
         Pla, Panga = density_cubes(np.asarray(Ca), occs_a, False)
         Plb, Pangb = density_cubes(np.asarray(Cb), occs_b, False)
-        Fla, Flb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(
+        Fla, Flb, Ekin_, Enuc, Ecoul_, Exx_, Exc_, Nel = fock(
             ops, jnp.asarray(Pla), jnp.asarray(Plb), jnp.asarray(Panga), jnp.asarray(Pangb)
         )
-        Etot = float(Ekin + Enuc + Ecoul + Exx + Exc)
+        Etot = float(Ekin_ + Enuc + Ecoul_ + Exx_ + Exc_)
+        Ekin, Ecoul, Exx, Exc = float(Ekin_), float(Ecoul_), float(Exx_), float(Exc_)
         dE = Etot - Eold
         Eold = Etot
         Fa, Fb = np.asarray(Fla), np.asarray(Flb)
@@ -713,39 +868,18 @@ def solve_sadatom_unrestricted(
                 FPS = F_ @ P_ @ Svec
                 errv.append((Sinvh.T @ (FPS - FPS.T) @ Sinvh).ravel())
         errv = np.concatenate(errv)
-        err = np.abs(errv).max()
-        hist_F.append((Fa, Fb))
-        hist_e.append(errv)
-        if len(hist_F) > 10:
-            hist_F.pop(0)
-            hist_e.pop(0)
+        err = diis.update_with_error(
+            [Fa[l] for l in range(nl)] + [Fb[l] for l in range(nl)], errv
+        )
         if verbose:
             print(f"  it {it:3d} E={Etot:+.10f} dE={dE:+.2e} err={err:.2e}")
         if err < convthr and abs(dE) < convthr and it > 1:
             converged = True
         if converged or it == maxit:
-            out = (Etot, float(Ekin), float(Ecoul), float(Exx), float(Exc))
+            out = (Etot, Ekin, Ecoul, Exx, Exc)
             break
-        nh = len(hist_F)
-        if nh > 1 and err < 0.1:
-            B = np.array([[np.dot(a, b) for b in hist_e] for a in hist_e])
-            w, V = np.linalg.eigh(B)
-            best, beste = None, np.inf
-            for k in range(nh):
-                c = V[:, k]
-                s = c.sum()
-                if abs(s) < 1e-10 or np.max(np.abs(c / s)) > 20:
-                    continue
-                c = c / s
-                ee = c @ B @ c
-                if ee < beste:
-                    beste, best = ee, c
-            if best is not None:
-                Fa = sum(best[i] * hist_F[i][0] for i in range(nh))
-                Fb = sum(best[i] * hist_F[i][1] for i in range(nh))
-        elif nh > 1:
-            Fa = 0.5 * Fa + 0.5 * hist_F[-2][0]
-            Fb = 0.5 * Fb + 0.5 * hist_F[-2][1]
+        sols = diis.solve()
+        Fa, Fb = np.stack(sols[:nl]), np.stack(sols[nl:])
         if err > 1e-3 and shift != 0.0:
             Ea_, Ca = eig_channels_shifted(Fa, Ca, occs_a, False, Svec, ops.at.Sinvh_rad, shift)
             Eb_, Cb = eig_channels_shifted(Fb, Cb, occs_b, False, Svec, ops.at.Sinvh_rad, shift)
@@ -758,6 +892,10 @@ def solve_sadatom_unrestricted(
             occs_b = aufbau_occs(Eb, nelb, False)
 
     Etot, Ekin, Ecoul, Exx, Exc = out
+    # final densities from the returned orbitals (the fused path does not
+    # materialize them on the host per iteration)
+    Pla, _ = density_cubes(np.asarray(Ca), occs_a, False)
+    Plb, _ = density_cubes(np.asarray(Cb), occs_b, False)
     return SadResult(
         converged=converged,
         E=Etot,
@@ -810,67 +948,98 @@ def solve_sadatom(
     Eg, Cg = np.asarray(Eg), np.asarray(Cg)
 
     def run_scf(occs, E0, C0):
+        # short host warmup on the SHARED DIIS implementation (scf/diis.py),
+        # then fully on-device fused chunks (make_sad_fused_chunk): only
+        # per-iteration (E, err) scalars reach the host, removing the
+        # device round-trips that dominated gensap wall clock on TPU
+        from helfem_tpu.scf.diis import DIIS
+
         E_, C_ = E0.copy(), C0
         Eold, Etot = 0.0, 0.0
-        hist_F, hist_e = [], []
         Svec = np.asarray(ops.at.S)
         Sinvh = np.asarray(ops.at.Sinvh_rad)
+        diis = DIIS(Svec, Sinvh, max_hist=10, diis_eps=0.1, adiis=False)
+        occw_np, angw_np = occ_weight_vectors(occs, nl, nrad, True)
+        occw = jnp.asarray(occw_np)
+        angw = jnp.asarray(angw_np)
         converged = False
         out = None
-        for it in range(1, maxit + 1):
+        Ekin = Ecoul = Exx = Exc = 0.0
+        warmup = 2
+        nhist, CH = 10, 4
+        fused = None
+        hist = None
+        it = 0
+        while it < maxit:
+            it += 1
+            if it > warmup:
+                if fused is None:
+                    fused = make_sad_fused_chunk(
+                        tuple(funcs), kfrac, nl, nrad, nhist, CH,
+                        restricted=True, shift=shift,
+                    )
+                    hist = (
+                        jnp.zeros((nhist, nl, nrad, nrad)),
+                        jnp.zeros((nhist, nl * nrad * nrad)),
+                        jnp.asarray(0),
+                    )
+                Cdev = jnp.asarray(C_)
+                Es, _, Cs, _, Etots, errs, comps, hF, hE, cnt = fused(
+                    ops, occw, angw, occw, angw, Cdev, Cdev, *hist
+                )
+                hist = (hF, hE, cnt)
+                Etots = np.asarray(Etots)
+                errs = np.asarray(errs)
+                kmax = min(CH, maxit - it + 1)
+                k = 0
+                for k in range(kmax):
+                    Etot = float(Etots[k])
+                    err = float(errs[k])
+                    dE = Etot - Eold
+                    Eold = Etot
+                    if verbose:
+                        print(f"  it {it + k:3d} E={Etot:+.10f} dE={dE:+.2e} err={err:.2e}")
+                    if err < convthr and abs(dE) < convthr:
+                        converged = True
+                        break
+                it += k
+                E_ = np.asarray(Es[k])
+                C_ = Cs[k]
+                Ekin, Ecoul, Exx, Exc, _Nel = (float(x[k]) for x in comps)
+                if converged or it >= maxit:
+                    Pl, _ = density_cubes(np.asarray(C_), occs, True)
+                    out = (Etot, Ekin, Ecoul, Exx, Exc, E_, np.asarray(C_), Pl)
+                    break
+                continue
+
             Pl, Pang = density_cubes(np.asarray(C_), occs, True)
             Pla = jnp.asarray(Pl / 2.0)
             # with restricted capacities 2(2l+1), Pang IS the per-spin
             # m-averaged density (fracocc = nocc/cap), matching the
             # reference's AngularDensity (src/sadatom/solver.cpp:505-528)
             Panga = jnp.asarray(Pang)
-            Fla, Flb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(
+            Fla, Flb, Ekin_, Enuc, Ecoul_, Exx_, Exc_, Nel = fock(
                 ops, Pla, Pla, Panga, Panga
             )
-            Etot = float(Ekin + Enuc + Ecoul + Exx + Exc)
+            Etot = float(Ekin_ + Enuc + Ecoul_ + Exx_ + Exc_)
+            Ekin, Ecoul, Exx, Exc = float(Ekin_), float(Ecoul_), float(Exx_), float(Exc_)
             dE = Etot - Eold
             Eold = Etot
-            # DIIS on stacked channels
             Fn = np.asarray(Fla)
             errv = []
             for l in range(nl):
                 FPS = Fn[l] @ (Pl[l] / 2.0) @ Svec
                 errv.append((Sinvh.T @ (FPS - FPS.T) @ Sinvh).ravel())
             errv = np.concatenate(errv)
-            err = np.abs(errv).max()
-            hist_F.append(Fn)
-            hist_e.append(errv)
-            if len(hist_F) > 10:
-                hist_F.pop(0)
-                hist_e.pop(0)
+            err = diis.update_with_error([Fn[l] for l in range(nl)], errv)
             if verbose:
                 print(f"  it {it:3d} E={Etot:+.10f} dE={dE:+.2e} err={err:.2e}")
             if err < convthr and abs(dE) < convthr and it > 1:
                 converged = True
             if converged or it == maxit:
-                out = (Etot, float(Ekin), float(Ecoul), float(Exx), float(Exc), E_, np.asarray(C_), Pl)
+                out = (Etot, Ekin, Ecoul, Exx, Exc, E_, np.asarray(C_), Pl)
                 break
-            nh = len(hist_F)
-            if nh > 1 and err < 0.1:
-                B = np.array([[np.dot(a, b) for b in hist_e] for a in hist_e])
-                w, V = np.linalg.eigh(B)
-                best, beste = None, np.inf
-                for k in range(nh):
-                    c = V[:, k]
-                    s = c.sum()
-                    if abs(s) < 1e-10:
-                        continue
-                    c = c / s
-                    if np.max(np.abs(c)) > 20:
-                        continue
-                    ee = c @ B @ c
-                    if ee < beste:
-                        beste, best = ee, c
-                Fuse = sum(best[i] * hist_F[i] for i in range(nh)) if best is not None else Fn
-            elif nh > 1:
-                Fuse = 0.5 * Fn + 0.5 * hist_F[-2]
-            else:
-                Fuse = Fn
+            Fuse = np.stack(diis.solve())
             if err > 1e-3 and shift != 0.0:
                 # level shift on virtuals until DIIS takes over
                 # (reference: solver.cpp:1190-1193)

@@ -3,25 +3,62 @@
 Everything in this suite lives or dies on f64 (the reference needs
 stabilization tricks even *within* f64). We therefore enable jax x64 mode at
 import time, before any arrays are created. A persistent compilation cache
-under the repo amortizes the (observed minutes-long, occasionally flaky)
-remote TPU compiles across processes.
+amortizes the (observed minutes-long) compiles across processes.
 """
 
+import atexit
 import os
+import shutil
 
 import jax
 
 
+def _default_cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache"))
+    return os.path.join(base, "helfem_tpu", "jax_cache")
+
+
 def setup_x64() -> None:
     jax.config.update("jax_enable_x64", True)
-    # Persistent compile cache, OPT-IN via HELFEM_TPU_CACHE=<dir>. Not enabled
-    # by default: serialized executables from the experimental TPU plugin
-    # were observed to wedge deserialization (a poisoned entry hangs every
-    # subsequent process compiling the same program).
+    # Persistent compile cache. HELFEM_TPU_CACHE=<dir> forces a location,
+    # HELFEM_TPU_CACHE=0 disables. Default: ON for host backends (XDG cache
+    # dir, per-backend subdirectory), OFF for the experimental axon TPU
+    # plugin: deserializing a cached axon executable reproducibly HANGS the
+    # client AND wedges the shared remote compile service for several
+    # minutes (measured 2026-08: a trivial cached matmul hung >400 s and a
+    # plain hello in the next process took 192 s while the remote drained).
+    #
+    # If the cache is forced on under axon anyway, a canary file guards the
+    # poisoned-entry failure mode: it is written at startup and removed at
+    # clean interpreter exit, so a run killed mid-hang leaves it behind and
+    # the next startup WIPES the axon cache before enabling it.
     cache = os.environ.get("HELFEM_TPU_CACHE", "")
-    if cache:
-        try:
-            jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:
-            pass
+    if cache == "0":
+        return
+    axon = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    if axon and not cache:
+        return
+    root = os.path.abspath(cache) if cache else _default_cache_dir()
+    path = os.path.join(root, "axon" if axon else "cpu")
+    try:
+        os.makedirs(path, exist_ok=True)
+        if axon:
+            canary = os.path.join(path, ".unclean_exit")
+            if os.path.exists(canary):
+                try:
+                    pid = int(open(canary).read().strip() or "0")
+                except ValueError:
+                    pid = 0
+                alive = pid > 0 and os.path.exists(f"/proc/{pid}")
+                if not alive:
+                    # previous run died with the cache enabled: assume a
+                    # poisoned entry and start fresh
+                    shutil.rmtree(path, ignore_errors=True)
+                    os.makedirs(path, exist_ok=True)
+            with open(canary, "w") as fh:
+                fh.write(str(os.getpid()))
+            atexit.register(lambda: os.path.exists(canary) and os.remove(canary))
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
