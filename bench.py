@@ -3,20 +3,23 @@
 1. Ar HF  (BASELINE config 2): SCF wall-clock to 1 uEh convergence.
 2. N2 PBE (BASELINE config 5): prolate-spheroidal two-center FEM,
    sigma+pi basis (lmax = 6 per |m|), PBE via the JAX-native functionals.
-Plus a heavier atomic profile point (Xe HF, lmax=3) so scaling beyond the
-~560-bf Ar problem is on record.
+Plus heavier profile points: Xe HF (lmax=3), N2 HF at the REFERENCE-
+CONVERGED discretization (lmax=12 per |m|), and gensap Kr.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 value = Ar-HF SCF seconds + N2-PBE SCF seconds and the "profile" dict holds
 the per-phase breakdown (host setup / TEI tables, compile, SCF wall, per-
-iteration, eigensolve probe) the headline number is made of.
+iteration, eigensolve probe, achieved GFLOP/s and GB/s of the Fock build
+from XLA cost analysis) the headline number is made of.
 
-The reference repo publishes no wall-clock numbers (BASELINE.md) and its
-OpenMP binary cannot be built in this image (no Armadillo/GSL), so
-vs_baseline stays 1.0; the profile section is the evidence that the TPU
-number is dispatch-bound setup + a fused on-device SCF, not padding.
+vs_baseline: the reference OpenMP binary cannot be built in this image
+(no Fortran compiler, no Armadillo headers, no GSL -- see BASELINE.md), so
+the baseline is THIS REPO'S OWN true-f64 CPU path at identical
+discretizations, measured on this image's host CPU (constants below,
+re-measured 2026-08-17, see BASELINE.md for the command). vs_baseline =
+CPU seconds / TPU seconds (>1 means the TPU wins).
 
-Energy gates: Ar vs the numerical HF limit; N2 PBE vs this repo's own CPU
+Energy gates: Ar/Xe vs numerical HF limits; N2 PBE vs this repo's own CPU
 run of the identical discretization (real f64, recorded below) -- a TPU
 mismatch > 1 uEh fails the metric (value = inf).
 """
@@ -28,18 +31,59 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-BASELINE_LOCAL = None  # reference binary not buildable in this image
-
 AR_HF_LIMIT = -526.8175128  # numerical HF limit (Saito 2009)
 # N2 PBE at lmax=(6,6), nelem=5, nnodes=8, Rmax=25, Rbond=2.0743: this
-# repo's CPU (true f64) converged value (23.6 s, 9 iterations); the TPU run
-# matched it to 3e-12 Eh when recorded and must stay within 1 uEh.
+# repo's CPU (true f64) converged value; the TPU run matched it to 3e-12 Eh
+# when recorded and must stay within 1 uEh.
 N2_PBE_CPU = -108.978708437276
 XE_HF_LIMIT = -7232.1383638  # Cinal 2020, J. Math. Chem. 58, 1571
+# N2 HF at lmax=(12,12,12), nelem=5, nnodes=8, Rmax=25, Rbond=2.0743
+# (converged to ~8 uEh of the HF limit -108.9938255): pinned CPU value.
+N2_HF_L12 = -108.993818
+
+# This repo's own true-f64 CPU wall-clock at the IDENTICAL bench configs
+# (env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu, warm jit, this image's
+# host CPU, 2026-08-17; scripts in BASELINE.md). The honest baseline for
+# vs_baseline given the unbuildable reference binary.
+CPU_F64 = {
+    "ar_hf": 2.588,
+    "n2_pbe": 23.6,
+    "xe_hf_lmax3": 65.519,
+    "gensap_kr": 0.281,
+}
+
+
+def _cost_analysis(fn, *args):
+    """(flops, bytes_accessed) of jitted fn from XLA cost analysis, or
+    (None, None) when the backend does not report them."""
+    try:
+        c = jax.jit(fn).lower(*args).compile()
+        ca = c.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float(ca.get("flops", 0.0))
+        by = float(ca.get("bytes accessed", 0.0))
+        return (fl if fl > 0 else None), (by if by > 0 else None)
+    except Exception:
+        return None, None
+
+
+def _rates(out, flops, nbytes):
+    """Attach Fock-build cost + achieved per-iteration rates to a profile."""
+    if flops:
+        out["fock_gflop"] = round(flops / 1e9, 3)
+        out["achieved_gflops"] = round(flops / 1e9 / out["per_iter_s"], 2)
+    if nbytes:
+        out["fock_gb"] = round(nbytes / 1e9, 3)
+        out["achieved_gbs"] = round(nbytes / 1e9 / out["per_iter_s"], 2)
+    return out
 
 
 def bench_ar():
-    from helfem_tpu.models.atomic import AtomicBasis
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helfem_tpu.models.atomic import AtomicBasis, coulomb, exchange
     from helfem_tpu.scf.atomic_scf import scf_atom
 
     basis = AtomicBasis(Z=18, lmax=1, mmax=1, rmax=40.0, nelem=10, nnodes=15)
@@ -56,9 +100,6 @@ def bench_ar():
     scf_s = time.perf_counter() - t0
 
     # eigensolve probe: one blocked generalized eigh on the converged Fock
-    import jax.numpy as jnp
-
-    from helfem_tpu.models.atomic import coulomb, exchange
     from helfem_tpu.utils.linalg import eig_gsym_lm
 
     Pa = jnp.zeros((basis.nbf, basis.nbf))
@@ -70,8 +111,22 @@ def bench_ar():
     jax.block_until_ready(C)
     eigh_s = time.perf_counter() - t0
 
+    # iterative-eigensolver probe (--eigiter path): lowest 10 eigenpairs
+    # per block via host shift-invert ARPACK, incl. device->host transfer.
+    # Data point for when the iterative option beats the dense batched eigh.
+    from helfem_tpu.utils.linalg import build_blocks, eig_blocks_iter
+
+    bi, bs = build_blocks(np.asarray(ops.S), basis.sym_blocks(2))
+    t0 = time.perf_counter()
+    eig_blocks_iter(np.asarray(F), bi, bs, 10, -0.6 * 18**2 - 10.0)
+    eigiter_s = time.perf_counter() - t0
+
+    flops, nbytes = _cost_analysis(
+        lambda P: coulomb(ops, P) + exchange(ops, P), Pa
+    )
+
     ok = res.converged and abs(res.E - AR_HF_LIMIT) < 1e-6
-    return {
+    return _rates({
         "ok": bool(ok),
         "scf_s": round(scf_s, 3),
         "setup_s": round(setup_s, 3),
@@ -79,14 +134,17 @@ def bench_ar():
         "iterations": res.niter,
         "per_iter_s": round(scf_s / max(res.niter, 1), 4),
         "eigh_probe_s": round(eigh_s, 4),
+        "eigiter_probe_s": round(eigiter_s, 4),
         "energy": res.E,
         "energy_err_vs_hf_limit": res.E - AR_HF_LIMIT,
         "converged": bool(res.converged),
-    }
+    }, flops, nbytes)
 
 
 def bench_n2():
-    from helfem_tpu.models.diatomic import DiatomicBasis
+    import jax.numpy as jnp
+
+    from helfem_tpu.models.diatomic import DiatomicBasis, coulomb_dia, exchange_dia
     from helfem_tpu.scf.diatomic_scf import scf_diatomic
 
     basis = DiatomicBasis(
@@ -97,17 +155,22 @@ def bench_n2():
     setup_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    scf_diatomic(basis, 7, 7, method="PBE", convthr=1e-6, maxit=4, ops=ops)
+    scf_diatomic(basis, 7, 7, method="PBE", convthr=1e-7, maxit=4, ops=ops)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    res = scf_diatomic(basis, 7, 7, method="PBE", convthr=1e-6, maxit=60, ops=ops)
+    res = scf_diatomic(basis, 7, 7, method="PBE", convthr=1e-7, maxit=60, ops=ops)
     scf_s = time.perf_counter() - t0
+
+    Pa = jnp.zeros((basis.nbf, basis.nbf))
+    flops, nbytes = _cost_analysis(
+        lambda P: coulomb_dia(ops, P) + exchange_dia(ops, P), Pa
+    )
 
     ok = res.converged and (
         N2_PBE_CPU is None or abs(res.E - N2_PBE_CPU) < 1e-6
     )
-    out = {
+    out = _rates({
         "ok": bool(ok),
         "scf_s": round(scf_s, 3),
         "setup_s": round(setup_s, 3),
@@ -116,7 +179,7 @@ def bench_n2():
         "per_iter_s": round(scf_s / max(res.niter, 1), 4),
         "energy": res.E,
         "converged": bool(res.converged),
-    }
+    }, flops, nbytes)
     if N2_PBE_CPU is not None:
         out["energy_err_vs_cpu_f64"] = res.E - N2_PBE_CPU
     return out
@@ -125,7 +188,9 @@ def bench_n2():
 def bench_xe():
     """Heavier atomic profile point: Xe HF with an empty f channel
     (lmax=3) -- 4x the symmetry blocks and Z=54 vs the Ar headline."""
-    from helfem_tpu.models.atomic import AtomicBasis
+    import jax.numpy as jnp
+
+    from helfem_tpu.models.atomic import AtomicBasis, coulomb, exchange
     from helfem_tpu.scf.atomic_scf import scf_atom
 
     basis = AtomicBasis(Z=54, lmax=3, mmax=3, rmax=40.0, nelem=8, nnodes=12, zexp=2.5)
@@ -141,7 +206,12 @@ def bench_xe():
     t0 = time.perf_counter()
     res = scf_atom(basis, 27, 27, convthr=3e-8, maxit=50, ops=ops)
     scf_s = time.perf_counter() - t0
-    return {
+
+    Pa = jnp.zeros((basis.nbf, basis.nbf))
+    flops, nbytes = _cost_analysis(
+        lambda P: coulomb(ops, P) + exchange(ops, P), Pa
+    )
+    return _rates({
         "ok": bool(res.converged and abs(res.E - XE_HF_LIMIT) < 3e-6),
         "scf_s": round(scf_s, 3),
         "setup_s": round(setup_s, 3),
@@ -151,17 +221,56 @@ def bench_xe():
         "energy": res.E,
         "energy_err_vs_hf_limit": res.E - XE_HF_LIMIT,
         "converged": bool(res.converged),
+    }, flops, nbytes)
+
+
+def bench_n2_converged():
+    """N2 HF at the reference-converged discretization (lmax=12 per |m|,
+    the config the reference program was built for): the step-chunked
+    exchange is the enabler -- the flat (channel, bra-shell) scan is
+    ~7000 sequential steps without it."""
+    from helfem_tpu.models.diatomic import DiatomicBasis
+    from helfem_tpu.scf.diatomic_scf import scf_diatomic
+
+    basis = DiatomicBasis(
+        Z1=7, Z2=7, Rbond=2.0743, lmax=(12, 12, 12), rmax=25.0, nelem=5, nnodes=8
+    )
+    t0 = time.perf_counter()
+    ops = basis.build_operators()
+    setup_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    scf_diatomic(basis, 7, 7, method="HF", convthr=1e-7, maxit=4, ops=ops,
+                 guess="SAP")
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = scf_diatomic(basis, 7, 7, method="HF", convthr=1e-7, maxit=40, ops=ops,
+                       guess="SAP")
+    scf_s = time.perf_counter() - t0
+    return {
+        "ok": bool(res.converged and abs(res.E - N2_HF_L12) < 2e-5),
+        "scf_s": round(scf_s, 3),
+        "setup_s": round(setup_s, 3),
+        "compile_s": round(compile_s, 3),
+        "iterations": res.niter,
+        "per_iter_s": round(scf_s / max(res.niter, 1), 4),
+        "energy": res.E,
+        "energy_err_vs_pinned_cpu": res.E - N2_HF_L12,
+        "converged": bool(res.converged),
     }
 
 
 def bench_gensap():
     """BASELINE config 3: spherically-averaged atom + SAP-potential
-    generation (gensap) for Kr."""
+    generation (gensap) for Kr. The first solve pays the fused-chunk
+    compile; the warm number is the user-facing repeat cost."""
     import numpy as np
 
     from helfem_tpu.models.sadatom import SadAtomBasis, coulomb_screening, solve_sadatom
 
     basis = SadAtomBasis(Z=36, lmax=2, rmax=40.0, nelem=8, nnodes=12)
+    t0 = time.perf_counter()
+    res = solve_sadatom(basis, method="SVWN", convthr=1e-7, search=False)
+    cold_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = solve_sadatom(basis, method="SVWN", convthr=1e-7, search=False)
     scf_s = time.perf_counter() - t0
@@ -178,6 +287,7 @@ def bench_gensap():
     return {
         "ok": bool(ok),
         "scf_s": round(scf_s, 3),
+        "compile_s": round(cold_s - scf_s, 3),
         "sap_export_s": round(sap_s, 3),
         "energy": res.E,
         "converged": bool(res.converged),
@@ -189,17 +299,26 @@ def main():
     n2 = bench_n2()
     xe = bench_xe()
     sap = bench_gensap()
+    n2c = bench_n2_converged()
     ok = ar["ok"] and n2["ok"]
     value = ar["scf_s"] + n2["scf_s"] if ok else float("inf")
+    profile = {"ar_hf": ar, "n2_pbe": n2, "xe_hf_lmax3": xe,
+               "gensap_kr": sap, "n2_hf_lmax12": n2c}
+    # per-config CPU-f64 comparison where measured
+    for key, cpu_s in CPU_F64.items():
+        if cpu_s and key in profile and profile[key].get("scf_s"):
+            profile[key]["cpu_f64_s"] = cpu_s
+            profile[key]["vs_cpu_f64"] = round(cpu_s / profile[key]["scf_s"], 3)
+    cpu_headline = (CPU_F64["ar_hf"] or 0) + (CPU_F64["n2_pbe"] or 0)
+    vsb = round(cpu_headline / value, 3) if (ok and cpu_headline) else 1.0
     print(
         json.dumps(
             {
                 "metric": "ar_hf_plus_n2_pbe_scf_wall_clock_1uEh",
                 "value": round(value, 3) if ok else value,
                 "unit": "s",
-                "vs_baseline": round(BASELINE_LOCAL / value, 3) if BASELINE_LOCAL else 1.0,
-                "profile": {"ar_hf": ar, "n2_pbe": n2, "xe_hf_lmax3": xe,
-                            "gensap_kr": sap},
+                "vs_baseline": vsb,
+                "profile": profile,
             }
         )
     )

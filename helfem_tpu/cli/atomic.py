@@ -112,6 +112,14 @@ def main(argv=None):
     p.add_argument("--dampthr", type=float, default=0.5,
                    help="apply damping while the DIIS error is above this")
     p.add_argument("--diisorder", type=int, default=10, help="DIIS history length")
+    p.add_argument("--diag", type=int, default=1,
+                   help="1: symmetric-inverse-sqrt whitening (exact "
+                        "diagonalization); 0: inverse-Cholesky whitening "
+                        "(reference --diag, src/atomic/main.cpp:88)")
+    p.add_argument("--eigiter", type=int, default=0,
+                   help="when > 0, solve each symmetry block iteratively "
+                        "(LOBPCG) for only the lowest N eigenpairs instead "
+                        "of a full dense eigh (reference: scf::eig_iter)")
     p.add_argument("--diisthr", type=float, default=None,
                    help="DIIS error below which extrapolation is pure C2-DIIS; "
                         "between diisthr and diiseps the DIIS/ADIIS weights are "
@@ -249,7 +257,7 @@ def main(argv=None):
         maverage=args.maverage, perturb=args.perturb, seed=args.seed,
         dampfock=args.dampfock, dampthr=args.dampthr,
         diisorder=args.diisorder, diiseps=args.diiseps, diisthr=args.diisthr,
-        ldft=args.ldft,
+        ldft=args.ldft, diag=bool(args.diag), eigiter=args.eigiter,
     )
     timer.lap("SCF")
     print()

@@ -510,11 +510,18 @@ def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> 
     # HBM-sized while cutting the sequential step count NL -> NL/chunk.
     NL = int(Lfacv.shape[0])
     nelem, nprim = ops.gidx.shape
-    per_L = 8.0 * nang * nang * nelem * nelem * nprim * nprim * 6.0
+    # dominant per-L batched intermediates: R [nang^2, (nrad+1)^2] and the
+    # Rw family [nang^2, nelem^2, nprim^2] (x3 lo/hi/T temporaries), each
+    # doubled by the f32-pair f64 emulation
+    per_L = 16.0 * nang * nang * ((nrad + 1) ** 2 + 3.0 * nelem * nelem * nprim * nprim)
     import os as _os
 
     budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
-    chunk = max(1, min(NL, int(budget // max(per_L, 1.0))))
+    # cap: compile time grows with the batched body size (the remote TPU
+    # compiler chokes on very large fused programs), so bound the batch
+    # even when HBM would allow more
+    cap = int(_os.environ.get("HELFEM_EXCHANGE_CHUNK", 4))
+    chunk = max(1, min(NL, cap, int(budget // max(per_L, 1.0))))
     npad = (-NL) % chunk
     G, Lf = ops.G, Lfacv
     if npad:
@@ -525,9 +532,13 @@ def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> 
 
     def body(K4, xs):
         GL, LfacL, teiL, UL, VL = xs  # leading axis: chunk of L channels
-        # R[g,b,c,I,J] = Lfac_g * sum_{M,a,d} G[g,M,b,a] G[g,M,c,d] P[a,d,I,J]
-        t1 = jnp.einsum("gMba,adIJ->gMbdIJ", GL, P4)
-        R = LfacL[:, None, None, None, None] * jnp.einsum("gMcd,gMbdIJ->gbcIJ", GL, t1)
+        # R[g,b,c,I,J] = Lfac_g * sum_{M,a,d} G[g,M,b,a] G[g,M,c,d] P[a,d,IJ]
+        # contracted via the Gaunt-product table W so no [g,M,b,d,I,J]
+        # intermediate is materialized (it OOMed compile at Xe-size
+        # chunks); the remaining contraction is ONE [g b c, a d] x
+        # [a d, I J] matmul that tiles straight onto the MXU
+        W = jnp.einsum("gMba,gMcd->gbcad", GL, GL)
+        R = LfacL[:, None, None, None, None] * jnp.einsum("gbcad,adIJ->gbcIJ", W, P4)
         Kg = jax.vmap(
             lambda t, u, v, r: exchange_kernel_L(t, u, v, ops.gidx, nrad, r)
         )(teiL, UL, VL, R)

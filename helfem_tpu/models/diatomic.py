@@ -643,7 +643,11 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     per_step = 8.0 * 4 * (3.0 * nang * nelem * nelem * nprim * nprim
                           + nelem * nprim**4)
     budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
-    gs = max(1, min(nsteps, int(budget // max(per_step, 1.0))))
+    # cap: compile time grows with the batched body size (the remote TPU
+    # compiler chokes on very large fused programs); 32 steps/batch keeps
+    # the 7000-step reference-converged N2 scan at ~220 sequential steps
+    cap = int(_os.environ.get("HELFEM_EXCHANGE_STEPS", 32))
+    gs = max(1, min(nsteps, cap, int(budget // max(per_step, 1.0))))
     npad = (-nsteps) % gs
     wv = jnp.concatenate([jnp.ones(nsteps), jnp.zeros(npad)])
     stepxs = tuple(

@@ -28,7 +28,9 @@ from helfem_tpu.models.atomic import AtomicOperators, coulomb, exchange
 from helfem_tpu.utils.linalg import eigh_refined
 
 __all__ = ["make_mesh", "pad_ops_for_mesh", "sharded_scf_step",
-           "sharded_dia_fock", "sharded_xc_fock", "pad_grid_for_mesh"]
+           "sharded_dia_fock", "sharded_xc_fock", "pad_grid_for_mesh",
+           "sharded_dia_eig", "sharded_dia_xc", "pad_dia_grid_for_mesh",
+           "sharded_sad_exchange"]
 
 
 def make_mesh(n_devices: int, backend: str | None = None) -> Mesh:
@@ -310,3 +312,144 @@ def sharded_dia_fock(mesh: Mesh, ops, kfrac: float = 1.0):
         check_vma=False,
     )
     return jax.jit(lambda Pa, Pb: fock_sm(ops, Pa, Pb)), ops
+
+
+def sharded_dia_eig(mesh: Mesh, ops):
+    """Diatomic blocked whitened eigensolve with the (padded) symmetry-block
+    axis sharded over 'ch' and the spectra all-gathered -- the multi-chip
+    form of scf.diatomic_scf.eig_blocks_dia (same _BIG padded-slot
+    convention). Returns a jitted eig(F) -> (E [nblk, blen], C)."""
+    n = mesh.devices.size
+    nblk, blen = ops.blk_idx.shape
+    nbf = ops.S.shape[0]
+    pad = (-nblk) % n
+    blk_idx = jnp.concatenate(
+        [ops.blk_idx, jnp.full((pad, blen), nbf, ops.blk_idx.dtype)]
+    )
+    blk_sinvh = jnp.pad(ops.blk_sinvh, ((0, pad), (0, 0), (0, 0)))
+    per = (nblk + pad) // n
+
+    def eig_shard(F):
+        i = jax.lax.axis_index("ch")
+        bi = jax.lax.dynamic_slice_in_dim(blk_idx, i * per, per, 0)
+        bs = jax.lax.dynamic_slice_in_dim(blk_sinvh, i * per, per, 0)
+        Fp = jnp.pad(F, ((0, 1), (0, 1)))
+        Fb = Fp[bi[:, :, None], bi[:, None, :]]
+        Forth = jnp.einsum("bpi,bpq,bqj->bij", bs, Fb, bs)
+        padm = (bi == nbf).astype(F.dtype)
+        Forth = Forth + 1e6 * jnp.eye(blen)[None] * padm[:, None, :]
+        E, V = eigh_refined(Forth)
+        C = jnp.einsum("bpi,bij->bpj", bs, V)
+        E = jax.lax.all_gather(E, "ch", axis=0, tiled=True)
+        C = jax.lax.all_gather(C, "ch", axis=0, tiled=True)
+        return E[:nblk], C[:nblk]
+
+    eig_sm = jax.shard_map(
+        eig_shard, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(eig_sm)
+
+
+def pad_dia_grid_for_mesh(g, nrad: int, n: int):
+    """Pad the mu-element axis of a DiaGridOps to a multiple of n. Padded
+    elements carry zero basis values and weights, benign (=1) geometric
+    factors, and trash-slot gidx -- they contribute exactly nothing."""
+    nelem = g.Bg.shape[0]
+    pad = (-nelem) % n
+    if pad == 0:
+        return g
+
+    def padz(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    def pad1(x):
+        return jnp.concatenate([x, jnp.ones((pad,) + x.shape[1:])])
+
+    return g._replace(
+        Bg=padz(g.Bg), dBg=padz(g.dBg), d2Bg=padz(g.d2Bg),
+        w=padz(g.w), invh=pad1(g.invh), invhphi2=pad1(g.invhphi2),
+        coth=pad1(g.coth), inv_sh2=pad1(g.inv_sh2),
+        gidx=jnp.concatenate(
+            [g.gidx, jnp.full((pad,) + g.gidx.shape[1:], nrad, g.gidx.dtype)]
+        ),
+    )
+
+
+def sharded_dia_xc(mesh: Mesh, g, funcs, ops, thr: float = 1e-12):
+    """Diatomic XC Fock build sharded over the mu-element axis of the 2D
+    quadrature grid (the two-center analogue of sharded_xc_fock; reference:
+    the diatomic DFTGrid OpenMP element loop). Returns (xc_fn, g_padded)
+    with xc_fn(Pa, Pb) -> (Fxca, Fxcb, Exc, Nel)."""
+    from helfem_tpu.models.diatomic_dft import DiaGridOps, eval_fxc_dia
+
+    n = mesh.devices.size
+    nrad = int(ops.shellmask.shape[-1])
+    g = pad_dia_grid_for_mesh(g, nrad, n)
+    espec = DiaGridOps(
+        Bg=P("ch"), dBg=P("ch"), w=P("ch"), invh=P("ch"),
+        TT=P(), dTT=P(), dTT2=P(), TTm2=P(), invhphi2=P("ch"),
+        sqeta=P(), gidx=P("ch"), d2Bg=P("ch"), coth=P("ch"),
+        inv_sh2=P("ch"), LLTT=P(), TTmm=P(),
+    )
+
+    def xc_shard(g_l, ops_r, Pa, Pb):
+        Fa, Fb, Exc, Nel = eval_fxc_dia(funcs, g_l, ops_r, Pa, Pb, thr)
+        return (
+            jax.lax.psum(Fa, "ch"),
+            jax.lax.psum(Fb, "ch"),
+            jax.lax.psum(Exc, "ch"),
+            jax.lax.psum(Nel, "ch"),
+        )
+
+    xc_sm = jax.shard_map(
+        xc_shard,
+        mesh=mesh,
+        in_specs=(espec, jax.tree.map(lambda _: P(), ops), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(lambda Pa, Pb: xc_sm(g, ops, Pa, Pb)), g
+
+
+def sharded_sad_exchange(mesh: Mesh, ops):
+    """Sadatom l-resolved exchange with the L-channel axis of the radial
+    TEI tables sharded over 'ch' and the K partials psum'ed (the sadatom
+    analogue of the atomic L-shard; reference: the OpenMP loop in
+    src/sadatom/basis.cpp:360-460). Returns a jitted K(Pang)."""
+    from helfem_tpu.models.atomic import exchange_kernel_L
+
+    n = mesh.devices.size
+    NL = ops.at.tei.shape[0]
+    pad = (-NL) % n
+
+    def padz(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
+    tei, dL, dm1L, tc, Lf = (
+        padz(ops.at.tei), padz(ops.at.disjL), padz(ops.at.disjm1L),
+        padz(ops.totcoup), padz(ops.at.Lfac),
+    )
+    gidx = ops.at.gidx
+    nrad = ops.at.Sinvh_rad.shape[0]
+    per = (NL + pad) // n
+
+    def k_shard(tei_l, dL_l, dm1L_l, tc_l, Lf_l, Pang):
+        def body(K, xs):
+            teiL, UL, VL, tcL, LfacL = xs
+            R = LfacL * jnp.einsum("ok,kIJ->oIJ", tcL, Pang)
+            return K + exchange_kernel_L(teiL, UL, VL, gidx, nrad, R), None
+
+        nl = tc_l.shape[1]
+        K = jnp.zeros((nl, nrad + 1, nrad + 1))
+        K, _ = jax.lax.scan(body, K, (tei_l, dL_l, dm1L_l, tc_l, Lf_l))
+        return -jax.lax.psum(K[:, :nrad, :nrad], "ch")
+
+    k_sm = jax.shard_map(
+        k_shard,
+        mesh=mesh,
+        in_specs=(P("ch"), P("ch"), P("ch"), P("ch"), P("ch"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(lambda Pang: k_sm(tei, dL, dm1L, tc, Lf, Pang))

@@ -341,6 +341,8 @@ def scf_atom(
     diiseps: float = 0.1,
     diisthr: float | None = None,
     ldft: int = 0,
+    diag: bool = True,
+    eigiter: int = 0,
 ) -> SCFResult:
     """Restricted/unrestricted SCF. method: 'HF', 'LDA', 'SVWN', 'PBE', or
     an 'x_func,c_func' pair of functional names.
@@ -398,7 +400,8 @@ def scf_atom(
     symm = 1 if (Ez != 0.0 or Qzz != 0.0 or ((Zl or Zr) and Rmid > 0.0)) else 2
     if symmetry >= 0:
         symm = symmetry
-    blk_idx_np, blk_sinvh_np = build_blocks(np.asarray(ops.S), basis.sym_blocks(symm))
+    blk_idx_np, blk_sinvh_np = build_blocks(np.asarray(ops.S), basis.sym_blocks(symm),
+                                            chol=not diag)
     blk_idx = jnp.asarray(blk_idx_np)
     blk_sinvh = jnp.asarray(blk_sinvh_np)
 
@@ -477,7 +480,7 @@ def scf_atom(
     # restricted and the plain-unrestricted paths; ROHF/CUHF, Fock
     # m-averaging, and MO-basis damping need host-side per-iteration Fock
     # surgery and stay on the host loop
-    warmup = maxit if (rohf or maverage or dampfock != 1.0) else 2
+    warmup = maxit if (rohf or maverage or dampfock != 1.0 or eigiter > 0) else 2
     fused = None
     hist = None
     it = 0
@@ -640,13 +643,29 @@ def scf_atom(
             converged = True
             break
 
-        Ea, Ca = eig_blocks(jnp.asarray(Fa_), blk_idx, blk_sinvh)
-        Ea = np.asarray(Ea)
-        if restricted:
-            Eb, Cb = Ea, Ca
+        if eigiter > 0:
+            # iterative (LOBPCG) blocked solve for the lowest eigiter
+            # eigenpairs per block (--eigiter; reference: scf::eig_iter)
+            from helfem_tpu.utils.linalg import eig_blocks_iter
+
+            sigma = -0.6 * basis.Z**2 - 10.0
+            Ea, Ca_np = eig_blocks_iter(np.asarray(Fa_), blk_idx_np, blk_sinvh_np,
+                                        eigiter, sigma)
+            Ca = jnp.asarray(Ca_np)
+            if restricted:
+                Eb, Cb = Ea, Ca
+            else:
+                Eb, Cb_np = eig_blocks_iter(np.asarray(Fb_), blk_idx_np, blk_sinvh_np,
+                                            eigiter, sigma)
+                Cb = jnp.asarray(Cb_np)
         else:
-            Eb, Cb = eig_blocks(jnp.asarray(Fb_), blk_idx, blk_sinvh)
-            Eb = np.asarray(Eb)
+            Ea, Ca = eig_blocks(jnp.asarray(Fa_), blk_idx, blk_sinvh)
+            Ea = np.asarray(Ea)
+            if restricted:
+                Eb, Cb = Ea, Ca
+            else:
+                Eb, Cb = eig_blocks(jnp.asarray(Fb_), blk_idx, blk_sinvh)
+                Eb = np.asarray(Eb)
 
     labels = basis.sym_labels(symm)
 

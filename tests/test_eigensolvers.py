@@ -49,3 +49,18 @@ def test_eig_gsym_sub_rayleigh_ritz():
     C0 = C0 @ np.linalg.inv(np.linalg.cholesky(M).T)
     E2, _ = eig_gsym_sub(jnp.asarray(F), jnp.asarray(C0))
     assert np.all(np.asarray(E2) - Eref[:10] > -1e-10)
+
+
+def test_scf_diag_and_eigiter_paths():
+    """--diag 0 (Cholesky whitening) and --eigiter (LOBPCG blocked solve)
+    converge to the same Be HF energy as the default dense path."""
+    from helfem_tpu.models.atomic import AtomicBasis
+    from helfem_tpu.scf.atomic_scf import scf_atom
+
+    b = AtomicBasis(Z=4, lmax=0, mmax=0, rmax=25.0, nelem=5, nnodes=8)
+    ops = b.build_operators()
+    e_ref = scf_atom(b, 2, 2, convthr=1e-8, ops=ops).E
+    r_chol = scf_atom(b, 2, 2, convthr=1e-8, ops=ops, diag=False)
+    assert r_chol.converged and abs(r_chol.E - e_ref) < 1e-9
+    r_it = scf_atom(b, 2, 2, convthr=1e-8, ops=ops, eigiter=4, maxit=60)
+    assert r_it.converged and abs(r_it.E - e_ref) < 1e-8

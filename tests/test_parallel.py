@@ -90,3 +90,60 @@ def test_sharded_xc_fock_matches(ndev):
     assert np.abs(np.asarray(Fa) - np.asarray(Fr_a)).max() < 1e-11
     assert abs(float(Exc) - float(Exc_r)) < 1e-11
     assert abs(float(Nel) - float(Nel_r)) < 1e-11
+
+
+def test_sharded_dia_eig_matches(ndev=4):
+    """Block-sharded diatomic eigensolve == single-device eig_blocks_dia."""
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from helfem_tpu.models.diatomic import DiatomicBasis
+    from helfem_tpu.parallel.mesh import sharded_dia_eig
+    from helfem_tpu.scf.diatomic_scf import eig_blocks_dia
+
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=1.4, lmax=(2,), rmax=10.0, nelem=2,
+                      nnodes=5, nquad=25)
+    ops = b.build_operators()
+    eig = sharded_dia_eig(make_mesh(ndev), ops)
+    Es, Cs = eig(ops.H0)
+    E1, C1 = eig_blocks_dia(ops, ops.H0)
+    assert np.allclose(np.asarray(Es), np.asarray(E1), atol=1e-10)
+
+
+def test_sharded_dia_xc_matches(ndev=4):
+    """mu-element-sharded diatomic XC == single-device eval_fxc_dia."""
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from helfem_tpu.models.diatomic import DiatomicBasis
+    from helfem_tpu.models.diatomic_dft import build_dia_grid, eval_fxc_dia
+    from helfem_tpu.ops.xc import parse_method
+    from helfem_tpu.parallel.mesh import sharded_dia_xc
+
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=1.4, lmax=(2,), rmax=10.0, nelem=2,
+                      nnodes=5, nquad=25)
+    ops = b.build_operators()
+    g = build_dia_grid(b)
+    funcs = tuple(parse_method("PBE")[0])
+    xc, _ = sharded_dia_xc(make_mesh(ndev), g, funcs, ops)
+    Pd = jnp.asarray(0.01 * np.eye(b.nbf))
+    Fa, Fb, Exc, Nel = xc(Pd, Pd)
+    Fr_a, Fr_b, Exc_r, Nel_r = eval_fxc_dia(funcs, g, ops, Pd, Pd)
+    assert np.abs(np.asarray(Fa) - np.asarray(Fr_a)).max() < 1e-11
+    assert abs(float(Exc) - float(Exc_r)) < 1e-11
+
+
+def test_sharded_sad_exchange_matches(ndev=4):
+    """L-sharded sadatom exchange == single-device sad_exchange."""
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from helfem_tpu.models.sadatom import SadAtomBasis, sad_exchange
+    from helfem_tpu.parallel.mesh import sharded_sad_exchange
+
+    b = SadAtomBasis(Z=6, lmax=1, rmax=12.0, nelem=3, nnodes=5)
+    ops = b.build_ops()
+    kfn = sharded_sad_exchange(make_mesh(ndev), ops)
+    rng = np.random.default_rng(2)
+    Pang = jnp.asarray(0.1 * rng.standard_normal((b.lmax + 1, b.nrad, b.nrad)))
+    Pang = (Pang + jnp.swapaxes(Pang, 1, 2)) / 2
+    Ks = kfn(Pang)
+    K1 = sad_exchange(ops, Pang)
+    assert np.allclose(np.asarray(Ks), np.asarray(K1), atol=1e-12)
