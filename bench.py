@@ -37,9 +37,9 @@ AR_HF_LIMIT = -526.8175128  # numerical HF limit (Saito 2009)
 # when recorded and must stay within 1 uEh.
 N2_PBE_CPU = -108.978708437276
 XE_HF_LIMIT = -7232.1383638  # Cinal 2020, J. Math. Chem. 58, 1571
-# N2 HF at lmax=(12,12,12), nelem=5, nnodes=8, Rmax=25, Rbond=2.0743
-# (converged to ~8 uEh of the HF limit -108.9938255): pinned CPU value.
-N2_HF_L12 = -108.993818
+# N2 HF limit (Kobus 1993 / x2dhf): the gate for the reference-converged
+# lmax=12, nnodes=15 discretization (radial truncation < 1e-5 there).
+N2_HF_LIMIT = -108.9938255
 
 # This repo's own true-f64 CPU wall-clock at the IDENTICAL bench configs
 # (env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu, warm jit, this image's
@@ -233,7 +233,8 @@ def bench_n2_converged():
     from helfem_tpu.scf.diatomic_scf import scf_diatomic
 
     basis = DiatomicBasis(
-        Z1=7, Z2=7, Rbond=2.0743, lmax=(12, 12, 12), rmax=25.0, nelem=5, nnodes=8
+        Z1=7, Z2=7, Rbond=2.0743, lmax=(12, 12, 12), rmax=40.0, nelem=5,
+        nnodes=15,
     )
     t0 = time.perf_counter()
     ops = basis.build_operators()
@@ -247,14 +248,14 @@ def bench_n2_converged():
                        guess="SAP")
     scf_s = time.perf_counter() - t0
     return {
-        "ok": bool(res.converged and abs(res.E - N2_HF_L12) < 2e-5),
+        "ok": bool(res.converged and abs(res.E - N2_HF_LIMIT) < 2e-5),
         "scf_s": round(scf_s, 3),
         "setup_s": round(setup_s, 3),
         "compile_s": round(compile_s, 3),
         "iterations": res.niter,
         "per_iter_s": round(scf_s / max(res.niter, 1), 4),
         "energy": res.E,
-        "energy_err_vs_pinned_cpu": res.E - N2_HF_L12,
+        "energy_err_vs_hf_limit": res.E - N2_HF_LIMIT,
         "converged": bool(res.converged),
     }
 

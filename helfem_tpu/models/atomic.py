@@ -474,14 +474,17 @@ def exchange_kernel_L(teiL, UL, VL, gidx, nrad, R):
     eidx = jnp.arange(nelem)
     lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]
     upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
+    diag = (eidx[:, None] == eidx[None, :])[:, :, None, None]
     # element-window gather as one assembly matmul pair (all e,f at once)
     Rw = jnp.einsum("epn,...nm,fqm->...efpq", A, Rp, A)  # [..., e, f, p, q]
     Rg = Rw[..., eidx, eidx, :, :]  # diagonal windows [..., e, i, l]
     Kdiag = jnp.einsum("eijkl,...eil->...ejk", teiL, Rg)
     lo = jnp.einsum("eip,...efpj->...efij", VL, jnp.einsum("fjq,...efpq->...efpj", UL, Rw))
     hi = jnp.einsum("eip,...efpj->...efij", UL, jnp.einsum("fjq,...efpq->...efpj", VL, Rw))
-    Kpair = jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
-    Kpair = Kpair.at[..., eidx, eidx, :, :].add(Kdiag)
+    # the diagonal lands via a masked broadcast, NOT a scatter-add: the
+    # vmapped scatter blew the 16 MB scoped-VMEM limit in the TPU compiler
+    Kpair = (jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
+             + jnp.where(diag, Kdiag[..., :, None, :, :], 0.0))
     # assembly scatter-add via the transposed matmul pair
     return jnp.einsum("ein,...efij,fjm->...nm", A, Kpair, A)
 

@@ -634,8 +634,13 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     eidx = jnp.arange(nelem)
     lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]
     upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
-    ridx = gi[:, None, :, None]
-    cidx = gi[None, :, None, :]
+    diag = (eidx[:, None] == eidx[None, :])[:, :, None, None]
+    # one-hot FEM assembly operator: element-window gathers and the final
+    # scatter-add become batched MATMULS (vmapped scatter-adds blow the
+    # 16 MB scoped-VMEM limit in the TPU compiler; matmuls tile fine)
+    from helfem_tpu.models.atomic import _assembler
+
+    A = _assembler(gi, nrad)
 
     nsteps = int(ops.step_ilm.shape[0])
     # dominant batched intermediates: Rw-family [4, nang, nelem^2, np^2]
@@ -676,13 +681,14 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
         tei = jnp.stack(
             [ops.tei00[ilm], ops.tei02[ilm], ops.tei20[ilm], ops.tei22[ilm]]
         )  # [4, nelem, i,j,k,l]
+        # element-window gather via the assembly matmul pair
+        Rw = jnp.einsum("epn,Fcnm,hqm->Fcehpq", A, Rp, A)  # [4, c, e, f2, p, q]
         # in-element: K[c,e,j,k] = sum_f sum_il tei_f[e,i,j,k,l] R_f[c,e_i,l]
-        Rg = Rp[:, :, gi[:, :, None], gi[:, None, :]]  # [4,c,e,i,l]
+        Rg = Rw[:, :, eidx, eidx, :, :]  # diagonal windows [4,c,e,i,l]
         Kdiag = jnp.einsum("feijkl,fceil->cejk", tei, Rg)
         # cross-element: rows in e, cols in f2:
         #  e > f2: Q0[e] (R00w P0[f2]^T + R02w P2[f2]^T) + Q2[e](R20w P0 + R22w P2)
         #  e < f2: P0[e] (R00w Q0[f2]^T + ...) + P2[e] (...)
-        Rw = Rp[:, :, ridx, cidx]  # [4, c, e, f2, p, q]
         p0, p2, q0, q2 = ops.dP0[ilm], ops.dP2[ilm], ops.dQ0[ilm], ops.dQ2[ilm]
 
         def cross(i0, i2, j0, j2):
@@ -698,9 +704,11 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
 
         lo = cross(q0, q2, p0, p2)
         hi = cross(p0, p2, q0, q2)
-        Kpair = jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
-        Kpair = Kpair.at[:, eidx, eidx].add(Kdiag)
-        return jnp.zeros((nang, nrad + 1, nrad + 1)).at[:, ridx, cidx].add(Kpair)
+        # diagonal lands via a masked broadcast, not a scatter-add
+        Kpair = (jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
+                 + jnp.where(diag, Kdiag[:, :, None, :, :], 0.0))
+        # assembly scatter-add via the transposed matmul pair
+        return jnp.einsum("ein,cefij,fjm->cnm", A, Kpair, A)
 
     def body(K3, xs_):
         ilm, b, sp, sm, wm, w = xs_
