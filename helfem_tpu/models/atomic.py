@@ -463,30 +463,54 @@ def exchange_kernel_L(teiL, UL, VL, gidx, nrad, R):
         K[..., I, J] = sum_{elements} [ in-element ktei . R  +  factorized
                        cross-element U/V products ]
 
-    Returns the per-element-pair tensor scattered into the padded global
-    radial square [..., nrad+1, nrad+1] (caller slices off the trash slot).
-    Shared by the atomic exchange (batch = channel pairs) and the sadatom
-    l-resolved exchange (batch = output l channel).
+    Returns the result in the padded global radial square
+    [..., nrad+1, nrad+1] (caller slices off the trash slot). Shared by the
+    atomic exchange (batch = channel pairs) and the sadatom l-resolved
+    exchange (batch = output l channel).
+
+    DESIGN (TPU): the cross-element sums run in GLOBAL radial coordinates,
+
+        K_lo = sum_e Av[e]^T (Cv[e] Rp SUlow[e]),   SUlow[e] = sum_{f<e} GU[f]
+        K_hi = sum_e Au[e]^T (Cu[e] Rp SVhigh[e]),  SVhigh[e] = sum_{f>e} GV[f]
+
+    with the per-element factors STACKED over e, so each triangle is three
+    matmuls with [nelem*nprim, nrad+1]-class shapes. The earlier window
+    form materialized [batch, e, f, p, p] tensors and contracted over
+    p ~ nprim ~ 12 -- thousands of sub-MXU-tile matmuls that ran at
+    ~0.07 TF/s on the chip (vs ~0.9 TF/s for square f64 matmuls; the
+    exchange was 80% of the Xe iteration). Matches
+    ref:src/atomic/TwoDBasis.cpp:987-1135 term by term.
     """
     nelem, nprim = gidx.shape
     Rp = _pad_rad(R)
     A = _assembler(gidx, nrad)
-    eidx = jnp.arange(nelem)
-    lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]
-    upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
-    diag = (eidx[:, None] == eidx[None, :])[:, :, None, None]
-    # element-window gather as one assembly matmul pair (all e,f at once)
-    Rw = jnp.einsum("epn,...nm,fqm->...efpq", A, Rp, A)  # [..., e, f, p, q]
-    Rg = Rw[..., eidx, eidx, :, :]  # diagonal windows [..., e, i, l]
-    Kdiag = jnp.einsum("eijkl,...eil->...ejk", teiL, Rg)
-    lo = jnp.einsum("eip,...efpj->...efij", VL, jnp.einsum("fjq,...efpq->...efpj", UL, Rw))
-    hi = jnp.einsum("eip,...efpj->...efij", UL, jnp.einsum("fjq,...efpq->...efpj", VL, Rw))
-    # the diagonal lands via a masked broadcast, NOT a scatter-add: the
-    # vmapped scatter blew the 16 MB scoped-VMEM limit in the TPU compiler
-    Kpair = (jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
-             + jnp.where(diag, Kdiag[..., :, None, :, :], 0.0))
-    # assembly scatter-add via the transposed matmul pair
-    return jnp.einsum("ein,...efij,fjm->...nm", A, Kpair, A)
+    # U/V-weighted left factors [e, i, n] (rows of GV/GU' in global coords)
+    Cv = jnp.einsum("eip,epn->ein", VL, A)
+    Cu = jnp.einsum("eip,epn->ein", UL, A)
+    # right factor matrices of the OTHER element of the pair:
+    # GU[f][m', m] = sum_{qj} A[f,q,m'] U[f,j,q] A[f,j,m]
+    GU = jnp.einsum("fjq,fqx->fjx", UL, A)
+    GU = jnp.einsum("fjx,fjm->fxm", GU, A)
+    GV = jnp.einsum("fjq,fqx->fjx", VL, A)
+    GV = jnp.einsum("fjx,fjm->fxm", GV, A)
+    SUlow = jnp.cumsum(GU, axis=0) - GU               # sum over f < e
+    SVhigh = jnp.cumsum(GV[::-1], axis=0)[::-1] - GV  # sum over f > e
+
+    def triangle(Cx, Ssum):
+        Y = jnp.einsum("ein,...nm->...eim", Cx, Rp)   # stacked (e,i) matmul
+        Z = jnp.einsum("...eix,exm->...eim", Y, Ssum)  # batched over e
+        return jnp.einsum("ein,...eim->...nm", A, Z)   # stacked (e,i) matmul
+
+    K = triangle(Cv, SUlow) + triangle(Cu, SVhigh)
+
+    # in-element term: windows via the assembly matmuls, [np^2, np^2]-shaped
+    # TEI contraction per element, assembled back the same way
+    Rg1 = jnp.einsum("ein,...nm->...eim", A, Rp)
+    Rg = jnp.einsum("...eim,elm->...eil", Rg1, A)
+    Kd = jnp.einsum("eijkl,...eil->...ejk", teiL, Rg)
+    Kd1 = jnp.einsum("...ejk,ekm->...ejm", Kd, A)
+    K = K + jnp.einsum("ejn,...ejm->...nm", A, Kd1)
+    return K
 
 
 def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> jnp.ndarray:
