@@ -559,10 +559,17 @@ def _from4(P4, nang, nrad):
 
 
 def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
-    """J(P): scan over signed (L,M) channels; per channel prefix sums over
-    elements (reference: src/diatomic/basis.cpp:1359-1531)."""
+    """J(P): scan over CHUNKS of the signed (L,M) channels; per channel
+    prefix sums over elements (reference: src/diatomic/basis.cpp:1359-1531).
+    All per-channel work is batched einsums over the chunk (the dominant
+    per-channel cost is the in-element TEI contraction and the two
+    assembler matmul pairs); an HBM budget (HELFEM_EXCHANGE_HBM) bounds the
+    batched TEI gather [S, nelem, np^4]."""
+    import os as _os
+
     nang = ops.GmLM.shape[-1]
     nrad = ops.shellmask.shape[-1]
+    nelem, nprim = ops.gidx.shape
     gi = ops.gidx
     P4 = _to4(P, nang, nrad)
     Paux0 = jnp.einsum("sab,abIJ->sIJ", ops.GmLM, P4)
@@ -570,45 +577,58 @@ def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     Paux0 = jnp.pad(Paux0, ((0, 0), (0, 1), (0, 1)))
     Paux2 = jnp.pad(Paux2, ((0, 0), (0, 1), (0, 1)))
 
-    def body(J4, xs):
-        Pa0, Pa2, ilm, Gm_s, Gp_s = xs
+    from helfem_tpu.models.atomic import _assembler
+
+    A = _assembler(gi, nrad)
+
+    nLM = int(ops.GmLM.shape[0])
+    per_s = 16.0 * (4.0 * nelem * nprim**4 + 4.0 * nang * (nrad + 1) ** 2)
+    budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
+    cap = int(_os.environ.get("HELFEM_EXCHANGE_STEPS", 32))
+    gs = max(1, min(nLM, cap, int(budget // max(per_s, 1.0))))
+    npad = (-nLM) % gs
+    padc = lambda x: jnp.pad(x, [(0, npad)] + [(0, 0)] * (x.ndim - 1))
+    # padded channels: GmLM/GpLM rows are zero => Paux = 0 => contribute 0
+    xs = tuple(
+        padc(x).reshape((nLM + npad) // gs, gs, *x.shape[1:])
+        for x in (Paux0, Paux2, ops.LM_ilm, ops.GmLM, ops.GpLM)
+    )
+
+    def body(J4, xs_):
+        Pa0, Pa2, ilm, Gm_s, Gp_s = xs_  # leading axis: chunk of channels
         fac = ops.LMfac[ilm]
-        t00, t02, t20, t22 = (
-            ops.tei00[ilm],
-            ops.tei02[ilm],
-            ops.tei20[ilm],
-            ops.tei22[ilm],
-        )
-        p0, p2, q0, q2 = ops.dP0[ilm], ops.dP2[ilm], ops.dQ0[ilm], ops.dQ2[ilm]
-        Pg0 = Pa0[gi[:, :, None], gi[:, None, :]]
-        Pg2 = Pa2[gi[:, :, None], gi[:, None, :]]
+        t00, t02 = ops.tei00[ilm], ops.tei02[ilm]
+        t20, t22 = ops.tei20[ilm], ops.tei22[ilm]
+        p0, p2 = ops.dP0[ilm], ops.dP2[ilm]
+        q0, q2 = ops.dQ0[ilm], ops.dQ2[ilm]
+        # element-window gathers via the assembly matmul pair
+        Pg0 = jnp.einsum("seim,ejm->seij", jnp.einsum("ein,snm->seim", A, Pa0), A)
+        Pg2 = jnp.einsum("seim,ejm->seij", jnp.einsum("ein,snm->seim", A, Pa2), A)
         # disjoint traces
-        ts0 = jnp.einsum("eij,eij->e", p0, Pg0)
-        ts2 = jnp.einsum("eij,eij->e", p2, Pg2)
-        tb0 = jnp.einsum("eij,eij->e", q0, Pg0)
-        tb2 = jnp.einsum("eij,eij->e", q2, Pg2)
-        sA = jnp.cumsum(ts0 - ts2) - (ts0 - ts2)  # sum over jel < e
-        sB = jnp.cumsum((tb0 - tb2)[::-1])[::-1] - (tb0 - tb2)  # jel > e
-        J0 = p0 * sB[:, None, None] + q0 * sA[:, None, None]
-        J2 = -p2 * sB[:, None, None] - q2 * sA[:, None, None]
+        ts = jnp.einsum("seij,seij->se", p0, Pg0) - jnp.einsum("seij,seij->se", p2, Pg2)
+        tb = jnp.einsum("seij,seij->se", q0, Pg0) - jnp.einsum("seij,seij->se", q2, Pg2)
+        sA = jnp.cumsum(ts, axis=1) - ts  # sum over jel < e
+        sB = jnp.cumsum(tb[:, ::-1], axis=1)[:, ::-1] - tb  # jel > e
+        J0 = p0 * sB[..., None, None] + q0 * sA[..., None, None]
+        J2 = -p2 * sB[..., None, None] - q2 * sA[..., None, None]
         # in-element
-        J0 = J0 + jnp.einsum("eijkl,ekl->eij", t00, Pg0) - jnp.einsum(
-            "eijkl,ekl->eij", t02, Pg2
+        J0 = J0 + jnp.einsum("seijkl,sekl->seij", t00, Pg0) - jnp.einsum(
+            "seijkl,sekl->seij", t02, Pg2
         )
-        J2 = J2 - jnp.einsum("eijkl,ekl->eij", t20, Pg0) + jnp.einsum(
-            "eijkl,ekl->eij", t22, Pg2
+        J2 = J2 - jnp.einsum("seijkl,sekl->seij", t20, Pg0) + jnp.einsum(
+            "seijkl,sekl->seij", t22, Pg2
         )
-        # scatter + angular expansion
-        Jr0 = jnp.zeros((nrad + 1, nrad + 1)).at[gi[:, :, None], gi[:, None, :]].add(J0)
-        Jr2 = jnp.zeros((nrad + 1, nrad + 1)).at[gi[:, :, None], gi[:, None, :]].add(J2)
-        J4 = J4 + fac * (
-            jnp.einsum("ba,IJ->abIJ", Gm_s, Jr0[:nrad, :nrad])
-            + jnp.einsum("ba,IJ->abIJ", Gp_s, Jr2[:nrad, :nrad])
+        # assembly scatter-add via the transposed matmul pair
+        Jr0 = jnp.einsum("ein,seij,ejm->snm", A, J0, A)[:, :nrad, :nrad]
+        Jr2 = jnp.einsum("ein,seij,ejm->snm", A, J2, A)[:, :nrad, :nrad]
+        J4 = J4 + (
+            jnp.einsum("sba,sIJ->abIJ", fac[:, None, None] * Gm_s, Jr0)
+            + jnp.einsum("sba,sIJ->abIJ", fac[:, None, None] * Gp_s, Jr2)
         )
         return J4, None
 
     J4 = jnp.zeros((nang, nang, nrad, nrad))
-    J4, _ = jax.lax.scan(body, J4, (Paux0, Paux2, ops.LM_ilm, ops.GmLM, ops.GpLM))
+    J4, _ = jax.lax.scan(body, J4, xs)
     m2 = ops.shellmask.reshape(-1)
     return _from4(J4, nang, nrad) * m2[:, None] * m2[None, :]
 
@@ -622,7 +642,16 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     `gs` steps into one vmapped batch cuts the sequential length nsteps ->
     nsteps/gs while an HBM budget (HELFEM_EXCHANGE_HBM, default 4 GB)
     bounds the batched working set. Padded steps carry weight 0 and
-    contribute exactly nothing."""
+    contribute exactly nothing.
+
+    DESIGN (TPU): like the atomic exchange_kernel_L, the cross-element
+    triangles run in GLOBAL radial coordinates -- per (channel, element)
+    right-factor matrices GP/GQ are prefix/suffix-summed over elements
+    once per call (P-independent), and each step's eight (left factor,
+    radial family, triangle sum) combinations reduce to three stacked
+    matmuls with [nelem*nprim, nrad+1]-class shapes. The earlier form
+    materialized [4, c, e, f, p, q] window tensors and contracted over
+    p ~ nprim -- thousands of sub-MXU-tile matmuls per step."""
     import os as _os
 
     nang = ops.GmLM.shape[-1]
@@ -631,10 +660,6 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     gi = ops.gidx
     P4 = _to4(P, nang, nrad)
 
-    eidx = jnp.arange(nelem)
-    lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]
-    upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
-    diag = (eidx[:, None] == eidx[None, :])[:, :, None, None]
     # one-hot FEM assembly operator: element-window gathers and the final
     # scatter-add become batched MATMULS (vmapped scatter-adds blow the
     # 16 MB scoped-VMEM limit in the TPU compiler; matmuls tile fine)
@@ -642,16 +667,44 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
 
     A = _assembler(gi, nrad)
 
+    # P-independent per-channel element factors in global coordinates.
+    # Left factors C*[t,e,i,n] = d*[t,e,i,p] A[e,p,n]; right factors
+    # G*[t,f,m,m'] = d*[t,f,j,q] A[f,q,m] A[f,j,m'], prefix/suffix-summed
+    # over the column element f so the cross-element triangles need no
+    # [e, f] pair axis at all.
+    def left(d):
+        return jnp.einsum("tfip,fpn->tfin", d, A)
+
+    def right_sums(d):
+        G = jnp.einsum("tfjm,fjx->tfmx", jnp.einsum("tfjq,fqm->tfjm", d, A), A)
+        low = jnp.cumsum(G, axis=1) - G                 # sum over f < e
+        high = jnp.cumsum(G[:, ::-1], axis=1)[:, ::-1] - G  # sum over f > e
+        return low, high
+
+    Cp0, Cp2, Cq0, Cq2 = left(ops.dP0), left(ops.dP2), left(ops.dQ0), left(ops.dQ2)
+    SP0lo, SQ0hi = right_sums(ops.dP0)[0], right_sums(ops.dQ0)[1]
+    SP2lo, SQ2hi = right_sums(ops.dP2)[0], right_sums(ops.dQ2)[1]
+    # pre-stacked channel tables so each step batch needs ONE gather each
+    # (per-op dispatch latency, not FLOPs, dominates the scan body)
+    CLt = jnp.stack([Cq0, Cq0, Cq2, Cq2, Cp0, Cp0, Cp2, Cp2], axis=1)  # [t,8,...]
+    SSt = jnp.stack([SP0lo, SP2lo, SP0lo, SP2lo,
+                     SQ0hi, SQ2hi, SQ0hi, SQ2hi], axis=1)
+    teiT = jnp.stack([ops.tei00, ops.tei02, ops.tei20, ops.tei22], axis=1)
+
     nsteps = int(ops.step_ilm.shape[0])
-    # dominant batched intermediates: Rw-family [4, nang, nelem^2, np^2]
-    # (x3 for lo/hi/T temporaries) + the per-step TEI gather [4, nelem, np^4]
-    per_step = 8.0 * 4 * (3.0 * nang * nelem * nelem * nprim * nprim
-                          + nelem * nprim**4)
+    # dominant batched intermediates: the Y/Z triangle tensors
+    # [8, nang, nelem, nprim, nrad+1] (x3.6 measured tile-padding blowup --
+    # their minor dims are sub-(8,128)-tile -- and x2 double buffering),
+    # the R family [4, nang, (nrad+1)^2] and the per-step TEI gather
+    # [4, nelem, np^4]; everything x2 for the f32-pair f64 emulation
+    per_step = 16.0 * (3.6 * 2 * 2 * 8.0 * nang * nelem * nprim * (nrad + 1)
+                       + 4.0 * nang * (nrad + 1) ** 2
+                       + 4.0 * nelem * nprim**4)
     budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
-    # cap: compile time grows with the batched body size (the remote TPU
-    # compiler chokes on very large fused programs); 32 steps/batch keeps
-    # the 7000-step reference-converged N2 scan at ~220 sequential steps
-    cap = int(_os.environ.get("HELFEM_EXCHANGE_STEPS", 32))
+    # sequential-latency vs HBM tradeoff: per-op dispatch latency dominates
+    # the scan, so more steps per batch is better until the padded working
+    # set hits the budget
+    cap = int(_os.environ.get("HELFEM_EXCHANGE_STEPS", 64))
     gs = max(1, min(nsteps, cap, int(budget // max(per_step, 1.0))))
     npad = (-nsteps) % gs
     wv = jnp.concatenate([jnp.ones(nsteps), jnp.zeros(npad)])
@@ -662,53 +715,38 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     xs = tuple(x.reshape((nsteps + npad) // gs, gs) for x in stepxs)
 
     def step_K(ilm, b, sp, sm, wm, w):
-        """Kb[c, nrad+1, nrad+1] for one (channel, bra-shell) step."""
+        """Kb[c, nrad+1, nrad+1] for one (channel, bra-shell) step.
+        Every table lookup is ONE pre-stacked gather and the signed
+        (sp, sm) channel pair rides a batched t-axis: per-op dispatch
+        latency, not FLOPs, dominates the scan body on the chip."""
         fac = ops.LMfac[ilm]
-        # R matrices for all output shells c, batch over the 4 families
-        def Rfams(s, wgt):
-            um = ops.GmLM[s][b]  # [nang]
-            up = ops.GpLM[s][b]
-            tm = jnp.einsum("a,adIJ->dIJ", um, P4)
-            tp = jnp.einsum("a,adIJ->dIJ", up, P4)
-            R00 = jnp.einsum("cd,dIJ->cIJ", ops.GmLM[s], tm)
-            R02 = -jnp.einsum("cd,dIJ->cIJ", ops.GpLM[s], tm)
-            R20 = -jnp.einsum("cd,dIJ->cIJ", ops.GmLM[s], tp)
-            R22 = jnp.einsum("cd,dIJ->cIJ", ops.GpLM[s], tp)
-            return wgt * jnp.stack([R00, R02, R20, R22])
-
-        R = (w * fac) * (Rfams(sp, 1.0) + Rfams(sm, wm))  # [4, nang, nrad, nrad]
+        # R matrices for all output shells c. The t-axis keeps the sp/sm
+        # products channel-diagonal (no Gm[sp] x Gm[sm] cross terms).
+        s2 = jnp.stack([sp, sm])
+        w2 = (w * fac) * jnp.stack([jnp.ones_like(wm), wm])
+        Gm2 = ops.GmLM[s2]  # [2, c, d]
+        Gp2 = ops.GpLM[s2]
+        tm = jnp.einsum("ta,adIJ->tdIJ", w2[:, None] * Gm2[:, b, :], P4)
+        tp = jnp.einsum("ta,adIJ->tdIJ", w2[:, None] * Gp2[:, b, :], P4)
+        R00 = jnp.einsum("tcd,tdIJ->cIJ", Gm2, tm)
+        R02 = -jnp.einsum("tcd,tdIJ->cIJ", Gp2, tm)
+        R20 = -jnp.einsum("tcd,tdIJ->cIJ", Gm2, tp)
+        R22 = jnp.einsum("tcd,tdIJ->cIJ", Gp2, tp)
+        R = jnp.stack([R00, R02, R20, R22])  # [4, nang, nrad, nrad]
         Rp = jnp.pad(R, ((0, 0), (0, 0), (0, 1), (0, 1)))
-        tei = jnp.stack(
-            [ops.tei00[ilm], ops.tei02[ilm], ops.tei20[ilm], ops.tei22[ilm]]
-        )  # [4, nelem, i,j,k,l]
-        # element-window gather via the assembly matmul pair
-        Rw = jnp.einsum("epn,Fcnm,hqm->Fcehpq", A, Rp, A)  # [4, c, e, f2, p, q]
-        # in-element: K[c,e,j,k] = sum_f sum_il tei_f[e,i,j,k,l] R_f[c,e_i,l]
-        Rg = Rw[:, :, eidx, eidx, :, :]  # diagonal windows [4,c,e,i,l]
-        Kdiag = jnp.einsum("feijkl,fceil->cejk", tei, Rg)
-        # cross-element: rows in e, cols in f2:
-        #  e > f2: Q0[e] (R00w P0[f2]^T + R02w P2[f2]^T) + Q2[e](R20w P0 + R22w P2)
-        #  e < f2: P0[e] (R00w Q0[f2]^T + ...) + P2[e] (...)
-        p0, p2, q0, q2 = ops.dP0[ilm], ops.dP2[ilm], ops.dQ0[ilm], ops.dQ2[ilm]
-
-        def cross(i0, i2, j0, j2):
-            T0 = jnp.einsum("fjq,cefpq->cefpj", j0, Rw[0]) + jnp.einsum(
-                "fjq,cefpq->cefpj", j2, Rw[1]
-            )
-            T2 = jnp.einsum("fjq,cefpq->cefpj", j0, Rw[2]) + jnp.einsum(
-                "fjq,cefpq->cefpj", j2, Rw[3]
-            )
-            return jnp.einsum("eip,cefpj->cefij", i0, T0) + jnp.einsum(
-                "eip,cefpj->cefij", i2, T2
-            )
-
-        lo = cross(q0, q2, p0, p2)
-        hi = cross(p0, p2, q0, q2)
-        # diagonal lands via a masked broadcast, not a scatter-add
-        Kpair = (jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
-                 + jnp.where(diag, Kdiag[:, :, None, :, :], 0.0))
-        # assembly scatter-add via the transposed matmul pair
-        return jnp.einsum("ein,cefij,fjm->cnm", A, Kpair, A)
+        # in-element: diagonal windows from global Rp via the assembly
+        # matmuls, then the per-element TEI contraction
+        Rg = jnp.einsum("Fceim,elm->Fceil",
+                        jnp.einsum("ein,Fcnm->Fceim", A, Rp), A)
+        Kdiag = jnp.einsum("Feijkl,Fceil->cejk", teiT[ilm], Rg)
+        Kd1 = jnp.einsum("cejk,ekm->cejm", Kdiag, A)
+        # cross-element triangles, all 8 (left, family, sum) combinations
+        # stacked: lower (e > f) pairs Q-left factors with prefix-summed
+        # P-right factors; upper (e < f) the converse with suffix sums
+        RpS = jnp.concatenate([Rp, Rp])  # [8, c, n, m]
+        Y = jnp.einsum("Fein,Fcnm->Fceim", CLt[ilm], RpS)
+        Z = jnp.einsum("Fceim,Femx->ceix", Y, SSt[ilm])
+        return jnp.einsum("ein,ceim->cnm", A, Z + Kd1)
 
     def body(K3, xs_):
         ilm, b, sp, sm, wm, w = xs_

@@ -26,6 +26,9 @@ import sys
 import time
 
 import jax
+
+jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -99,7 +102,7 @@ def timeit(fn, *args, reps=5):
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)  # per-rep: the tunnel pipelines dispatches
     return (time.perf_counter() - t0) / reps
 
 
