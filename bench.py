@@ -105,10 +105,12 @@ def bench_ar():
     Pa = jnp.zeros((basis.nbf, basis.nbf))
     F = ops.H0 + coulomb(ops, Pa) + exchange(ops, Pa)
     E, C = eig_gsym_lm(F, ops.Sinvh_rad)
-    jax.block_until_ready(C)
+    float(jnp.asarray(C).ravel()[0])  # readback: block_until_ready alone
+    # can return before the work is done on the axon tunnel
+    F2 = F * (1.0 + 1e-12)  # varied input: identical dispatches can cache
     t0 = time.perf_counter()
-    E, C = eig_gsym_lm(F, ops.Sinvh_rad)
-    jax.block_until_ready(C)
+    E, C = eig_gsym_lm(F2, ops.Sinvh_rad)
+    float(jnp.asarray(C).ravel()[0])
     eigh_s = time.perf_counter() - t0
 
     # iterative-eigensolver probe (--eigiter path): lowest 10 eigenpairs

@@ -75,20 +75,23 @@ class DiatomicOperators(NamedTuple):
     LM_ilm: jnp.ndarray  # [nLM] -> index into the (L,|M|) radial tables
     # unsigned (L,|M|) radial tables
     LMfac: jnp.ndarray  # [nlm] = 4 pi Rh^5 (-1)^M (L-|M|)!/(L+|M|)!
-    tei00: jnp.ndarray  # [nlm, nelem, np, np, np, np]
-    tei02: jnp.ndarray
-    tei20: jnp.ndarray
-    tei22: jnp.ndarray
+    # in-element radial TEI tables in MATMUL-NATIVE pair layouts, family
+    # axis F = (00, 02, 20, 22). Minor dims are np^2 x np^2 so the TPU
+    # (8,128) tile padding is ~1.2x; the naive [np,np,np,np] layout pads
+    # 8.5x and cost two ~4 GB HLO copies at the lmax=12 N2 discretization.
+    teiJ: jnp.ndarray  # [nlm, 4, nelem, np^2(ij), np^2(kl)]  Coulomb pairing
+    teiK: jnp.ndarray  # [nlm, 4, nelem, np^2(jk), np^2(il)]  exchange pairing
     dP0: jnp.ndarray  # [nlm, nelem, np, np] disjoint P/Q moments
     dP2: jnp.ndarray
     dQ0: jnp.ndarray
     dQ2: jnp.ndarray
-    # exchange scan step indexing: flattened (ilm, b)
-    step_ilm: jnp.ndarray  # [nsteps]
-    step_b: jnp.ndarray  # [nsteps]
-    step_sp: jnp.ndarray  # [nsteps] signed iLM for +|M|
-    step_sm: jnp.ndarray  # [nsteps] signed iLM for -|M| (== step_sp when M=0)
-    step_wm: jnp.ndarray  # [nsteps] 0.0 when M=0 (avoid double count) else 1.0
+    # exchange scan channel indexing: one entry per (L,|M|) channel; the
+    # bra-shell axis is handled densely INSIDE each channel step (a real
+    # matmul dimension on the MXU, not a sequential-scan axis)
+    step_ilm: jnp.ndarray  # [nlm] -> index into the (L,|M|) radial tables
+    step_sp: jnp.ndarray  # [nlm] signed iLM for +|M|
+    step_sm: jnp.ndarray  # [nlm] signed iLM for -|M| (== step_sp when M=0)
+    step_wm: jnp.ndarray  # [nlm] 0.0 when M=0 (avoid double count) else 1.0
     # eigensolve blocks
     blk_idx: jnp.ndarray  # [nblk, blen] global indices (padded with nbf)
     blk_sinvh: jnp.ndarray  # [nblk, blen, blen]
@@ -480,21 +483,30 @@ class DiatomicBasis:
             ]
         )
         t00, t02, t20, t22, dP0, dP2, dQ0, dQ2 = self.compute_tei()
+        # stack families and regroup the 4 prim indices into the two pair
+        # layouts the J/K contractions consume as plain matmuls (see the
+        # DiatomicOperators field comments)
+        nprim = self.fem.nprim
+        np2 = nprim * nprim
+        tF = np.stack([t00, t02, t20, t22], axis=1)  # [c, F, e, i, j, k, l]
+        teiJ = tF.reshape(nlm, 4, -1, np2, np2)  # rows (ij), cols (kl)
+        teiK = np.ascontiguousarray(
+            tF.transpose(0, 1, 2, 4, 5, 3, 6)
+        ).reshape(nlm, 4, -1, np2, np2)  # rows (jk), cols (il)
+        del tF, t00, t02, t20, t22
 
-        # exchange scan steps: (ilm, b) pairs with signed-LM lookups
+        # exchange scan channels: one step per (L,|M|) with signed-LM lookups
         LM_pos = {p: i for i, p in enumerate(self.LM_map)}
-        s_ilm, s_b, s_sp, s_sm, s_wm = [], [], [], [], []
+        s_ilm, s_sp, s_sm, s_wm = [], [], [], []
         for i, (L, Ma) in enumerate(self.lm_map):
-            for b in range(nang):
-                s_ilm.append(i)
-                s_b.append(b)
-                s_sp.append(LM_pos[(L, Ma)])
-                if Ma > 0 and (L, -Ma) in LM_pos:
-                    s_sm.append(LM_pos[(L, -Ma)])
-                    s_wm.append(1.0)
-                else:
-                    s_sm.append(LM_pos[(L, Ma)])
-                    s_wm.append(0.0)
+            s_ilm.append(i)
+            s_sp.append(LM_pos[(L, Ma)])
+            if Ma > 0 and (L, -Ma) in LM_pos:
+                s_sm.append(LM_pos[(L, -Ma)])
+                s_wm.append(1.0)
+            else:
+                s_sm.append(LM_pos[(L, Ma)])
+                s_wm.append(0.0)
 
         # symmetry blocks for the eigensolve, padded to a common length
         S = self.overlap()
@@ -527,16 +539,13 @@ class DiatomicBasis:
             GpLM=jnp.asarray(GpLM),
             LM_ilm=jnp.asarray(LM_ilm),
             LMfac=jnp.asarray(LMfac),
-            tei00=jnp.asarray(t00),
-            tei02=jnp.asarray(t02),
-            tei20=jnp.asarray(t20),
-            tei22=jnp.asarray(t22),
+            teiJ=jnp.asarray(teiJ),
+            teiK=jnp.asarray(teiK),
             dP0=jnp.asarray(dP0),
             dP2=jnp.asarray(dP2),
             dQ0=jnp.asarray(dQ0),
             dQ2=jnp.asarray(dQ2),
             step_ilm=jnp.asarray(np.array(s_ilm, dtype=np.int32)),
-            step_b=jnp.asarray(np.array(s_b, dtype=np.int32)),
             step_sp=jnp.asarray(np.array(s_sp, dtype=np.int32)),
             step_sm=jnp.asarray(np.array(s_sm, dtype=np.int32)),
             step_wm=jnp.asarray(np.array(s_wm)),
@@ -597,8 +606,7 @@ def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     def body(J4, xs_):
         Pa0, Pa2, ilm, Gm_s, Gp_s = xs_  # leading axis: chunk of channels
         fac = ops.LMfac[ilm]
-        t00, t02 = ops.tei00[ilm], ops.tei02[ilm]
-        t20, t22 = ops.tei20[ilm], ops.tei22[ilm]
+        tJ = ops.teiJ[ilm]  # [s, 4, e, np^2(ij), np^2(kl)]
         p0, p2 = ops.dP0[ilm], ops.dP2[ilm]
         q0, q2 = ops.dQ0[ilm], ops.dQ2[ilm]
         # element-window gathers via the assembly matmul pair
@@ -611,13 +619,15 @@ def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
         sB = jnp.cumsum(tb[:, ::-1], axis=1)[:, ::-1] - tb  # jel > e
         J0 = p0 * sB[..., None, None] + q0 * sA[..., None, None]
         J2 = -p2 * sB[..., None, None] - q2 * sA[..., None, None]
-        # in-element
-        J0 = J0 + jnp.einsum("seijkl,sekl->seij", t00, Pg0) - jnp.einsum(
-            "seijkl,sekl->seij", t02, Pg2
-        )
-        J2 = J2 - jnp.einsum("seijkl,sekl->seij", t20, Pg0) + jnp.einsum(
-            "seijkl,sekl->seij", t22, Pg2
-        )
+        # in-element: one batched matmul over the family axis in the (ij),
+        # (kl) pair layout; signs fold into the stacked density windows
+        s_, e_ = Pg0.shape[0], Pg0.shape[1]
+        Pg0v = Pg0.reshape(s_, e_, -1)
+        Pg2v = Pg2.reshape(s_, e_, -1)
+        PgF = jnp.stack([Pg0v, -Pg2v, -Pg0v, Pg2v], axis=1)  # [s, 4, e, kl]
+        dJ = jnp.einsum("sFexy,sFey->sFex", tJ, PgF)
+        J0 = J0 + (dJ[:, 0] + dJ[:, 1]).reshape(J0.shape)
+        J2 = J2 + (dJ[:, 2] + dJ[:, 3]).reshape(J2.shape)
         # assembly scatter-add via the transposed matmul pair
         Jr0 = jnp.einsum("ein,seij,ejm->snm", A, J0, A)[:, :nrad, :nrad]
         Jr2 = jnp.einsum("ein,seij,ejm->snm", A, J2, A)[:, :nrad, :nrad]
@@ -634,22 +644,23 @@ def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
 
 
 def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
-    """K(P) (negative contribution): scan over CHUNKS of the flattened
-    (channel, bra-shell) step list (reference: src/diatomic/basis.cpp:
-    1532-1734). Per-step work alone leaves the TPU latency-bound (~3-20 ms
-    per dot stage regardless of size), and at reference-converged
-    discretizations the step list runs to thousands of entries -- chunking
-    `gs` steps into one vmapped batch cuts the sequential length nsteps ->
-    nsteps/gs while an HBM budget (HELFEM_EXCHANGE_HBM, default 4 GB)
-    bounds the batched working set. Padded steps carry weight 0 and
-    contribute exactly nothing.
+    """K(P) (negative contribution): scan over CHUNKS of the (L,|M|)
+    channels (reference: src/diatomic/basis.cpp:1532-1734). The bra-shell
+    axis is DENSE inside each channel step -- a real batched matmul
+    dimension on the MXU -- so the sequential scan length is nlm, not
+    nlm*nang (7375 -> 125 at the reference-converged N2 lmax=12). An HBM
+    budget (HELFEM_EXCHANGE_HBM, default 4 GB) sets how many channels
+    batch into one step; padded channels carry weight 0 and contribute
+    exactly nothing.
 
     DESIGN (TPU): like the atomic exchange_kernel_L, the cross-element
     triangles run in GLOBAL radial coordinates -- per (channel, element)
-    right-factor matrices GP/GQ are prefix/suffix-summed over elements
-    once per call (P-independent), and each step's eight (left factor,
-    radial family, triangle sum) combinations reduce to three stacked
-    matmuls with [nelem*nprim, nrad+1]-class shapes. The earlier form
+    right-factor matrices are prefix-summed over elements once per call
+    (P-independent), and each step's four LOWER (left factor, radial
+    family) combinations reduce to three stacked matmuls with
+    [nelem*nprim, nrad+1]-class shapes; the four upper combinations are
+    recovered as one transpose of the assembled cross matrix (valid for
+    symmetric P; see the CLt/SSt construction note). The earlier form
     materialized [4, c, e, f, p, q] window tensors and contracted over
     p ~ nprim -- thousands of sub-MXU-tile matmuls per step."""
     import os as _os
@@ -681,80 +692,225 @@ def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
         high = jnp.cumsum(G[:, ::-1], axis=1)[:, ::-1] - G  # sum over f > e
         return low, high
 
-    Cp0, Cp2, Cq0, Cq2 = left(ops.dP0), left(ops.dP2), left(ops.dQ0), left(ops.dQ2)
-    SP0lo, SQ0hi = right_sums(ops.dP0)[0], right_sums(ops.dQ0)[1]
-    SP2lo, SQ2hi = right_sums(ops.dP2)[0], right_sums(ops.dQ2)[1]
+    # Only the LOWER (e > f) triangles are computed: for symmetric P the
+    # per-channel R weights obey R00[c,b,J,I] = R00[b,c,I,J], R22 likewise,
+    # and R02[c,b,J,I] = R20[b,c,I,J], so each upper (Cp*, SQ*hi, R) combo
+    # is exactly the (b<->c, n<->m) transpose of a lower one -- the upper
+    # half is added as ONE transpose of the assembled cross matrix, halving
+    # the dominant Y/Z triangle tensors and their MXU work.
+    Cq0, Cq2 = left(ops.dQ0), left(ops.dQ2)
+    SP0lo = right_sums(ops.dP0)[0]
+    SP2lo = right_sums(ops.dP2)[0]
     # pre-stacked channel tables so each step batch needs ONE gather each
     # (per-op dispatch latency, not FLOPs, dominates the scan body)
-    CLt = jnp.stack([Cq0, Cq0, Cq2, Cq2, Cp0, Cp0, Cp2, Cp2], axis=1)  # [t,8,...]
-    SSt = jnp.stack([SP0lo, SP2lo, SP0lo, SP2lo,
-                     SQ0hi, SQ2hi, SQ0hi, SQ2hi], axis=1)
-    teiT = jnp.stack([ops.tei00, ops.tei02, ops.tei20, ops.tei22], axis=1)
+    CLt = jnp.stack([Cq0, Cq0, Cq2, Cq2], axis=1)  # [t, 4, e, i, n]
+    SSt = jnp.stack([SP0lo, SP2lo, SP0lo, SP2lo], axis=1)  # [t, 4, e, m, x]
 
-    nsteps = int(ops.step_ilm.shape[0])
-    # dominant batched intermediates: the Y/Z triangle tensors
-    # [8, nang, nelem, nprim, nrad+1] (x3.6 measured tile-padding blowup --
-    # their minor dims are sub-(8,128)-tile -- and x2 double buffering),
-    # the R family [4, nang, (nrad+1)^2] and the per-step TEI gather
-    # [4, nelem, np^4]; everything x2 for the f32-pair f64 emulation
-    per_step = 16.0 * (3.6 * 2 * 2 * 8.0 * nang * nelem * nprim * (nrad + 1)
-                       + 4.0 * nang * (nrad + 1) ** 2
-                       + 4.0 * nelem * nprim**4)
+    nlm = int(ops.step_ilm.shape[0])
+    # dominant batched intermediate PER CHANNEL (the bra axis b is dense):
+    # the Y triangle tensor [4, b, c, nelem, nprim, nrad+1]. Measured from
+    # XLA HBM-OOM allocation dumps: the f64 emulation stacks EIGHT f32
+    # planes per dot operand (a literal leading 8 on the buffer), tile
+    # padding is 1.9-3.6x on these minor dims, and ~2 copies stay live --
+    # ~220 bytes per logical f64 element end to end. The R family and TEI
+    # windows ride in f32-pair at ~16 B/elem.
+    nr1 = nrad + 1
+    yel = 4.0 * nang * nang * nelem * nprim * nr1
+    rel = 8.0 * nang * nang * nr1 * nr1
+    per_chan = 220.0 * yel + 16.0 * (rel + 4.0 * nelem * nprim**4)
     budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
     # sequential-latency vs HBM tradeoff: per-op dispatch latency dominates
-    # the scan, so more steps per batch is better until the padded working
-    # set hits the budget
+    # the scan, so more channels per batch is better until the padded
+    # working set hits the budget
     cap = int(_os.environ.get("HELFEM_EXCHANGE_STEPS", 64))
-    gs = max(1, min(nsteps, cap, int(budget // max(per_step, 1.0))))
-    npad = (-nsteps) % gs
-    wv = jnp.concatenate([jnp.ones(nsteps), jnp.zeros(npad)])
+    gs = max(1, min(nlm, cap, int(budget // max(per_chan, 1.0))))
+    if _os.environ.get("HELFEM_DEBUG"):
+        print(f"exchange_dia: nlm={nlm} gs={gs} per_chan={per_chan:.3e}")
+    npad = (-nlm) % gs
+    wv = jnp.concatenate([jnp.ones(nlm), jnp.zeros(npad)])
     stepxs = tuple(
         jnp.pad(x, (0, npad))
-        for x in (ops.step_ilm, ops.step_b, ops.step_sp, ops.step_sm, ops.step_wm)
+        for x in (ops.step_ilm, ops.step_sp, ops.step_sm, ops.step_wm)
     ) + (wv,)
-    xs = tuple(x.reshape((nsteps + npad) // gs, gs) for x in stepxs)
+    xs = tuple(x.reshape((nlm + npad) // gs, gs) for x in stepxs)
 
-    def step_K(ilm, b, sp, sm, wm, w):
-        """Kb[c, nrad+1, nrad+1] for one (channel, bra-shell) step.
-        Every table lookup is ONE pre-stacked gather and the signed
-        (sp, sm) channel pair rides a batched t-axis: per-op dispatch
-        latency, not FLOPs, dominates the scan body on the chip."""
+    def chan_K(ilm, sp, sm, wm, w):
+        """K[b, c, nrad+1, nrad+1] contribution of ONE (L,|M|) channel,
+        with the bra-shell axis b fully dense: every contraction below is
+        a real batched matmul over b (MXU work), not a scan axis. The
+        t-axis keeps the signed sp/sm products channel-diagonal (no
+        Gm[sp] x Gm[sm] cross terms)."""
         fac = ops.LMfac[ilm]
-        # R matrices for all output shells c. The t-axis keeps the sp/sm
-        # products channel-diagonal (no Gm[sp] x Gm[sm] cross terms).
         s2 = jnp.stack([sp, sm])
         w2 = (w * fac) * jnp.stack([jnp.ones_like(wm), wm])
-        Gm2 = ops.GmLM[s2]  # [2, c, d]
+        Gm2 = ops.GmLM[s2]  # [2, b, a]
         Gp2 = ops.GpLM[s2]
-        tm = jnp.einsum("ta,adIJ->tdIJ", w2[:, None] * Gm2[:, b, :], P4)
-        tp = jnp.einsum("ta,adIJ->tdIJ", w2[:, None] * Gp2[:, b, :], P4)
-        R00 = jnp.einsum("tcd,tdIJ->cIJ", Gm2, tm)
-        R02 = -jnp.einsum("tcd,tdIJ->cIJ", Gp2, tm)
-        R20 = -jnp.einsum("tcd,tdIJ->cIJ", Gm2, tp)
-        R22 = jnp.einsum("tcd,tdIJ->cIJ", Gp2, tp)
-        R = jnp.stack([R00, R02, R20, R22])  # [4, nang, nrad, nrad]
-        Rp = jnp.pad(R, ((0, 0), (0, 0), (0, 1), (0, 1)))
+        tm = jnp.einsum("tba,adIJ->tbdIJ", w2[:, None, None] * Gm2, P4)
+        tp = jnp.einsum("tba,adIJ->tbdIJ", w2[:, None, None] * Gp2, P4)
+        R00 = jnp.einsum("tcd,tbdIJ->bcIJ", Gm2, tm)
+        R02 = -jnp.einsum("tcd,tbdIJ->bcIJ", Gp2, tm)
+        R20 = -jnp.einsum("tcd,tbdIJ->bcIJ", Gm2, tp)
+        R22 = jnp.einsum("tcd,tbdIJ->bcIJ", Gp2, tp)
+        R = jnp.stack([R00, R02, R20, R22])  # [4, b, c, nrad, nrad]
+        Rp = jnp.pad(R, ((0, 0), (0, 0), (0, 0), (0, 1), (0, 1)))
         # in-element: diagonal windows from global Rp via the assembly
-        # matmuls, then the per-element TEI contraction
-        Rg = jnp.einsum("Fceim,elm->Fceil",
-                        jnp.einsum("ein,Fcnm->Fceim", A, Rp), A)
-        Kdiag = jnp.einsum("Feijkl,Fceil->cejk", teiT[ilm], Rg)
-        Kd1 = jnp.einsum("cejk,ekm->cejm", Kdiag, A)
-        # cross-element triangles, all 8 (left, family, sum) combinations
-        # stacked: lower (e > f) pairs Q-left factors with prefix-summed
-        # P-right factors; upper (e < f) the converse with suffix sums
-        RpS = jnp.concatenate([Rp, Rp])  # [8, c, n, m]
-        Y = jnp.einsum("Fein,Fcnm->Fceim", CLt[ilm], RpS)
-        Z = jnp.einsum("Fceim,Femx->ceix", Y, SSt[ilm])
-        return jnp.einsum("ein,ceim->cnm", A, Z + Kd1)
+        # matmuls, then ONE batched TEI matmul in the (jk),(il) pair layout
+        Rg = jnp.einsum("Fbceim,elm->Fbceil",
+                        jnp.einsum("ein,Fbcnm->Fbceim", A, Rp), A)
+        Rgv = Rg.reshape(*Rg.shape[:4], -1)  # [4, b, c, e, np^2(il)]
+        Kdiag = jnp.einsum("Fexy,Fbcey->bcex", ops.teiK[ilm], Rgv)
+        Kdiag = Kdiag.reshape(*Kdiag.shape[:3], nprim, nprim)  # [b,c,e,j,k]
+        Kd1 = jnp.einsum("bcejk,ekm->bcejm", Kdiag, A)
+        # cross-element LOWER (e > f) triangles only: Q-left factors pair
+        # with prefix-summed P-right factors across the 4 radial families;
+        # the upper half is the (b<->c, n<->m) transpose (see CLt/SSt note)
+        Y = jnp.einsum("Fein,Fbcnm->Fbceim", CLt[ilm], Rp)
+        Z = jnp.einsum("Fbceim,Femx->bceix", Y, SSt[ilm])
+        cross = jnp.einsum("ein,bceix->bcnx", A, Z)
+        return (jnp.einsum("ein,bceim->bcnm", A, Kd1)
+                + cross + jnp.transpose(cross, (1, 0, 3, 2)))
 
     def body(K3, xs_):
-        ilm, b, sp, sm, wm, w = xs_
-        Kbg = jax.vmap(step_K)(ilm, b, sp, sm, wm, w)  # [gs, c, nrad+1, .]
-        K3 = K3.at[b].add(Kbg[:, :, :nrad, :nrad])
-        return K3, None
+        ilm, sp, sm, wm, w = xs_
+        if gs == 1:
+            Kg = chan_K(ilm[0], sp[0], sm[0], wm[0], w[0])
+        else:
+            Kg = jax.vmap(chan_K)(ilm, sp, sm, wm, w).sum(0)
+        return K3 + Kg[:, :, :nrad, :nrad], None
 
     K3 = jnp.zeros((nang, nang, nrad, nrad))  # [b, c, I, J]
     K3, _ = jax.lax.scan(body, K3, xs)
+    m2 = ops.shellmask.reshape(-1)
+    return -_from4(K3, nang, nrad) * m2[:, None] * m2[None, :]
+
+
+def exchange_dia_occ(ops: DiatomicOperators, Co: jnp.ndarray,
+                     sgn: jnp.ndarray | None = None) -> jnp.ndarray:
+    """K(P) for P = Co @ diag(sgn) @ Co.T -- the OCCUPIED-ORBITAL
+    factorized exchange (reference computes K(P) densely,
+    src/diatomic/basis.cpp:1532-1734; the result is identical).
+
+    Co [nbf, no]: sqrt(f)-weighted occupied orbital columns (zero columns
+    are exact no-ops, so `no` can be a static padded width). sgn [no]
+    (default +1) supports indefinite symmetric P via a signed
+    eigenfactorization -- used by tests, never by SCF.
+
+    DESIGN (TPU): K is linear in P, and P has rank ~nocc (<< nbf), so the
+    per-channel R tensors factor as R_F[b,c,n,m] = sum_{t,o} cL[t,b,n,o]
+    cR[t,c,m,o] with cL/cR [2, nang, nrad+1, no] built by two tiny Gaunt
+    matmuls. The dense path's dominant [4,b,c,e,np,nrad+1] triangle
+    tensors (which the f64 emulation multiplies ~8x, OOMing HBM at the
+    reference-converged lmax=12) NEVER materialize: the cross-element
+    triangles become one dense [(b g), (s F t e o)] x [(s F t e o), (c x)]
+    MXU matmul per chunk, and only the in-element Rg window tensor scales
+    with nang^2. Chunks of `gs` channels fold into the contraction axis,
+    so the scan length drops to nlm/gs with NO growth in the materialized
+    output."""
+    import os as _os
+
+    nang = ops.GmLM.shape[-1]
+    nrad = ops.shellmask.shape[-1]
+    nelem, nprim = ops.gidx.shape
+    no = Co.shape[-1]
+    from helfem_tpu.models.atomic import _assembler
+
+    A = _assembler(ops.gidx, nrad)
+
+    C4 = Co.reshape(nang, nrad, no)
+    C4p = jnp.pad(C4, ((0, 0), (0, 1), (0, 0)))  # [a, n(nrad+1), o]
+    Cs4p = C4p if sgn is None else C4p * sgn[None, None, :]
+
+    # P-independent per-channel element factors (see exchange_dia); the
+    # left factors are pre-assembled into GLOBAL row coordinates so the
+    # cross term needs no separate A matmul per step
+    def left(d):
+        return jnp.einsum("tfip,fpn->tfin", d, A)
+
+    def right_sums_low(d):
+        G = jnp.einsum("tfjm,fjx->tfmx", jnp.einsum("tfjq,fqm->tfjm", d, A), A)
+        return jnp.cumsum(G, axis=1) - G  # sum over f < e
+
+    # The four (left table, right table, R family) lower-triangle combos
+    # factor COMPLETELY: cross = (u_m - u_p)(v_0 - v_1) with u_q the
+    # Cq-transform of the weighted Gaunt factors and v_q the prefix-summed
+    # P-transform of the unweighted ones -- a 4x FLOP collapse of the
+    # cross matmul. Tables are stacked [k(left/right), q] with the
+    # contraction index LAST so each chunk builds all u/v factors in ONE
+    # einsum (per-op overhead, not FLOPs, dominates the scan body).
+    CL2 = jnp.stack([left(ops.dQ0), left(ops.dQ2)], axis=1)  # [c, q, e, i, n]
+    CLg2 = jnp.einsum("eig,cqein->cqegn", A, CL2)
+    SS2T = jnp.stack([right_sums_low(ops.dP0), right_sums_low(ops.dP2)],
+                     axis=1).transpose(0, 1, 2, 4, 3)  # [c, q, e, x, m]
+    TT = jnp.stack([CLg2, SS2T], axis=1)  # [c, k, q, e, u, n]
+    sgnF = jnp.asarray([[1.0, -1.0], [-1.0, 1.0]])  # R families [[00,02],[20,22]]
+
+    nlm = int(ops.step_ilm.shape[0])
+    # dominant chunk intermediate: the in-element Rg window tensor
+    # [s, 4, b, c, e, np^2] (~150 B per logical f64 element: the 8x
+    # f64-emulation stacking, tile padding, live copies, PLUS the resident
+    # argument tables the compile-time HBM accounting does not see --
+    # gs=4 at lmax=12 compiled but ResourceExhausted'd at runtime);
+    # cross-term u/v factors are O(nang * no) and negligible
+    per_chan = 150.0 * 4.0 * nang * nang * nelem * nprim * nprim
+    budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
+    cap = int(_os.environ.get("HELFEM_EXCHANGE_STEPS", 64))
+    gs = max(1, min(nlm, cap, int(budget // max(per_chan, 1.0))))
+    if _os.environ.get("HELFEM_DEBUG"):
+        print(f"exchange_dia_occ: nlm={nlm} gs={gs} no={no} "
+              f"per_chan={per_chan:.3e}")
+    npad = (-nlm) % gs
+    wv = jnp.concatenate([jnp.ones(nlm), jnp.zeros(npad)])
+    stepxs = tuple(
+        jnp.pad(x, (0, npad))
+        for x in (ops.step_ilm, ops.step_sp, ops.step_sm, ops.step_wm)
+    ) + (wv,)
+    xs = tuple(x.reshape((nlm + npad) // gs, gs) for x in stepxs)
+
+    def chunk_factors(ilm, sp, sm, wm, w):
+        """One scan step: rank factors for a chunk of channels (~6 dispatch
+        stages), its in-element TEI window sum, and its cross matmul. The
+        chunk axis s joins the CONTRACTION dims of both outputs, so
+        batching channels costs no output memory."""
+        fac = ops.LMfac[ilm]  # [s]
+        s2 = jnp.stack([sp, sm], axis=1)  # [s, 2]
+        w2 = (w * fac)[:, None] * jnp.stack([jnp.ones_like(wm), wm], axis=1)
+        Gq = jnp.stack([ops.GmLM[s2], ops.GpLM[s2]], axis=1)  # [s, q, t, x, y]
+        # ONE Gaunt transform for both factor families (q = Gm/Gp)
+        U = jnp.einsum("sqtba,ano->sqtbno", Gq, C4p)
+        V = U if sgn is None else jnp.einsum("sqtba,ano->sqtbno", Gq, Cs4p)
+        WW = jnp.stack([w2[:, None, :, None, None, None] * U, V], axis=1)
+        # u (k=0: global-row Cq transforms) and v (k=1: prefix-summed P
+        # transforms) for both q in ONE einsum via the stacked TT table
+        uvq = jnp.einsum("skqeun,skqtbno->skqtebou", TT[ilm], WW)
+        ud = uvq[:, 0, 0] - uvq[:, 0, 1]  # u_m - u_p  [s, t, e, b, o, g]
+        vd = uvq[:, 1, 0] - uvq[:, 1, 1]  # v_0 - v_1  [s, t, e, c, o, x]
+        cross = jnp.einsum("stebou,stecox->bucx", ud, vd)
+        # in-element: window factors (A shared over k, q), the 2x2 rank
+        # product, then the TEI matmul with the family signs on the table
+        AW = jnp.einsum("ein,skqtbno->skqtebio", A, WW)
+        Rg = jnp.einsum("sqtebio,srteclo->sqrbceil", AW[:, 0], AW[:, 1])
+        Rgv = Rg.reshape(*Rg.shape[:6], -1)  # [s, q, r, b, c, e, np^2(il)]
+        tK = ops.teiK[ilm].reshape(-1, 2, 2, *ops.teiK.shape[2:])
+        tK = tK * sgnF[None, :, :, None, None, None]
+        Kd = jnp.einsum("sqrexy,sqrbcey->bcex", tK, Rgv)
+        return Kd, cross
+
+    def body(carry, xs_):
+        Kd_acc, cross_acc = carry
+        Kd, cross = chunk_factors(*xs_)
+        return (Kd_acc + Kd, cross_acc + cross), None
+
+    nr1 = nrad + 1
+    carry0 = (jnp.zeros((nang, nang, nelem, nprim * nprim)),
+              jnp.zeros((nang, nr1, nang, nr1)))
+    (Kd_acc, cross_acc), _ = jax.lax.scan(body, carry0, xs)
+    # in-element: TEI-contracted windows assembled to global coordinates
+    Kdiag = Kd_acc.reshape(nang, nang, nelem, nprim, nprim)
+    Kd1 = jnp.einsum("bcejk,ekm->bcejm", Kdiag, A)
+    Kin = jnp.einsum("ein,bceim->bcnm", A, Kd1)
+    # cross-element lower triangles; the upper half is the (b<->c, g<->x)
+    # transpose of the accumulated cross matrix
+    cr = cross_acc.transpose(0, 2, 1, 3)  # [b, c, g, x]
+    K3 = (Kin + cr + cr.transpose(1, 0, 3, 2))[:, :, :nrad, :nrad]
     m2 = ops.shellmask.reshape(-1)
     return -_from4(K3, nang, nrad) * m2[:, None] * m2[None, :]

@@ -227,8 +227,9 @@ def sharded_xc_fock(mesh: Mesh, g, funcs, nrad: int, thr: float = 1e-12):
 
 def sharded_dia_fock(mesh: Mesh, ops, kfrac: float = 1.0):
     """Diatomic Fock build sharded over the (L,M) channel axes: each device
-    scans its shard of the signed-LM channels (J) / of the flattened
-    (channel, bra-shell) steps (K); partial J/K psum over 'ch'.
+    scans its shard of the signed-LM channels (J) / of the (L,|M|) exchange
+    channels (K, bra-shell axis dense per channel); partial J/K psum over
+    'ch'.
 
     The radial TEI tables stay replicated (they are indexed dynamically by
     channel inside the scans); returns (fock_fn, ops_padded)."""
@@ -260,7 +261,6 @@ def sharded_dia_fock(mesh: Mesh, ops, kfrac: float = 1.0):
         GpLM=padn(GpLM),
         LM_ilm=padn(LM_ilm),
         step_ilm=padn(ops.step_ilm),
-        step_b=padn(ops.step_b),
         step_sp=jnp.concatenate(
             [ops.step_sp, jnp.full(pad_steps, zch, ops.step_sp.dtype)]
         ),
@@ -291,7 +291,6 @@ def sharded_dia_fock(mesh: Mesh, ops, kfrac: float = 1.0):
         )
         ops_k = ops_r._replace(
             step_ilm=sl(ops_r.step_ilm, st_chunk),
-            step_b=sl(ops_r.step_b, st_chunk),
             step_sp=sl(ops_r.step_sp, st_chunk),
             step_sm=sl(ops_r.step_sm, st_chunk),
             step_wm=sl(ops_r.step_wm, st_chunk),

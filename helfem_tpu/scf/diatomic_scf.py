@@ -9,6 +9,8 @@ from dataclasses import dataclass
 
 from functools import lru_cache
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +20,7 @@ from helfem_tpu.models.diatomic import (
     DiatomicOperators,
     coulomb_dia,
     exchange_dia,
+    exchange_dia_occ,
 )
 from helfem_tpu.scf.diis import DIIS, device_diis_step
 from helfem_tpu.utils.linalg import eigh_refined
@@ -42,6 +45,26 @@ def eig_blocks_dia(ops: DiatomicOperators, F: jnp.ndarray):
     Forth = Forth + _BIG * jnp.eye(bi.shape[1])[None] * pad[:, None, :]
     E, V = eigh_refined(Forth)
     C = jnp.einsum("bpi,bij->bpj", ops.blk_sinvh, V)
+    return E, C
+
+
+def eig_blocks_dia_host(ops: DiatomicOperators, F: np.ndarray):
+    """Host (LAPACK) mirror of eig_blocks_dia, same conventions. At
+    lmax=12-class discretizations (largest whitened block ~900^2) the
+    on-device batched eigh's emulated-f64 QR workspace ResourceExhausts /
+    crashes the TPU worker on top of the resident operator tables; the
+    big-basis SCF runs a host loop that already holds F on the host, so
+    LAPACK per block is both safe and fast there."""
+    nbf = F.shape[0]
+    bi = np.asarray(ops.blk_idx)
+    bs = np.asarray(ops.blk_sinvh)
+    Fp = np.pad(np.asarray(F), ((0, 1), (0, 1)))
+    Fb = Fp[bi[:, :, None], bi[:, None, :]]
+    Forth = np.einsum("bpi,bpq,bqj->bij", bs, Fb, bs, optimize=True)
+    pad = (bi == nbf).astype(Fp.dtype)
+    Forth = Forth + _BIG * np.eye(bi.shape[1])[None] * pad[:, None, :]
+    E, V = np.linalg.eigh(Forth)
+    C = np.einsum("bpi,bij->bpj", bs, V, optimize=True)
     return E, C
 
 
@@ -78,6 +101,38 @@ def density_dia(ops: DiatomicOperators, C: jnp.ndarray, occ: jnp.ndarray):
     P = jnp.zeros((nbf + 1, nbf + 1))
     P = P.at[bi[:, :, None], bi[:, None, :]].add(Pb)
     return P[:nbf, :nbf]
+
+
+def occ_select(occ: np.ndarray, no: int):
+    """Host-side occupied-orbital selector for the factorized exchange:
+    (block, column, sqrt(f)) arrays padded to the static width `no`
+    (padded entries carry weight 0 and are exact no-ops)."""
+    b, k = np.nonzero(occ > 0)
+    if len(b) > no:
+        raise ValueError(
+            f"{len(b)} occupied orbitals exceed the static width {no}; "
+            "set HELFEM_DIA_OCC=0 to fall back to the dense exchange"
+        )
+    ob = np.zeros(no, np.int32)
+    ok = np.zeros(no, np.int32)
+    sqf = np.zeros(no)
+    ob[: len(b)] = b
+    ok[: len(b)] = k
+    sqf[: len(b)] = np.sqrt(occ[b, k])
+    return jnp.asarray(ob), jnp.asarray(ok), jnp.asarray(sqf)
+
+
+def occupied_dia(ops: DiatomicOperators, C: jnp.ndarray, sel):
+    """sqrt(f)-weighted occupied orbital columns [nbf, no] assembled from
+    block orbitals C [nblk, blen, blen] and an occ_select() selector."""
+    ob, ok, sqf = sel
+    nbf = ops.S.shape[0]
+    no = sqf.shape[0]
+    rows = ops.blk_idx[ob]  # [no, blen]; padded slots point at row nbf
+    Csel = C[ob, :, ok] * sqf[:, None]  # [no, blen]
+    Co = jnp.zeros((nbf + 1, no))
+    Co = Co.at[rows, jnp.arange(no)[:, None]].add(Csel)
+    return Co[:nbf]
 
 
 def _aufbau_blocks(E: np.ndarray, nel: float) -> np.ndarray:
@@ -145,15 +200,23 @@ def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12, restricted: bool = False)
     the Fock cost on TPU)."""
 
     @jax.jit
-    def fock(ops: DiatomicOperators, g, Pa, Pb):
+    def fock(ops: DiatomicOperators, g, Pa, Pb, Coa=None, Cob=None):
         P = Pa + Pb
         J = coulomb_dia(ops, P)
         Fa = ops.H0 + J
         Fb = ops.H0 + J
         Exx = 0.0
         if kfrac != 0.0:
-            Ka = kfrac * exchange_dia(ops, Pa)
-            Kb = Ka if restricted else kfrac * exchange_dia(ops, Pb)
+            # occupied-orbital factorized exchange when sqrt(f)-weighted
+            # orbital columns are supplied (the SCF loops always have
+            # them); dense K(P) otherwise (P-only callers: warm starts,
+            # cost probes)
+            if Coa is not None:
+                Ka = kfrac * exchange_dia_occ(ops, Coa)
+                Kb = Ka if restricted else kfrac * exchange_dia_occ(ops, Cob)
+            else:
+                Ka = kfrac * exchange_dia(ops, Pa)
+                Kb = Ka if restricted else kfrac * exchange_dia(ops, Pb)
             Fa = Fa + Ka
             Fb = Fb + Kb
             Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
@@ -187,7 +250,8 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
     fock = make_dia_fock(funcs, kfrac, dftthr, restricted=restricted)
 
     @jax.jit
-    def chunk(ops, g, Vextra, Sinvh_full, occa, occb, Ca, Cb, histF, histE, count):
+    def chunk(ops, g, Vextra, Sinvh_full, occa, occb, sela, selb,
+              Ca, Cb, histF, histE, count):
         def errof(F, P):
             FPS = F @ P @ ops.S
             return (Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full).ravel()
@@ -196,7 +260,14 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
             Ca, Cb, histF, histE, count = carry
             Pa = density_dia(ops, Ca, occa)
             Pb = Pa if restricted else density_dia(ops, Cb, occb)
-            Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, g, Pa, Pb)
+            # sqrt(f)-weighted occupied columns for the factorized exchange
+            # (sela is None for pure functionals or HELFEM_DIA_OCC=0)
+            Coa = None if sela is None else occupied_dia(ops, Ca, sela)
+            Cob = (Coa if restricted else
+                   (None if selb is None else occupied_dia(ops, Cb, selb)))
+            Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(
+                ops, g, Pa, Pb, Coa, Cob
+            )
             Efield = jnp.vdot(Pa + Pb, Vextra)
             Etot = Ekin + Enuc + Ecoul + Exx + Exc + Efield
             if Bz != 0.0:
@@ -314,6 +385,24 @@ def scf_diatomic(
     else:
         restricted = False
     fock = make_dia_fock(tuple(funcs), kfrac, dftthr=dftthr, restricted=restricted)
+    # occupied-orbital factorized exchange (HELFEM_DIA_OCC=0 forces the
+    # dense K(P) path): static padded orbital-column widths per spin; the
+    # +8 margin absorbs degeneracy-averaged fractional spreads
+    use_occ = kfrac != 0.0 and os.environ.get("HELFEM_DIA_OCC", "1") != "0"
+    noa = min(nbf, int(np.ceil(nela)) + 8)
+    nob = min(nbf, int(np.ceil(nelb)) + 8)
+    # big-basis accelerator backends: the on-device batched eigh crashes /
+    # ResourceExhausts at lmax=12-class block sizes -- run the eigensolve
+    # on the host (the SCF then stays on the host loop, which already
+    # round-trips F for DIIS)
+    host_eig = (jax.default_backend() != "cpu"
+                and nbf >= int(os.environ.get("HELFEM_DIA_HOSTEIG", 2000)))
+
+    def eig_full(F):
+        if host_eig:
+            return eig_blocks_dia_host(ops, np.asarray(F))
+        E, C = eig_blocks_dia(ops, jnp.asarray(F))
+        return np.asarray(E), C
     if P0a is not None:
         # warm start from a density (e.g. a loaded checkpoint): build the
         # Fock of the supplied density and diagonalize it as the guess
@@ -321,13 +410,11 @@ def scf_diatomic(
         P0b_ = P0a if P0b is None else P0b
         gfock = fock if P0b is None else make_dia_fock(tuple(funcs), kfrac, dftthr=dftthr)
         Fg_a, Fg_b, *_ = gfock(ops, g, jnp.asarray(P0a), jnp.asarray(P0b_))
-        Ea, Ca = eig_blocks_dia(ops, Fg_a)
-        Ea = np.asarray(Ea)
+        Ea, Ca = eig_full(Fg_a)
         if restricted:
             Eb, Cb = Ea.copy(), Ca
         else:
-            Eb, Cb = eig_blocks_dia(ops, Fg_b)
-            Eb = np.asarray(Eb)
+            Eb, Cb = eig_full(Fg_b)
     else:
         if guess == "core":
             Hguess = ops.H0
@@ -335,8 +422,7 @@ def scf_diatomic(
             from helfem_tpu.models.diatomic_tools import guess_hamiltonian_dia
 
             Hguess = jnp.asarray(guess_hamiltonian_dia(basis, guess))
-        Ea, Ca = eig_blocks_dia(ops, Hguess)
-        Ea = np.asarray(Ea)
+        Ea, Ca = eig_full(Hguess)
         Eb, Cb = Ea.copy(), Ca
     if perturb:
         from helfem_tpu.utils.linalg import perturbation_matrix
@@ -363,7 +449,7 @@ def scf_diatomic(
     # fused on-device chunks engage after a short host warmup; the level
     # shift and the ROHF Fock surgery need per-iteration host logic and
     # keep the host loop
-    warmup = 2 if (shift == 0.0 and not rohf) else maxit
+    warmup = 2 if (shift == 0.0 and not rohf and not host_eig) else maxit
     fused = None
     hist = None
     Nel = 0.0
@@ -397,9 +483,12 @@ def scf_diatomic(
                 nerr = (1 if restricted else 2) * nbf * nbf
                 fshape = (nhist, nbf, nbf) if restricted else (nhist, 2, nbf, nbf)
                 hist = (jnp.zeros(fshape), jnp.zeros((nhist, nerr)), jnp.asarray(0))
+            sela = occ_select(occa, noa) if use_occ else None
+            selb = (None if restricted or not use_occ
+                    else occ_select(occb, nob))
             Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps = fused(
                 ops, g, Vextra_dev, Sinvh_full_dev,
-                jnp.asarray(occa), jnp.asarray(occb), Ca, Cb, *hist
+                jnp.asarray(occa), jnp.asarray(occb), sela, selb, Ca, Cb, *hist
             )
             hist = (hF, hE, cnt)
             Etots = np.asarray(Etots)
@@ -435,7 +524,10 @@ def scf_diatomic(
 
         Pa = density_dia(ops, Ca, jnp.asarray(occa))
         Pb = Pa if restricted else density_dia(ops, Cb, jnp.asarray(occb))
-        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, g, Pa, Pb)
+        Coa = occupied_dia(ops, Ca, occ_select(occa, noa)) if use_occ else None
+        Cob = (Coa if restricted else
+               (occupied_dia(ops, Cb, occ_select(occb, nob)) if use_occ else None))
+        Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, g, Pa, Pb, Coa, Cob)
         Efield = float(jnp.vdot(Pa + Pb, Vextra_dev)) if has_extra else 0.0
         if Bz != 0.0:
             # spin Zeeman: -+ B/2 per spin (reference: main.cpp Fa/Fb -+ Bz/2 S)
@@ -485,13 +577,11 @@ def scf_diatomic(
                 )
                 Eb = np.asarray(Eb)
         else:
-            Ea, Ca = eig_blocks_dia(ops, jnp.asarray(Fa_))
-            Ea = np.asarray(Ea)
+            Ea, Ca = eig_full(Fa_)
             if restricted:
                 Eb, Cb = Ea, Ca
             else:
-                Eb, Cb = eig_blocks_dia(ops, jnp.asarray(Fb_))
-                Eb = np.asarray(Eb)
+                Eb, Cb = eig_full(Fb_)
 
     oe = np.sort(Ea.ravel())
     eb = np.sort(np.asarray(Eb).ravel())

@@ -14,17 +14,34 @@ import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 
-from helfem_tpu.models.diatomic import DiatomicBasis, coulomb_dia, exchange_dia
+from helfem_tpu.models.diatomic import (
+    DiatomicBasis,
+    coulomb_dia,
+    exchange_dia,
+    exchange_dia_occ,
+)
 from helfem_tpu.scf.diatomic_scf import eig_blocks_dia
 
 
+def _sync(out):
+    """True synchronization: block_until_ready on the axon tunnel can
+    return before the work is done (a 2048^2 f64 matmul 'finished' in
+    60 us), but a scalar host readback of the result cannot be faked."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def timeit(fn, *args, n=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Warm per-call time with VARIED inputs each rep (repeated identical
+    dispatches can be served from caches) and a per-rep readback sync."""
+    variants = [
+        tuple(a * (1.0 + i * 1e-9) for a in args) for i in range(n)
+    ]
+    jax.block_until_ready(variants)
+    _sync(fn(*args))
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-        jax.block_until_ready(out)
+    for v in variants:
+        _sync(fn(*v))
     return (time.perf_counter() - t0) / n
 
 
@@ -43,18 +60,50 @@ def main():
     P = jax.random.normal(key, (basis.nbf, basis.nbf), dtype=jnp.float64)
     P = 0.5 * (P + P.T) * 1e-2
 
-    jJ = jax.jit(lambda P: coulomb_dia(ops, P))
-    jK = jax.jit(lambda P: exchange_dia(ops, P))
+    # ops rides as a jit ARGUMENT (device buffers), not a closure constant:
+    # closed-over TEI tables get serialized INTO the remote-compile request
+    # body, which exceeds the service's length limit at lmax=12 (HTTP 413)
+    jJ_ = jax.jit(coulomb_dia)
+    jK_ = jax.jit(exchange_dia)
+    jJ = lambda P: jJ_(ops, P)
+    jK = lambda P: jK_(ops, P)
+
+    # occupied-orbital factorized exchange: the SCF path at scale (no=15
+    # covers N2's 7 doubly-occupied orbitals + degeneracy margin)
+    no = 15
+    Co = jax.random.normal(key, (basis.nbf, no), dtype=jnp.float64) * 0.1
+    jKo_ = jax.jit(exchange_dia_occ)
+    jKo = lambda C: jKo_(ops, C)
 
     t0 = time.perf_counter()
-    F = ops.H0 + jJ(P) + jK(P)
-    jax.block_until_ready(F)
-    print("compile+first:", time.perf_counter() - t0)
-    print("J:", timeit(jJ, P))
-    print("K:", timeit(jK, P))
+    Ko = jKo(Co)
+    _sync(Ko)
+    print("K_occ compile+first:", time.perf_counter() - t0, flush=True)
+    t0 = time.perf_counter()
+    Jm = jJ(P)
+    _sync(Jm)
+    print("J compile+first:", time.perf_counter() - t0, flush=True)
+    print("K_occ:", timeit(jKo, Co), flush=True)
+    print("J:", timeit(jJ, P), flush=True)
+    dense_K = int(float(__import__("os").environ.get("HELFEM_PROF_DENSE", "1")))
+    if dense_K:
+        t0 = time.perf_counter()
+        Km = jK(P)
+        _sync(Km)
+        print("K_dense compile+first:", time.perf_counter() - t0, flush=True)
+        print("K_dense:", timeit(jK, P), flush=True)
+    F = ops.H0 + Jm + Ko
 
-    jE = jax.jit(lambda F: eig_blocks_dia(ops, F))
-    print("eig_blocks:", timeit(jE, F))
+    jE_ = jax.jit(eig_blocks_dia)
+    jE = lambda F: jE_(ops, F)
+    print("eig_blocks:", timeit(jE, F), flush=True)
+
+    # fixed-size calibration op: detects a degraded tunnel / slow chip so
+    # run-to-run J/K comparisons are made at known chip speed
+    A = jax.random.normal(key, (2048, 2048), dtype=jnp.float64)
+    jM = jax.jit(lambda a: a @ a)
+    tM = timeit(jM, A)
+    print("2048 matmul:", tM, "-> TF/s:", 2 * 2048**3 / tM / 1e12)
 
 
 if __name__ == "__main__":

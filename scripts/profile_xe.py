@@ -16,13 +16,22 @@ from helfem_tpu.models.atomic import AtomicBasis, coulomb, exchange
 from helfem_tpu.utils.linalg import eig_gsym_lm
 
 
+def _sync(out):
+    """True synchronization: block_until_ready on the axon tunnel can
+    return before the work is done; a scalar host readback cannot."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def timeit(fn, *args, n=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Warm per-call time with VARIED inputs each rep (repeated identical
+    dispatches can be served from caches) and a per-rep readback sync."""
+    variants = [tuple(a * (1.0 + i * 1e-9) for a in args) for i in range(n)]
+    jax.block_until_ready(variants)
+    _sync(fn(*args))
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-        jax.block_until_ready(out)
+    for v in variants:
+        _sync(fn(*v))
     return (time.perf_counter() - t0) / n
 
 
@@ -34,9 +43,13 @@ def main():
     P = jax.random.normal(key, (basis.nbf, basis.nbf), dtype=jnp.float64)
     P = 0.5 * (P + P.T) * 1e-2
 
-    jJ = jax.jit(lambda P: coulomb(ops, P))
-    jK = jax.jit(lambda P: exchange(ops, P))
-    jE = jax.jit(lambda F: eig_gsym_lm(F, ops.Sinvh_rad))
+    # ops as jit ARGUMENTS (not closure constants): closed-over tables are
+    # serialized into the remote-compile request body and can exceed the
+    # service's length limit on big configs
+    jJ_, jK_, jE_ = jax.jit(coulomb), jax.jit(exchange), jax.jit(eig_gsym_lm)
+    jJ = lambda P: jJ_(ops, P)
+    jK = lambda P: jK_(ops, P)
+    jE = lambda F: jE_(F, ops.Sinvh_rad)
     jC = jax.jit(lambda F, P: F @ P - P @ F)
 
     F = ops.H0 + jJ(P) + jK(P)

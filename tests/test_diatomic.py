@@ -218,3 +218,56 @@ def test_orbital_moments_and_nuclear_density():
     P = np.asarray(density_dia(ops, jnp.asarray(r.orbs_a), jnp.asarray(r.occ_a)))
     nl, _ = nuclear_densities_dia(b, P)
     assert abs(nl - 1.0 / np.pi) < 1e-6
+
+
+def test_exchange_occ_factorized():
+    """exchange_dia_occ(Co) == exchange_dia(Co Co^T): the occupied-orbital
+    rank factorization of the exchange build is EXACT (it is the same
+    operator, reference src/diatomic/basis.cpp:1532-1734, restructured
+    through P = Co Co^T). Also: signed factorizations reproduce indefinite
+    symmetric P, and zero-padded orbital columns are exact no-ops."""
+    import jax.numpy as jnp
+
+    from helfem_tpu.models.diatomic import exchange_dia, exchange_dia_occ
+
+    b = DiatomicBasis(Z1=2, Z2=1, Rbond=1.5, lmax=(3, 3), rmax=15.0,
+                      nelem=3, nnodes=6)
+    ops = b.build_operators()
+    rng = np.random.default_rng(0)
+    no = 5
+    m2 = np.asarray(ops.shellmask).reshape(-1)
+    Co = jnp.asarray(rng.standard_normal((b.nbf, no)) * 0.3) * m2[:, None]
+    K_dense = exchange_dia(ops, Co @ Co.T)
+    K_occ = exchange_dia_occ(ops, Co)
+    scale = float(jnp.abs(K_dense).max())
+    assert float(jnp.abs(K_dense - K_occ).max()) < 1e-12 * scale
+    # indefinite P through a signed factorization
+    sgn = jnp.asarray(np.where(rng.standard_normal(no) > 0, 1.0, -1.0))
+    K_dense2 = exchange_dia(ops, Co @ jnp.diag(sgn) @ Co.T)
+    K_occ2 = exchange_dia_occ(ops, Co, sgn)
+    assert float(jnp.abs(K_dense2 - K_occ2).max()) < 1e-12 * scale
+    # padded zero columns change nothing
+    K_occ3 = exchange_dia_occ(ops, jnp.pad(Co, ((0, 0), (0, 3))))
+    assert float(jnp.abs(K_occ - K_occ3).max()) < 1e-13 * scale
+
+
+def test_eig_blocks_host_matches_device():
+    """eig_blocks_dia_host (LAPACK, used for big-basis TPU runs where the
+    on-device batched eigh exhausts HBM) reproduces eig_blocks_dia."""
+    from helfem_tpu.scf.diatomic_scf import eig_blocks_dia_host
+
+    b = DiatomicBasis(Z1=2, Z2=1, Rbond=1.5, lmax=(3, 3), rmax=15.0,
+                      nelem=3, nnodes=6)
+    ops = b.build_operators()
+    F = np.asarray(ops.H0)
+    E_d, C_d = eig_blocks_dia(ops, F)
+    E_h, C_h = eig_blocks_dia_host(ops, F)
+    E_d, C_d = np.asarray(E_d), np.asarray(C_d)
+    assert np.abs(E_d - E_h).max() < 1e-9
+    # eigenvectors up to sign/degenerate rotations: compare projectors of
+    # the lowest few eigenvectors per block
+    for blk in range(E_d.shape[0]):
+        k = 3
+        Pd = C_d[blk][:, :k] @ C_d[blk][:, :k].T
+        Ph = C_h[blk][:, :k] @ C_h[blk][:, :k].T
+        assert np.abs(Pd - Ph).max() < 1e-8
