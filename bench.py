@@ -297,13 +297,55 @@ def bench_gensap():
     }
 
 
+def _guard(fn):
+    """One failing profile point must not kill the whole bench line."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 - report, don't crash
+        return {"ok": False, "error": f"{type(e).__name__}: {e}"[:300]}
+
+
+def _device_init_watchdog(limit_s: float = 900.0):
+    """The axon tunnel's device init can hang indefinitely when the shared
+    remote service is wedged (observed >35 min). Probe it from a worker
+    thread; on timeout print an honest failure JSON line and exit rather
+    than hanging the driver. Compiles after init are unbounded by design
+    (big fused programs legitimately take 10-30+ min)."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax.numpy as jnp
+
+        x = jnp.ones((64, 64))
+        float((x @ x)[0, 0])
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(limit_s):
+        print(json.dumps({
+            "metric": "ar_hf_plus_n2_pbe_scf_wall_clock_1uEh",
+            "value": float("inf"),
+            "unit": "s",
+            "vs_baseline": 1.0,
+            "profile": {"error": f"device init did not complete within "
+                                 f"{limit_s:.0f}s (wedged TPU tunnel)"},
+        }), flush=True)
+        import os as _os
+
+        _os._exit(2)
+
+
 def main():
-    ar = bench_ar()
-    n2 = bench_n2()
-    xe = bench_xe()
-    sap = bench_gensap()
-    n2c = bench_n2_converged()
-    ok = ar["ok"] and n2["ok"]
+    _device_init_watchdog()
+    ar = _guard(bench_ar)
+    n2 = _guard(bench_n2)
+    xe = _guard(bench_xe)
+    sap = _guard(bench_gensap)
+    n2c = _guard(bench_n2_converged)
+    ok = ar.get("ok", False) and n2.get("ok", False)
     value = ar["scf_s"] + n2["scf_s"] if ok else float("inf")
     profile = {"ar_hf": ar, "n2_pbe": n2, "xe_hf_lmax3": xe,
                "gensap_kr": sap, "n2_hf_lmax12": n2c}

@@ -18,6 +18,29 @@ def _default_cache_dir() -> str:
     return os.path.join(base, "helfem_tpu", "jax_cache")
 
 
+def _host_fingerprint() -> str:
+    """Short hash of the host CPU feature set. XLA:CPU AOT results encode
+    the *compile-time* machine features; its loader accepts a mismatched
+    host with only a warning and the executed code can then SIGILL (seen
+    when this VM image moved to a host without avx512 prefer-no-scatter).
+    Keying the cache path on the feature set makes entries from another
+    host invisible instead of fatal."""
+    import hashlib
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+
+        feats = platform.machine() + platform.processor()
+    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+
+
 def setup_x64() -> None:
     jax.config.update("jax_enable_x64", True)
     # Persistent compile cache. HELFEM_TPU_CACHE=<dir> forces a location,
@@ -39,7 +62,9 @@ def setup_x64() -> None:
     if axon and not cache:
         return
     root = os.path.abspath(cache) if cache else _default_cache_dir()
-    path = os.path.join(root, "axon" if axon else "cpu")
+    # per-backend AND per-host-CPU subdirectory (see _host_fingerprint)
+    sub = "axon" if axon else "cpu-" + _host_fingerprint()
+    path = os.path.join(root, sub)
     try:
         os.makedirs(path, exist_ok=True)
         if axon:
