@@ -456,6 +456,37 @@ def coulomb(ops: AtomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     return _from4(J4, nang, nrad)
 
 
+def exchange_kernel_L_pairwise(teiL, UL, VL, gidx, nrad, R):
+    """Per-element-pair form of the cross-element exchange triangles: each
+    (e, f) pair product V[e]·R_window·U[f] is contracted jointly, so the
+    element scales of U and V stay PAIRED inside every multiply. Needed for
+    the Yukawa range-separated tables, where i_L/k_L span e^(±λ·rmax)
+    (~1e28 at λ=5): the stacked global-coordinate form below pre-sums the
+    U side across elements and loses ~1e-5 of the operator (measured; the
+    pairwise form is exact to 1e-19 on the same inputs). Slower: it
+    materializes [batch, e, f, p, q] windows -- acceptable for the RS
+    correction term, not for the full-range hot path."""
+    nelem, nprim = gidx.shape
+    Rp = _pad_rad(R)
+    A = _assembler(gidx, nrad)
+    eidx = jnp.arange(nelem)
+    lower = (eidx[:, None] > eidx[None, :])[:, :, None, None]
+    upper = (eidx[:, None] < eidx[None, :])[:, :, None, None]
+    diag = (eidx[:, None] == eidx[None, :])[:, :, None, None]
+    # element-window gather as one assembly matmul pair (all e,f at once)
+    Rw = jnp.einsum("epn,...nm,fqm->...efpq", A, Rp, A)  # [..., e, f, p, q]
+    Rg = Rw[..., eidx, eidx, :, :]  # diagonal windows [..., e, i, l]
+    Kdiag = jnp.einsum("eijkl,...eil->...ejk", teiL, Rg)
+    lo = jnp.einsum("eip,...efpj->...efij", VL,
+                    jnp.einsum("fjq,...efpq->...efpj", UL, Rw))
+    hi = jnp.einsum("eip,...efpj->...efij", UL,
+                    jnp.einsum("fjq,...efpq->...efpj", VL, Rw))
+    # masked broadcasts, NOT vmapped scatter-adds (16 MB scoped-VMEM limit)
+    Kpair = (jnp.where(lower, lo, 0.0) + jnp.where(upper, hi, 0.0)
+             + jnp.where(diag, Kdiag[..., :, None, :, :], 0.0))
+    return jnp.einsum("ein,...efij,fjm->...nm", A, Kpair, A)
+
+
 def exchange_kernel_L(teiL, UL, VL, gidx, nrad, R):
     """Radial exchange contraction for ONE L channel and a batch of radial
     helper matrices R[..., nrad, nrad] (already Gaunt-weighted):
@@ -513,7 +544,8 @@ def exchange_kernel_L(teiL, UL, VL, gidx, nrad, R):
     return K
 
 
-def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> jnp.ndarray:
+def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray,
+                     pairwise: bool = False) -> jnp.ndarray:
     """Exchange build with caller-supplied radial kernels: (tei, U, V, Lfacv)
     are the in-element TEI tensors, the factorized small-side/big-side
     disjoint moments, and the per-L prefactors. Used for both the Coulomb
@@ -566,8 +598,9 @@ def exchange_general(ops: AtomicOperators, tei, U, V, Lfacv, P: jnp.ndarray) -> 
         # [a d, I J] matmul that tiles straight onto the MXU
         W = jnp.einsum("gMba,gMcd->gbcad", GL, GL)
         R = LfacL[:, None, None, None, None] * jnp.einsum("gbcad,adIJ->gbcIJ", W, P4)
+        kern = exchange_kernel_L_pairwise if pairwise else exchange_kernel_L
         Kg = jax.vmap(
-            lambda t, u, v, r: exchange_kernel_L(t, u, v, ops.gidx, nrad, r)
+            lambda t, u, v, r: kern(t, u, v, ops.gidx, nrad, r)
         )(teiL, UL, VL, R)
         return K4 + Kg.sum(axis=0), None
 
@@ -592,8 +625,10 @@ class RSOperators(NamedTuple):
 
 
 def rs_exchange(ops: AtomicOperators, rs: RSOperators, P: jnp.ndarray) -> jnp.ndarray:
-    """Short-range (Yukawa-attenuated) exchange."""
-    return exchange_general(ops, rs.tei, rs.iL, rs.kL, rs.Lfac, P)
+    """Short-range (Yukawa-attenuated) exchange. Uses the pairwise cross-
+    element kernel: the i_L/k_L tables span e^(±λ·rmax) and the stacked
+    form loses accuracy when the scales are not paired per element."""
+    return exchange_general(ops, rs.tei, rs.iL, rs.kL, rs.Lfac, P, pairwise=True)
 
 
 class ErfcOperators(NamedTuple):
