@@ -66,13 +66,14 @@ def test_n2_hf_regression():
 def test_n2_hf_lmax12_pinned():
     """N2 HF at lmax=12 per |m| (the reference-converged angular basis):
     pinned to this repo's own converged CPU f64 value at nelem=5, nnodes=8,
-    Rmax=25 (measured 2026-08-17: E = -108.9931061475, 9 iterations,
-    ~33 min CPU). Gated behind HELFEM_SLOW=1 because of the cost; the TPU
+    Rmax=25 (measured 2026-08-17: E = -108.9931061475, 9 iterations;
+    ~33 min CPU with the dense exchange, ~5 min since the occupied-orbital
+    factorized K). Gated behind HELFEM_SLOW=1 because of the cost; the TPU
     bench covers the same config class as n2_hf_lmax12."""
     import os
 
     if not os.environ.get("HELFEM_SLOW"):
-        pytest.skip("set HELFEM_SLOW=1 to run the lmax=12 pin (~33 min)")
+        pytest.skip("set HELFEM_SLOW=1 to run the lmax=12 pin (~5 min)")
     b = DiatomicBasis(Z1=7, Z2=7, Rbond=2.0743, lmax=(12, 12, 12), rmax=25.0,
                       nelem=5, nnodes=8)
     r = scf_diatomic(b, 7, 7, convthr=1e-7, maxit=40, guess="SAP")
@@ -249,6 +250,30 @@ def test_exchange_occ_factorized():
     # padded zero columns change nothing
     K_occ3 = exchange_dia_occ(ops, jnp.pad(Co, ((0, 0), (0, 3))))
     assert float(jnp.abs(K_occ - K_occ3).max()) < 1e-13 * scale
+
+
+def test_exchange_dia_symmetry_high_L():
+    """K(P) must be symmetric (to rounding) for symmetric random P at high
+    angular momentum, where the Neumann P_L/Q_L factor tables span many
+    orders of magnitude. Canary for element/channel scale-pairing bugs in
+    the batched exchange contraction (the analogous atomic canary caught a
+    1e-5 accuracy loss in the Yukawa cross-element triangles)."""
+    import jax.numpy as jnp
+
+    from helfem_tpu.models.diatomic import coulomb_dia, exchange_dia
+
+    b = DiatomicBasis(Z1=7, Z2=7, Rbond=2.0743, lmax=(8, 8), rmax=30.0,
+                      nelem=4, nnodes=7)
+    ops = b.build_operators()
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((b.nbf, b.nbf)) * 0.1
+    m2 = np.asarray(ops.shellmask).reshape(-1)
+    P = jnp.asarray((X @ X.T) * np.outer(m2, m2))
+    K = np.asarray(exchange_dia(ops, P))
+    scale = np.abs(K).max()
+    assert np.abs(K - K.T).max() < 1e-11 * max(scale, 1.0)
+    J = np.asarray(coulomb_dia(ops, P))
+    assert np.abs(J - J.T).max() < 1e-11 * max(np.abs(J).max(), 1.0)
 
 
 def test_eig_blocks_host_matches_device():
