@@ -313,6 +313,61 @@ def sharded_dia_fock(mesh: Mesh, ops, kfrac: float = 1.0):
     return jax.jit(lambda Pa, Pb: fock_sm(ops, Pa, Pb)), ops
 
 
+def sharded_dia_exchange_occ(mesh: Mesh, ops, no: int):
+    """Occupied-orbital factorized diatomic exchange K(Co) with the
+    (L,|M|) channel step axis sharded over 'ch' -- the multi-chip form of
+    the SCF path at scale (exchange_dia_occ). Every post-scan transform in
+    exchange_dia_occ (window assembly, triangle symmetrization, shell
+    mask, sign) is linear in the channel contributions, so psum of the
+    per-shard results is exact. Padded steps point their signed-channel
+    lookups at an appended all-zero Gaunt row (exact no-ops), as in
+    sharded_dia_fock. Returns (jitted K(Co [nbf, no]), nothing shared)."""
+    from helfem_tpu.models.diatomic import exchange_dia_occ
+
+    n = mesh.devices.size
+
+    # append the zero Gaunt channel and pad the step axis to n
+    nLM = ops.GmLM.shape[0]
+    zrow = jnp.zeros((1,) + ops.GmLM.shape[1:])
+    nsteps = ops.step_ilm.shape[0]
+    pad_steps = (-nsteps) % n
+    ops = ops._replace(
+        GmLM=jnp.concatenate([ops.GmLM, zrow]),
+        GpLM=jnp.concatenate([ops.GpLM, zrow]),
+        LM_ilm=jnp.concatenate([ops.LM_ilm, jnp.zeros(1, ops.LM_ilm.dtype)]),
+        step_ilm=jnp.pad(ops.step_ilm, (0, pad_steps)),
+        step_sp=jnp.concatenate(
+            [ops.step_sp, jnp.full(pad_steps, nLM, ops.step_sp.dtype)]
+        ),
+        step_sm=jnp.concatenate(
+            [ops.step_sm, jnp.full(pad_steps, nLM, ops.step_sm.dtype)]
+        ),
+        step_wm=jnp.pad(ops.step_wm, (0, pad_steps)),
+    )
+    st_chunk = ops.step_ilm.shape[0] // n
+
+    def k_shard(ops_r, Co):
+        i = jax.lax.axis_index("ch")
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, i * st_chunk, st_chunk, axis=0)
+
+        ops_k = ops_r._replace(
+            step_ilm=sl(ops_r.step_ilm), step_sp=sl(ops_r.step_sp),
+            step_sm=sl(ops_r.step_sm), step_wm=sl(ops_r.step_wm),
+        )
+        return jax.lax.psum(exchange_dia_occ(ops_k, Co), "ch")
+
+    k_sm = jax.shard_map(
+        k_shard,
+        mesh=mesh,
+        in_specs=(jax.tree.map(lambda _: P(), ops), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(lambda Co: k_sm(ops, Co))
+
+
 def sharded_dia_eig(mesh: Mesh, ops):
     """Diatomic blocked whitened eigensolve with the (padded) symmetry-block
     axis sharded over 'ch' and the spectra all-gathered -- the multi-chip

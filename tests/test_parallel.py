@@ -60,6 +60,25 @@ def test_sharded_dia_fock_matches(ndev=4):
     assert np.abs(np.asarray(Fa) - np.asarray(Fref)).max() < 1e-10
 
 
+def test_sharded_dia_exchange_occ_matches(ndev=4):
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from helfem_tpu.models.diatomic import DiatomicBasis, exchange_dia_occ
+    from helfem_tpu.parallel.mesh import sharded_dia_exchange_occ
+
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=1.4, lmax=(3,), rmax=15.0, nelem=3, nnodes=6)
+    ops = b.build_operators()
+    mesh = make_mesh(ndev)
+    rng = np.random.default_rng(1)
+    no = 4
+    m2 = np.asarray(ops.shellmask).reshape(-1)
+    Co = jnp.asarray(rng.standard_normal((b.nbf, no)) * 0.2) * m2[:, None]
+    kfn = sharded_dia_exchange_occ(mesh, ops, no)
+    K = np.asarray(kfn(Co))
+    Kref = np.asarray(exchange_dia_occ(ops, Co))
+    assert np.abs(K - Kref).max() < 1e-11 * max(np.abs(Kref).max(), 1.0)
+
+
 @pytest.mark.parametrize("ndev", [4, 8])
 def test_sharded_xc_fock_matches(ndev):
     """Element-sharded XC quadrature (the DFTGrid OpenMP-loop replacement)
