@@ -287,11 +287,18 @@ def bench_gensap():
 
     basis = SadAtomBasis(Z=36, lmax=2, rmax=40.0, nelem=8, nnodes=12)
     t0 = time.perf_counter()
-    res = solve_sadatom(basis, method="SVWN", convthr=1e-7, search=False)
+    solve_sadatom(basis, method="SVWN", convthr=1e-7, search=False)
     cold_s = time.perf_counter() - t0
+    # warm repeat on a 1e-12-perturbed grid: identical shapes (jit cache
+    # hit) but different buffer CONTENT -- a byte-identical repeat can be
+    # served from the tunnel's content-keyed dispatch cache and would time
+    # cache hits, not compute (the repo's dedup_probe names this exact
+    # hazard); the physics change is ~1e-9 Eh
+    basis2 = SadAtomBasis(Z=36, lmax=2, rmax=40.0 * (1 + 1e-12), nelem=8, nnodes=12)
     t0 = time.perf_counter()
-    res = solve_sadatom(basis, method="SVWN", convthr=1e-7, search=False)
+    res = solve_sadatom(basis2, method="SVWN", convthr=1e-7, search=False)
     scf_s = time.perf_counter() - t0
+    basis = basis2
     t0 = time.perf_counter()
     Zeff = coulomb_screening(basis, np.asarray(res.Pl).sum(axis=0))  # SAP export
     sap_s = time.perf_counter() - t0

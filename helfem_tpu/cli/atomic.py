@@ -118,8 +118,9 @@ def main(argv=None):
                         "(reference --diag, src/atomic/main.cpp:88)")
     p.add_argument("--eigiter", type=int, default=0,
                    help="when > 0, solve each symmetry block iteratively "
-                        "(LOBPCG) for only the lowest N eigenpairs instead "
-                        "of a full dense eigh (reference: scf::eig_iter)")
+                        "(shift-invert ARPACK Lanczos) for only the lowest "
+                        "N eigenpairs instead of a full dense eigh "
+                        "(reference: scf::eig_iter)")
     p.add_argument("--diisthr", type=float, default=None,
                    help="DIIS error below which extrapolation is pure C2-DIIS; "
                         "between diisthr and diiseps the DIIS/ADIIS weights are "

@@ -593,7 +593,9 @@ def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     nLM = int(ops.GmLM.shape[0])
     per_s = 16.0 * (4.0 * nelem * nprim**4 + 4.0 * nang * (nrad + 1) ** 2)
     budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
-    cap = int(_os.environ.get("HELFEM_EXCHANGE_STEPS", 32))
+    # J has its own step cap: it was silently riding HELFEM_EXCHANGE_STEPS
+    # (with a different default), so tuning the exchange retuned J too
+    cap = int(_os.environ.get("HELFEM_COULOMB_STEPS", 32))
     gs = max(1, min(nLM, cap, int(budget // max(per_s, 1.0))))
     npad = (-nLM) % gs
     padc = lambda x: jnp.pad(x, [(0, npad)] + [(0, 0)] * (x.ndim - 1))
@@ -644,7 +646,11 @@ def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
 
 
 def exchange_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
-    """K(P) (negative contribution): scan over CHUNKS of the (L,|M|)
+    """K(P) for SYMMETRIC P (negative contribution): the upper cross-
+    element triangle is recovered as the transpose of the lower one, which
+    requires P = P.T (every SCF density is; a non-symmetric probe --
+    transition density, MO intermediate -- needs K(P) + K(P.T)^T /
+    symmetrization by the caller). Scan over CHUNKS of the (L,|M|)
     channels (reference: src/diatomic/basis.cpp:1532-1734). The bra-shell
     axis is DENSE inside each channel step -- a real batched matmul
     dimension on the MXU -- so the sequential scan length is nlm, not

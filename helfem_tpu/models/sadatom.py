@@ -841,12 +841,18 @@ def solve_sadatom_unrestricted(
                     converged = True
                     break
             it += k
-            Ea, Eb = np.asarray(Eas[k]), np.asarray(Ebs[k])
-            Ca, Cb = Cas[k], Cbs[k]
             Ekin, Ecoul, Exx, Exc, _Nel = (float(x[k]) for x in comps)
             if converged or it >= maxit:
+                # report orbitals CONSISTENT with Etot (the pre-eigh
+                # density of step k = post-eigh orbitals of step k-1 /
+                # the chunk input for k=0); see the restricted path
+                if k > 0:
+                    Ea, Eb = np.asarray(Eas[k - 1]), np.asarray(Ebs[k - 1])
+                    Ca, Cb = Cas[k - 1], Cbs[k - 1]
                 out = (Etot, Ekin, Ecoul, Exx, Exc)
                 break
+            Ea, Eb = np.asarray(Eas[k]), np.asarray(Ebs[k])
+            Ca, Cb = Cas[k], Cbs[k]
             if not fixed:
                 occs_a = aufbau_occs(Ea, nela, False)
                 occs_b = aufbau_occs(Eb, nelb, False)
@@ -1003,13 +1009,23 @@ def solve_sadatom(
                         converged = True
                         break
                 it += k
-                E_ = np.asarray(Es[k])
-                C_ = Cs[k]
                 Ekin, Ecoul, Exx, Exc, _Nel = (float(x[k]) for x in comps)
                 if converged or it >= maxit:
+                    # orbitals CONSISTENT with the reported Etot: step k's
+                    # energy comes from the PRE-eigh density, i.e. the
+                    # post-eigh orbitals of step k-1 (the chunk input for
+                    # k=0) -- matching the host path, which breaks before
+                    # updating C_. Using Cs[k] would hand callers (SAP
+                    # export, radii, xcpot.dat) a density one
+                    # diagonalization ahead of the printed energy.
+                    C_ = Cs[k - 1] if k > 0 else Cdev
+                    if k > 0:
+                        E_ = np.asarray(Es[k - 1])
                     Pl, _ = density_cubes(np.asarray(C_), occs, True)
                     out = (Etot, Ekin, Ecoul, Exx, Exc, E_, np.asarray(C_), Pl)
                     break
+                E_ = np.asarray(Es[k])
+                C_ = Cs[k]
                 continue
 
             Pl, Pang = density_cubes(np.asarray(C_), occs, True)

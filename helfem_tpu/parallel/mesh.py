@@ -25,6 +25,7 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from helfem_tpu.models.atomic import AtomicOperators, coulomb, exchange
+from helfem_tpu.scf.diatomic_scf import _BIG as _DIA_BIG
 from helfem_tpu.utils.linalg import eigh_refined
 
 __all__ = ["make_mesh", "pad_ops_for_mesh", "sharded_scf_step",
@@ -391,7 +392,7 @@ def sharded_dia_eig(mesh: Mesh, ops):
         Fb = Fp[bi[:, :, None], bi[:, None, :]]
         Forth = jnp.einsum("bpi,bpq,bqj->bij", bs, Fb, bs)
         padm = (bi == nbf).astype(F.dtype)
-        Forth = Forth + 1e6 * jnp.eye(blen)[None] * padm[:, None, :]
+        Forth = Forth + _DIA_BIG * jnp.eye(blen)[None] * padm[:, None, :]
         E, V = eigh_refined(Forth)
         C = jnp.einsum("bpi,bij->bpj", bs, V)
         E = jax.lax.all_gather(E, "ch", axis=0, tiled=True)

@@ -85,6 +85,16 @@ def aufbau_blocks(E: np.ndarray, nel: float) -> np.ndarray:
             occ[order[k]] = fill / ndeg
         left -= fill
         i = j + 1
+    if left > 1e-12:
+        # only reachable when usable eigenvalues ran out: an iterative
+        # solve (--eigiter) that computed fewer eigenpairs per block than
+        # the aufbau needs (the rest are padded at +_BIG). Silently
+        # dropping electrons converges to a wrong state.
+        raise ValueError(
+            f"aufbau could not place {left:g} electrons: only "
+            f"{int((flat < _BIG / 2).sum())} usable eigenvalues; "
+            "increase --eigiter (or use the dense eigensolve)"
+        )
     return occ.reshape(nblk, blen)
 
 
@@ -644,7 +654,7 @@ def scf_atom(
             break
 
         if eigiter > 0:
-            # iterative (LOBPCG) blocked solve for the lowest eigiter
+            # iterative (shift-invert ARPACK) blocked solve for the lowest eigiter
             # eigenpairs per block (--eigiter; reference: scf::eig_iter)
             from helfem_tpu.utils.linalg import eig_blocks_iter
 

@@ -106,13 +106,14 @@ def density_dia(ops: DiatomicOperators, C: jnp.ndarray, occ: jnp.ndarray):
 def occ_select(occ: np.ndarray, no: int):
     """Host-side occupied-orbital selector for the factorized exchange:
     (block, column, sqrt(f)) arrays padded to the static width `no`
-    (padded entries carry weight 0 and are exact no-ops)."""
+    (padded entries carry weight 0 and are exact no-ops). Returns None
+    when more than `no` orbitals carry occupation (degeneracy averaging
+    can transiently spread fractions over many orbitals) -- the caller
+    then falls back to the dense K(P) for that Fock build instead of
+    aborting the SCF."""
     b, k = np.nonzero(occ > 0)
     if len(b) > no:
-        raise ValueError(
-            f"{len(b)} occupied orbitals exceed the static width {no}; "
-            "set HELFEM_DIA_OCC=0 to fall back to the dense exchange"
-        )
+        return None
     ob = np.zeros(no, np.int32)
     ok = np.zeros(no, np.int32)
     sqf = np.zeros(no)
@@ -156,6 +157,11 @@ def _aufbau_blocks(E: np.ndarray, nel: float) -> np.ndarray:
             occ[order[k]] = fill / ndeg
         left -= fill
         i = j + 1
+    if left > 1e-12:
+        raise ValueError(
+            f"aufbau could not place {left:g} electrons: only "
+            f"{int((flat < _BIG / 2).sum())} usable eigenvalues"
+        )
     return occ.reshape(nblk, blen)
 
 
@@ -211,12 +217,13 @@ def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12, restricted: bool = False)
             # orbital columns are supplied (the SCF loops always have
             # them); dense K(P) otherwise (P-only callers: warm starts,
             # cost probes)
-            if Coa is not None:
-                Ka = kfrac * exchange_dia_occ(ops, Coa)
-                Kb = Ka if restricted else kfrac * exchange_dia_occ(ops, Cob)
-            else:
-                Ka = kfrac * exchange_dia(ops, Pa)
-                Kb = Ka if restricted else kfrac * exchange_dia(ops, Pb)
+            # per-spin fallback: a None selector (occupations wider than the
+            # static column budget) drops that spin to the dense K(P)
+            Ka = (kfrac * exchange_dia_occ(ops, Coa) if Coa is not None
+                  else kfrac * exchange_dia(ops, Pa))
+            Kb = (Ka if restricted
+                  else kfrac * exchange_dia_occ(ops, Cob) if Cob is not None
+                  else kfrac * exchange_dia(ops, Pb))
             Fa = Fa + Ka
             Fb = Fb + Kb
             Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
@@ -524,9 +531,11 @@ def scf_diatomic(
 
         Pa = density_dia(ops, Ca, jnp.asarray(occa))
         Pb = Pa if restricted else density_dia(ops, Cb, jnp.asarray(occb))
-        Coa = occupied_dia(ops, Ca, occ_select(occa, noa)) if use_occ else None
+        sela_h = occ_select(occa, noa) if use_occ else None
+        selb_h = None if restricted or not use_occ else occ_select(occb, nob)
+        Coa = None if sela_h is None else occupied_dia(ops, Ca, sela_h)
         Cob = (Coa if restricted else
-               (occupied_dia(ops, Cb, occ_select(occb, nob)) if use_occ else None))
+               (None if selb_h is None else occupied_dia(ops, Cb, selb_h)))
         Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel = fock(ops, g, Pa, Pb, Coa, Cob)
         Efield = float(jnp.vdot(Pa + Pb, Vextra_dev)) if has_extra else 0.0
         if Bz != 0.0:
