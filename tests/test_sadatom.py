@@ -86,6 +86,38 @@ def test_unrestricted_nitrogen_config():
     assert list(r.occs) == [2, 3] and list(r.occs_b) == [2, 0]
 
 
+def test_result_density_energy_consistent():
+    """The reported converged E must be reproducible from the RETURNED
+    density/orbitals (the fused path once handed back a density one
+    diagonalization ahead of the printed energy, corrupting SAP/radii
+    exports on non-converged runs)."""
+    import jax.numpy as jnp
+
+    from helfem_tpu.models.sadatom import (
+        SadAtomBasis,
+        density_cubes,
+        make_sad_fock,
+        solve_sadatom,
+    )
+    from helfem_tpu.ops.xc import parse_method
+
+    b = SadAtomBasis(Z=10, lmax=1, rmax=30.0, nelem=6, nnodes=10)
+    r = solve_sadatom(b, method="SVWN", convthr=1e-9, search=False)
+    assert r.converged
+    ops = b.build_ops()
+    funcs, kfrac = parse_method("SVWN")[:2]
+    fock = make_sad_fock(tuple(funcs), kfrac, b.lmax + 1, b.nrad)
+    Pla, Panga = density_cubes(np.asarray(r.orbs), r.occs, True)
+    _, _, Ekin, Enuc, Ecoul, Exx, Exc, _ = fock(
+        ops, jnp.asarray(Pla / 2.0), jnp.asarray(Pla / 2.0),
+        jnp.asarray(Panga), jnp.asarray(Panga)
+    )
+    Erec = float(Ekin + Enuc + Ecoul + Exx + Exc)
+    assert abs(Erec - r.E) < 1e-7, (Erec, r.E)
+    # and the returned Pl matches the returned orbitals
+    assert np.abs(np.asarray(r.Pl) - Pla).max() < 1e-12
+
+
 def test_sad_tpss_matches_atomic():
     """He spherically-averaged TPSS == atomic TPSS (-2.9096644)."""
     b = SadAtomBasis(Z=2, lmax=0, nelem=10, nnodes=15)
