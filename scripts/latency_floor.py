@@ -31,14 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=5):
-    variants = [tuple(a * (1.0 + i * 1e-9) for a in args) for i in range(reps)]
-    jax.block_until_ready(variants)
-    float(jnp.asarray(fn(*args)).ravel()[0])  # warm/compile
-    t0 = time.perf_counter()
-    for v in variants:
-        float(jnp.asarray(fn(*v)).ravel()[0])
-    return (time.perf_counter() - t0) / reps
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import timeit  # shared honest-timing methodology
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

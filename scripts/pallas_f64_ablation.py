@@ -96,18 +96,9 @@ def split_dd(x64):
     return hi, lo
 
 
-def timeit(fn, *args, reps=5):
-    """Warm per-call time with VARIED inputs each rep (a fixed-arg loop
-    measured an impossible 395 TF/s 'f64 matmul') and a per-rep scalar
-    host readback: block_until_ready on the axon tunnel can return before
-    the work is done, but a host float of the result cannot be faked."""
-    variants = [tuple(a * (1.0 + i * 1e-6) for a in args) for i in range(reps)]
-    jax.block_until_ready(variants)
-    float(jnp.asarray(fn(*args)).ravel()[0])
-    t0 = time.perf_counter()
-    for v in variants:
-        float(jnp.asarray(fn(*v)).ravel()[0])
-    return (time.perf_counter() - t0) / reps
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _timing import timeit  # shared honest-timing methodology
 
 
 def main():

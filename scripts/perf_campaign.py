@@ -46,22 +46,8 @@ def save(name, data):
     log(f"[{time.strftime('%H:%M:%S')}] {name}: {json.dumps(data)[:400]}")
 
 
-def _sync(out):
-    leaf = jax.tree.leaves(out)[0]
-    return float(jnp.asarray(leaf).ravel()[0])
-
-
-def timeit(fn, *args, reps=5):
-    """Honest tunnel timing: scalar host readback per rep, varied inputs
-    per rep (block_until_ready is a no-op on axon; identical dispatches
-    can be served from a cache)."""
-    variants = [tuple(a * (1.0 + i * 1e-9) for a in args) for i in range(reps)]
-    jax.block_until_ready(variants)
-    _sync(fn(*args))
-    t0 = time.perf_counter()
-    for v in variants:
-        _sync(fn(*v))
-    return (time.perf_counter() - t0) / reps
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import sync as _sync, timeit  # noqa: E402 (shared methodology)
 
 
 def stage_latency_floor():

@@ -14,6 +14,11 @@ import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 
+import sys as _sys, os as _os
+_d = _os.path.dirname(_os.path.abspath(__file__))
+_sys.path.insert(0, _d)
+_sys.path.insert(0, _os.path.dirname(_d))  # repo root for helfem_tpu
+
 from helfem_tpu.models.diatomic import (
     DiatomicBasis,
     coulomb_dia,
@@ -23,26 +28,7 @@ from helfem_tpu.models.diatomic import (
 from helfem_tpu.scf.diatomic_scf import eig_blocks_dia
 
 
-def _sync(out):
-    """True synchronization: block_until_ready on the axon tunnel can
-    return before the work is done (a 2048^2 f64 matmul 'finished' in
-    60 us), but a scalar host readback of the result cannot be faked."""
-    leaf = jax.tree.leaves(out)[0]
-    return float(jnp.asarray(leaf).ravel()[0])
-
-
-def timeit(fn, *args, n=5):
-    """Warm per-call time with VARIED inputs each rep (repeated identical
-    dispatches can be served from caches) and a per-rep readback sync."""
-    variants = [
-        tuple(a * (1.0 + i * 1e-9) for a in args) for i in range(n)
-    ]
-    jax.block_until_ready(variants)
-    _sync(fn(*args))
-    t0 = time.perf_counter()
-    for v in variants:
-        _sync(fn(*v))
-    return (time.perf_counter() - t0) / n
+from _timing import sync as _sync, timeit  # shared methodology
 
 
 def main():

@@ -12,27 +12,16 @@ import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 
+import sys as _sys, os as _os
+_d = _os.path.dirname(_os.path.abspath(__file__))
+_sys.path.insert(0, _d)
+_sys.path.insert(0, _os.path.dirname(_d))  # repo root for helfem_tpu
+
 from helfem_tpu.models.atomic import AtomicBasis, coulomb, exchange
 from helfem_tpu.utils.linalg import eig_gsym_lm
 
 
-def _sync(out):
-    """True synchronization: block_until_ready on the axon tunnel can
-    return before the work is done; a scalar host readback cannot."""
-    leaf = jax.tree.leaves(out)[0]
-    return float(jnp.asarray(leaf).ravel()[0])
-
-
-def timeit(fn, *args, n=5):
-    """Warm per-call time with VARIED inputs each rep (repeated identical
-    dispatches can be served from caches) and a per-rep readback sync."""
-    variants = [tuple(a * (1.0 + i * 1e-9) for a in args) for i in range(n)]
-    jax.block_until_ready(variants)
-    _sync(fn(*args))
-    t0 = time.perf_counter()
-    for v in variants:
-        _sync(fn(*v))
-    return (time.perf_counter() - t0) / n
+from _timing import sync as _sync, timeit  # shared methodology
 
 
 def main():
