@@ -60,7 +60,7 @@ CPU_F64 = {
     "ar_hf": 2.775,
     "n2_pbe": 2.593,
     "xe_hf_lmax3": 34.143,
-    "gensap_kr": 0.316,
+    "gensap_kr": 0.339,  # same perturbed-warm protocol as the TPU timing
     # reference-converged N2 (lmax=12, nnodes=15, rmax=40, R=2.068):
     # warm SCF 1720.8 s / 8 iters (+1008.8 s compile, 45.2 s setup),
     # E = -108.99381787 = HF limit - 7.6 uEh
