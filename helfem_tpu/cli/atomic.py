@@ -140,6 +140,11 @@ def main(argv=None):
     p.add_argument("--c_pars", default="", help="same for the correlation functional")
     p.add_argument("--zeroder", action="store_true",
                    help="drop the derivative DOF at Rmax too (Hermite bases)")
+    p.add_argument("--taylor_order", type=int, default=-1,
+                   help="accepted for reference parity; B(r)/r near the origin "
+                        "is evaluated by exact (x - x0) polynomial division here "
+                        "(ops/radial.py), so the Taylor-expansion order has no "
+                        "effect")
     args = p.parse_args(argv)
 
     import jax

@@ -15,6 +15,15 @@ def main(argv=None):
     p.add_argument("--Q", type=int, default=0)
     p.add_argument("--M", type=int, default=0)
     p.add_argument("--lmax", required=True, help="lmax, or comma list per |m|")
+    p.add_argument("--mmax", type=int, default=-1,
+                   help="maximum m quantum number; if >= 0, --lmax must be a "
+                        "single value applied to every |m| <= mmax "
+                        "(reference --mmax, src/diatomic/main.cpp:98,256-259)")
+    p.add_argument("--lpad", type=int, default=10,
+                   help="accepted for reference parity (Qlm recursion padding, "
+                        "src/diatomic/main.cpp:99); the Q_lm builder here pads "
+                        "the Miller downward recursion automatically per point "
+                        "(ops/legendreq.py), so it has no effect")
     p.add_argument("--Rmax", type=float, default=40.0)
     p.add_argument("--grid", type=int, default=4)
     p.add_argument("--zexp", type=float, default=2.0)
@@ -28,6 +37,17 @@ def main(argv=None):
     p.add_argument("--convthr", type=float, default=1e-7)
     p.add_argument("--method", default="HF")
     p.add_argument("--guess", default="core", help="core|SAP|TF|GSZ")
+    p.add_argument("--iguess", type=int, default=None,
+                   help="guess by reference id: 0 core, 1 GSZ, 2 SAP, 3 TF "
+                        "(overrides --guess; src/diatomic/main.cpp:128)")
+    p.add_argument("--diag", type=int, default=1,
+                   help="1: symmetric-eigendecomposition whitening (exact "
+                        "diagonalization); 0: inverse-Cholesky whitening "
+                        "(reference --diag, src/diatomic/main.cpp:111)")
+    p.add_argument("--maverage", action="store_true",
+                   help="average the Fock matrix over +-m symmetry pairs "
+                        "every iteration (reference --maverage, "
+                        "src/diatomic/main.cpp:133,892-895)")
     p.add_argument("--save", default="", help="write npz checkpoint")
     p.add_argument("--load", default="", help="warm start from npz checkpoint")
     p.add_argument("--Ez", type=float, default=0.0, help="electric field along the bond")
@@ -80,7 +100,16 @@ def main(argv=None):
 
     Z1, Z2 = get_Z(args.Z1), get_Z(args.Z2)
     R = args.Rbond * (ANGSTROM_IN_BOHR if args.angstrom else 1.0)
-    lmax = tuple(int(x) for x in str(args.lmax).split(","))
+    if args.mmax >= 0:
+        # single lmax applied to every |m| <= mmax (reference --mmax,
+        # src/diatomic/main.cpp:256-259)
+        if "," in str(args.lmax):
+            raise SystemExit("--mmax requires a single --lmax value")
+        lmax = (int(args.lmax),) * (args.mmax + 1)
+    else:
+        lmax = tuple(int(x) for x in str(args.lmax).split(","))
+    if args.iguess is not None:
+        args.guess = {0: "core", 1: "GSZ", 2: "SAP", 3: "TF"}[args.iguess]
     nela, nelb = parse_nela_nelb(Z1 + Z2, args.Q, args.M, args.nela, args.nelb)
     if args.x_pars or args.c_pars:
         from helfem_tpu.cli.atomic import _apply_pars_files
@@ -113,7 +142,7 @@ def main(argv=None):
                   "electric field. Relaxing restriction.")
         else:
             parity = True
-    ops = basis.build_operators(parity=parity)
+    ops = basis.build_operators(parity=parity, chol=not args.diag)
     P0a = P0b = None
     if args.load:
         import jax.numpy as jnp
@@ -164,6 +193,7 @@ def main(argv=None):
         diisorder=args.diisorder, diiseps=args.diiseps, dftthr=args.dftthr,
         ldft=args.ldft, occs=occs, readocc_until=args.readocc,
         diisthr=args.diisthr, save_cb=save_cb if args.save else None,
+        diag=bool(args.diag), maverage=args.maverage,
     )
     if args.save:
         from helfem_tpu.utils.checkpoint import save_diatomic

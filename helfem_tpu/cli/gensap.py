@@ -18,9 +18,46 @@ def main(argv=None):
     p.add_argument("--primbas", type=int, default=4,
                    help="primitive polynomial basis id (3 Legendre, 4 LIP, 5 HIP, "
                         "6-11 general HIP, 100/101 Chebyshev nodes)")
+    p.add_argument("--nquad", type=int, default=0,
+                   help="quadrature points per element (0 = 5*nnodes)")
     p.add_argument("--maxit", type=int, default=128)
     p.add_argument("--convthr", type=float, default=1e-7)
+    p.add_argument("--shift", type=float, default=1.0,
+                   help="level shift for the initial SCF iterations, dropped "
+                        "once the DIIS error is below 1e-3 (reference --shift, "
+                        "src/sadatom/main.cpp:116)")
     p.add_argument("--method", default="lda_x", help="xc method for the SAP potential")
+    p.add_argument("--iguess", type=int, default=3,
+                   help="guess potential: 0 core, 1 GSZ, 2 SAP, 3 TF "
+                        "(reference --iguess, src/sadatom/main.cpp:122; the "
+                        "reference defaults to 2=SAP from its precomputed "
+                        "table, but this build regenerates SAP potentials by "
+                        "solving the same spherically-averaged atom, so the "
+                        "default here is TF)")
+    p.add_argument("--dftthr", type=float, default=1e-12,
+                   help="density threshold for the xc evaluation")
+    p.add_argument("--diisorder", type=int, default=10, help="DIIS history length")
+    p.add_argument("--diiseps", type=float, default=0.1,
+                   help="DIIS error below which extrapolation starts mixing in")
+    p.add_argument("--diisthr", type=float, default=None,
+                   help="DIIS error below which extrapolation is pure C2-DIIS "
+                        "(unset = hard switch at diiseps)")
+    p.add_argument("--restricted", type=int, default=None,
+                   help="reference-style mode switch (src/sadatom/main.cpp:123): "
+                        "1 restricted search, -1 unrestricted aufbau search, "
+                        "0 unrestricted multiplicity scan; equivalent to the "
+                        "--unrestricted/--scan switches below")
+    p.add_argument("--zeroder", action="store_true",
+                   help="zero derivative at Rmax (drops the Rmax derivative DOF "
+                        "of Hermite bases; reference --zeroder)")
+    p.add_argument("--taylor_order", type=int, default=-1,
+                   help="accepted for reference parity; B(r)/r near the origin "
+                        "is evaluated by exact (x - x0) polynomial division here "
+                        "(ops/radial.py), so the Taylor-expansion order has no "
+                        "effect")
+    p.add_argument("--x_pars", default="", help="file of 'key=value' parameter "
+                   "overrides for the exchange functional")
+    p.add_argument("--c_pars", default="", help="same for the correlation functional")
     p.add_argument("--nosearch", action="store_true", help="skip occupation search")
     p.add_argument("--occs", default="auto",
                    help="'auto' (search), 'hf' (Saito 2009 table), or per-l "
@@ -91,14 +128,30 @@ def main(argv=None):
     from helfem_tpu.utils.elements import SYMBOLS, get_Z
 
     Z = get_Z(args.Z)
+    if args.restricted is not None:
+        # reference-style mode switch onto the --unrestricted/--scan pair
+        args.unrestricted = args.restricted != 1
+        args.scan = args.restricted == 0
+    if args.x_pars or args.c_pars:
+        from helfem_tpu.cli.atomic import _apply_pars_files
+
+        args.method = _apply_pars_files(args.method, args.x_pars, args.c_pars)
+    guess = {0: "core", 1: "GSZ", 2: "SAP", 3: "TF"}[args.iguess]
+    solver_kw = dict(
+        maxit=args.maxit, convthr=args.convthr, guess=guess, shift=args.shift,
+        dftthr=args.dftthr, diisorder=args.diisorder, diiseps=args.diiseps,
+        diisthr=args.diisthr,
+    )
     basis = SadAtomBasis(
         Z=Z, lmax=args.lmax, rmax=args.Rmax, nelem=args.nelem,
-        nnodes=args.nnodes, primbas=args.primbas, igrid=args.grid, zexp=args.zexp,
+        nnodes=args.nnodes, primbas=args.primbas, nquad=args.nquad,
+        igrid=args.grid, zexp=args.zexp,
         finitenuc=args.finitenuc, Rrms=args.Rrms, nelem0=args.nelem0,
         igrid0=args.grid0, zexp0=args.zexp0,
         iconf=args.iconf, conf_N=args.conf_N, conf_R=args.conf_R,
         conf_barrier=args.conf_barrier, shift_conf=args.shift_conf,
         conf_boundary=args.shift_conf if (args.add_conf and args.iconf) else 0.0,
+        zeroder=args.zeroder,
     )
     occs = None
     if args.occs == "hf":
@@ -113,9 +166,8 @@ def main(argv=None):
     elif args.occs != "auto":
         occs = np.array([int(x) for x in args.occs.replace(",", " ").split()])
     res = solve_sadatom(
-        basis, nel=Z - args.Q, method=args.method, maxit=args.maxit,
-        convthr=args.convthr, search=not args.nosearch, verbose=True,
-        occs=occs,
+        basis, nel=Z - args.Q, method=args.method,
+        search=not args.nosearch, verbose=True, occs=occs, **solver_kw,
     )
     shells = "spdfgh"
     if res.conf_list and len(res.conf_list) > 1:
@@ -225,8 +277,7 @@ def main(argv=None):
             nela = (nel + args.M - 1) // 2
             nelb = nel - nela
             r_u = solve_sadatom_unrestricted(
-                basis, nela, nelb, method=args.method,
-                maxit=args.maxit, convthr=args.convthr,
+                basis, nela, nelb, method=args.method, **solver_kw,
             )
             M = args.M
             if not r_u.converged:
@@ -235,8 +286,7 @@ def main(argv=None):
             # configuration search (reference restricted=-1, or =0 with --scan)
             r_u = search_sadatom_unrestricted(
                 basis, nel=nel, method=args.method,
-                mode="scan" if args.scan else "aufbau",
-                maxit=args.maxit, convthr=args.convthr,
+                mode="scan" if args.scan else "aufbau", **solver_kw,
             )
             print(f"\nMinimal energy spin states for {SYMBOLS[Z]}")
             E0 = r_u.conf_list[0][1]

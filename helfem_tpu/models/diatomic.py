@@ -42,7 +42,7 @@ from helfem_tpu.ops.grids import get_grid
 from helfem_tpu.ops.legendreq import legendre_PQ
 from helfem_tpu.ops.polynomials import get_basis
 from helfem_tpu.ops.quadrature import chebyshev
-from helfem_tpu.utils.linalg import form_sinvh
+from helfem_tpu.utils.linalg import form_sinvh, form_sinvh_chol
 
 __all__ = ["DiatomicBasis", "DiatomicOperators", "coulomb_dia", "exchange_dia"]
 
@@ -455,7 +455,11 @@ class DiatomicBasis:
         return t00, t02, t20, t22, dP0, dP2, dQ0, dQ2
 
     # --- device constants ----------------------------------------------------------------
-    def build_operators(self, parity: bool = True) -> DiatomicOperators:
+    def build_operators(self, parity: bool = True, chol: bool = False) -> DiatomicOperators:
+        """chol=True whitens each symmetry block with the inverse Cholesky
+        factor instead of the symmetric eigendecomposition half-inverse
+        (reference --diag 0, TwoDBasis::Sinvh(chol=true),
+        src/diatomic/main.cpp:111,472)."""
         from math import factorial
 
         nang, nrad = self.nang, self.nrad
@@ -517,7 +521,8 @@ class DiatomicBasis:
         blk_sinvh = np.zeros((nblk, blen, blen))
         for i, idx in enumerate(blocks):
             blk_idx[i, : len(idx)] = idx
-            blk_sinvh[i, : len(idx), : len(idx)] = form_sinvh(S[np.ix_(idx, idx)])
+            inv = form_sinvh_chol if chol else form_sinvh
+            blk_sinvh[i, : len(idx), : len(idx)] = inv(S[np.ix_(idx, idx)])
 
         T = self.kinetic()
         V = self.nuclear()

@@ -90,6 +90,9 @@ class SadAtomBasis:
     conf_barrier: float = 0.0
     shift_conf: float = 0.0
     conf_boundary: float = 0.0  # insert an element boundary here if > 0
+    # drop the derivative DOF at Rmax too (Hermite bases; reference
+    # gensap --zeroder, src/sadatom/main.cpp:132)
+    zeroder: bool = False
 
     rb: RadialBasis = field(init=False)
 
@@ -104,7 +107,9 @@ class SadAtomBasis:
             self.zexp, self.nelem0, self.igrid0, self.zexp0, self.Z,
             0, 0, 0.0, self.conf_boundary,
         )
-        self.rb = RadialBasis(FEMBasis(poly, bval), self.nquad)
+        self.rb = RadialBasis(
+            FEMBasis(poly, bval, drop_last_deriv=self.zeroder), self.nquad
+        )
         self.Vconf = None  # set by build_ops when iconf != 0
 
     @property
@@ -765,6 +770,10 @@ def solve_sadatom_unrestricted(
     verbose: bool = False,
     ops: SadOps | None = None,
     shift: float = 1.0,
+    dftthr: float = 1e-12,
+    diisorder: int = 10,
+    diiseps: float = 0.1,
+    diisthr: float | None = None,
 ) -> "SadResult":
     """Spin-polarized spherically-averaged SCF (reference: uconf_t path,
     src/sadatom/solver.cpp FockBuild(uconf_t)). Occupations per l channel
@@ -776,7 +785,7 @@ def solve_sadatom_unrestricted(
         ops = basis.build_ops()
     nl, nrad = basis.lmax + 1, basis.nrad
     funcs, kfrac = parse_method(method)
-    fock = make_sad_fock(tuple(funcs), kfrac, nl, nrad)
+    fock = make_sad_fock(tuple(funcs), kfrac, nl, nrad, dftthr)
 
     Vg = jnp.asarray(basis.rb.model_potential(potential(guess, basis.Z)(basis.rb.r)))
     ll1 = np.arange(nl) * (np.arange(nl) + 1.0)
@@ -794,12 +803,13 @@ def solve_sadatom_unrestricted(
 
     Svec = np.asarray(ops.at.S)
     Sinvh = np.asarray(ops.at.Sinvh_rad)
-    diis = DIIS(Svec, Sinvh, max_hist=10, diis_eps=0.1, adiis=False)
+    diis = DIIS(Svec, Sinvh, max_hist=diisorder, diis_eps=diiseps,
+                diis_thr=diisthr, adiis=False)
     Eold, Etot, converged = 0.0, 0.0, False
     Ekin = Ecoul = Exx = Exc = 0.0
     out = None
     warmup = 2
-    nhist, CH = 10, 4
+    nhist, CH = diisorder, 4
     fused = None
     hist = None
     it = 0
@@ -811,7 +821,7 @@ def solve_sadatom_unrestricted(
             if fused is None:
                 fused = make_sad_fused_chunk(
                     tuple(funcs), kfrac, nl, nrad, nhist, CH,
-                    restricted=False, shift=shift,
+                    dftthr=dftthr, restricted=False, shift=shift,
                 )
                 hist = (
                     jnp.zeros((nhist, 2, nl, nrad, nrad)),
@@ -932,6 +942,10 @@ def solve_sadatom(
     ops: SadOps | None = None,
     search: bool = True,
     shift: float = 1.0,
+    dftthr: float = 1e-12,
+    diisorder: int = 10,
+    diiseps: float = 0.1,
+    diisthr: float | None = None,
 ) -> SadResult:
     """Restricted spherically-averaged SCF. occs given -> one
     fixed-occupation solve; search=True -> exhaustive ground-configuration
@@ -944,7 +958,7 @@ def solve_sadatom(
         ops = basis.build_ops()
     nl, nrad = basis.lmax + 1, basis.nrad
     funcs, kfrac = parse_method(method)
-    fock = make_sad_fock(tuple(funcs), kfrac, nl, nrad)
+    fock = make_sad_fock(tuple(funcs), kfrac, nl, nrad, dftthr)
 
     # guess orbitals
     Vg = jnp.asarray(basis.rb.model_potential(potential(guess, basis.Z)(basis.rb.r)))
@@ -964,7 +978,8 @@ def solve_sadatom(
         Eold, Etot = 0.0, 0.0
         Svec = np.asarray(ops.at.S)
         Sinvh = np.asarray(ops.at.Sinvh_rad)
-        diis = DIIS(Svec, Sinvh, max_hist=10, diis_eps=0.1, adiis=False)
+        diis = DIIS(Svec, Sinvh, max_hist=diisorder, diis_eps=diiseps,
+                    diis_thr=diisthr, adiis=False)
         occw_np, angw_np = occ_weight_vectors(occs, nl, nrad, True)
         occw = jnp.asarray(occw_np)
         angw = jnp.asarray(angw_np)
@@ -972,7 +987,7 @@ def solve_sadatom(
         out = None
         Ekin = Ecoul = Exx = Exc = 0.0
         warmup = 2
-        nhist, CH = 10, 4
+        nhist, CH = diisorder, 4
         fused = None
         hist = None
         it = 0
@@ -982,7 +997,7 @@ def solve_sadatom(
                 if fused is None:
                     fused = make_sad_fused_chunk(
                         tuple(funcs), kfrac, nl, nrad, nhist, CH,
-                        restricted=True, shift=shift,
+                        dftthr=dftthr, restricted=True, shift=shift,
                     )
                     hist = (
                         jnp.zeros((nhist, nl, nrad, nrad)),
@@ -1138,6 +1153,11 @@ def search_sadatom_unrestricted(
     guess: str = "TF",
     verbose: bool = False,
     max_dx: int = 5,
+    shift: float = 1.0,
+    dftthr: float = 1e-12,
+    diisorder: int = 10,
+    diiseps: float = 0.1,
+    diisthr: float | None = None,
 ) -> SadResult:
     """Unrestricted ground-configuration search.
 
@@ -1175,6 +1195,11 @@ def search_sadatom_unrestricted(
                 guess=guess,
                 verbose=verbose,
                 ops=ops,
+                shift=shift,
+                dftthr=dftthr,
+                diisorder=diisorder,
+                diiseps=diiseps,
+                diisthr=diisthr,
             )
         r = results[key]
         return r.E, r.converged, r.orbE, r.orbE_b

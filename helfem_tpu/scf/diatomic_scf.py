@@ -68,6 +68,33 @@ def eig_blocks_dia_host(ops: DiatomicOperators, F: np.ndarray):
     return E, C
 
 
+def fock_m_average_dia(F: np.ndarray, basis) -> np.ndarray:
+    """Average the Fock submatrices over the +m/-m symmetry pairs so the
+    pi+/pi-, delta+/delta-, ... channels stay exactly degenerate
+    (reference --maverage: scf::fock_symmetry_average over m_indices(m),
+    m_indices(-m), src/diatomic/main.cpp:325-332,892-895). Shells are
+    paired in ascending-l order; the +-m shells share the same l set and
+    the same radial mask, so the full submatrices (including cross-l
+    couplings within the m block) correspond one-to-one."""
+    F = np.array(F)
+    nrad = basis.nrad
+    for m in sorted(set(basis.mval)):
+        if m <= 0:
+            continue
+        sp = sorted((a for a in range(basis.nang) if basis.mval[a] == m),
+                    key=lambda a: basis.lval[a])
+        sm = sorted((a for a in range(basis.nang) if basis.mval[a] == -m),
+                    key=lambda a: basis.lval[a])
+        if len(sp) != len(sm):
+            continue
+        idxp = np.concatenate([np.arange(a * nrad, (a + 1) * nrad) for a in sp])
+        idxm = np.concatenate([np.arange(a * nrad, (a + 1) * nrad) for a in sm])
+        mean = 0.5 * (F[np.ix_(idxp, idxp)] + F[np.ix_(idxm, idxm)])
+        F[np.ix_(idxp, idxp)] = mean
+        F[np.ix_(idxm, idxm)] = mean
+    return F
+
+
 @jax.jit
 def eig_blocks_dia_shifted(ops: DiatomicOperators, F: jnp.ndarray,
                            C_prev: jnp.ndarray, occ: jnp.ndarray, shift: float):
@@ -339,6 +366,8 @@ def scf_diatomic(
     readocc_until: int = 0,
     diisthr: float | None = None,
     save_cb=None,
+    diag: bool = True,
+    maverage: bool = False,
 ) -> DiaSCFResult:
     """Diatomic SCF. Ez/Qzz/Bz add the electric-dipole, quadrupole, and
     magnetic (orbital Zeeman + diamagnetic + spin) field operators
@@ -346,12 +375,15 @@ def scf_diatomic(
     the nuclear model, evaluated on the 2D quadrature grid
     (main.cpp:492-514). shift > 0 level-shifts the virtual orbitals until
     the DIIS error drops below 1e-3 (needed for rough-potential functionals
-    like BR89)."""
+    like BR89). diag=False whitens the symmetry blocks with the inverse
+    Cholesky factor (reference --diag 0); maverage averages the Fock
+    submatrices over +-m symmetry pairs every iteration (reference
+    --maverage, src/diatomic/main.cpp:892-895)."""
     from helfem_tpu.ops.xc import parse_method
 
     if ops is None:
         # an axial electric field couples even and odd l: no g/u blocks then
-        ops = basis.build_operators(parity=(Ez == 0.0))
+        ops = basis.build_operators(parity=(Ez == 0.0), chol=not diag)
     nbf = basis.nbf
     funcs, kfrac = parse_method(method)
     g = None
@@ -456,7 +488,8 @@ def scf_diatomic(
     # fused on-device chunks engage after a short host warmup; the level
     # shift and the ROHF Fock surgery need per-iteration host logic and
     # keep the host loop
-    warmup = 2 if (shift == 0.0 and not rohf and not host_eig) else maxit
+    warmup = 2 if (shift == 0.0 and not rohf and not host_eig
+                   and not maverage) else maxit
     fused = None
     hist = None
     Nel = 0.0
@@ -546,6 +579,13 @@ def scf_diatomic(
         Etot = float(Ekin + Enuc + Ecoul + Exx + Exc) + Enucrep + Efield + Emag
         dE = Etot - Eold
         Eold = Etot
+
+        if maverage:
+            # average the Fock submatrices over the +-m symmetry pairs
+            # (reference --maverage: scf::fock_symmetry_average over
+            # m_indices(+-m), src/diatomic/main.cpp:325-332,892-895)
+            Fa = fock_m_average_dia(np.asarray(Fa), basis)
+            Fb = Fa if restricted else fock_m_average_dia(np.asarray(Fb), basis)
 
         if restricted:
             err = diis.update([np.asarray(Fa)], [np.asarray(Pa)])
