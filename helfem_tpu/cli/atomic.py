@@ -216,11 +216,23 @@ def main(argv=None):
     # warm start from a checkpoint (cross-basis orbital projection)
     P0a = P0b = None
     if args.load:
-        from helfem_tpu.utils.checkpoint import load_atomic, warm_start_density
+        if args.load.endswith((".chk", ".h5", ".hdf5")):
+            # reference-schema HDF5 checkpoint (interoperable with upstream
+            # HelFEM --save files; utils/checkpoint_h5.py)
+            from helfem_tpu.utils.checkpoint_h5 import (
+                load_atomic_chk,
+                warm_start_density_atomic_h5,
+            )
 
-        oldb, d = load_atomic(args.load)
-        P0a, P0b = warm_start_density(basis, oldb, d)
-        print(f"Warm start from {args.load} (E = {float(d['E']):.9f})")
+            oldb, d = load_atomic_chk(args.load)
+            P0a, P0b = warm_start_density_atomic_h5(basis, oldb, d)
+            print(f"Warm start from HDF5 checkpoint {args.load}")
+        else:
+            from helfem_tpu.utils.checkpoint import load_atomic, warm_start_density
+
+            oldb, d = load_atomic(args.load)
+            P0a, P0b = warm_start_density(basis, oldb, d)
+            print(f"Warm start from {args.load} (E = {float(d['E']):.9f})")
 
     # enforced occupations from a file: lines 'l m na nb'
     occs = None
@@ -249,7 +261,13 @@ def main(argv=None):
             orbs_b=None if Cb is None else _np.asarray(Cb),
             occ_b=occb,
         )
-        save_atomic(args.save, basis, st)
+        # crash-recovery writes stay npz; when the final --save target is a
+        # reference-schema HDF5 file, write them alongside it instead of
+        # mixing formats in one path
+        crash_path = args.save
+        if crash_path.endswith((".chk", ".h5", ".hdf5")):
+            crash_path += ".crash.npz"
+        save_atomic(crash_path, basis, st)
 
     res = scf_atom(
         basis, nela, nelb, method=args.method, maxit=args.maxit,
@@ -303,7 +321,15 @@ def main(argv=None):
     print(f"Dipole <z>            : {ana['dipole_z']:.10e}")
     print(f"Quadrupole <zz>       : {ana['quadrupole_zz']:.10e}")
     if args.save:
-        save_atomic(args.save, basis, res)
+        if args.save.endswith((".chk", ".h5", ".hdf5")):
+            # reference-schema HDF5 export (readable by upstream HelFEM
+            # --load and its post-processing tools); the per-iteration
+            # crash-recovery writes above stay in the npz format
+            from helfem_tpu.utils.checkpoint_h5 import save_atomic_chk
+
+            save_atomic_chk(args.save, basis, res, nela, nelb)
+        else:
+            save_atomic(args.save, basis, res)
         print(f"checkpoint saved to {args.save}")
     return res
 

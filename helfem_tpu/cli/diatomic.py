@@ -144,7 +144,18 @@ def main(argv=None):
             parity = True
     ops = basis.build_operators(parity=parity, chol=not args.diag)
     P0a = P0b = None
-    if args.load:
+    if args.load and args.load.endswith((".chk", ".h5", ".hdf5")):
+        # reference-schema HDF5 checkpoint (interoperable with upstream
+        # HelFEM --save files; utils/checkpoint_h5.py)
+        from helfem_tpu.utils.checkpoint_h5 import (
+            load_diatomic_chk,
+            warm_start_density_dia_h5,
+        )
+
+        bold, d = load_diatomic_chk(args.load)
+        P0a, P0b = warm_start_density_dia_h5(basis, bold, d)
+        print(f"warm start from HDF5 checkpoint {args.load}")
+    elif args.load:
         import jax.numpy as jnp
         import numpy as np
 
@@ -182,7 +193,12 @@ def main(argv=None):
             orbs_b=None if Cb is None else _np.asarray(Cb),
             occ_b=occb,
         )
-        _save_dia(args.save, basis, st)
+        # crash-recovery writes stay npz; keep them out of an HDF5 --save
+        # target (the reference-schema file is written once at the end)
+        crash_path = args.save
+        if crash_path.endswith((".chk", ".h5", ".hdf5")):
+            crash_path += ".crash.npz"
+        _save_dia(crash_path, basis, st)
 
     res = scf_diatomic(
         basis, nela, nelb, method=args.method, maxit=args.maxit,
@@ -196,9 +212,16 @@ def main(argv=None):
         diag=bool(args.diag), maverage=args.maverage,
     )
     if args.save:
-        from helfem_tpu.utils.checkpoint import save_diatomic
+        if args.save.endswith((".chk", ".h5", ".hdf5")):
+            # reference-schema HDF5 export (readable by upstream HelFEM
+            # --load and its density_line/density_grid post-processing)
+            from helfem_tpu.utils.checkpoint_h5 import save_diatomic_chk
 
-        save_diatomic(args.save, basis, res)
+            save_diatomic_chk(args.save, basis, res, nela, nelb)
+        else:
+            from helfem_tpu.utils.checkpoint import save_diatomic
+
+            save_diatomic(args.save, basis, res)
         print(f"checkpoint saved to {args.save}")
     print()
     for name, val in [

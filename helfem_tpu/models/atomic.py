@@ -164,6 +164,10 @@ class AtomicBasis:
     # drop the derivative DOF at Rmax too (Hermite bases; reference
     # --zeroder, src/atomic/main.cpp)
     zeroder: bool = False
+    # explicit element boundaries in r (overrides the grid-construction
+    # parameters; used when reconstructing a basis from a reference-schema
+    # HDF5 checkpoint, which stores bval directly)
+    bval: np.ndarray | None = None
 
     lval: np.ndarray = field(init=False)
     mval: np.ndarray = field(init=False)
@@ -174,11 +178,16 @@ class AtomicBasis:
         poly = get_basis(self.primbas, self.nnodes)
         if self.nquad == 0:
             self.nquad = 5 * self.nnodes
-        bval = form_grid(
-            self.finitenuc, self.Rrms, self.nelem, self.rmax, self.igrid,
-            self.zexp, self.nelem0, self.igrid0, self.zexp0, self.Z,
-            self.Zl, self.Zr, self.Rmid, self.conf_boundary,
-        )
+        if self.bval is not None:
+            bval = np.asarray(self.bval, dtype=float)
+            self.nelem = len(bval) - 1
+            self.rmax = float(bval[-1])
+        else:
+            bval = form_grid(
+                self.finitenuc, self.Rrms, self.nelem, self.rmax, self.igrid,
+                self.zexp, self.nelem0, self.igrid0, self.zexp0, self.Z,
+                self.Zl, self.Zr, self.Rmid, self.conf_boundary,
+            )
         fem = FEMBasis(poly, bval, drop_first=True, drop_last=True,
                        drop_last_deriv=self.zeroder)
         self.rb = RadialBasis(fem, self.nquad)

@@ -110,6 +110,10 @@ class DiatomicBasis:
     igrid: int = 4
     zexp: float = 2.0
     primbas: int = 4
+    # explicit element boundaries in mu (overrides rmax/nelem/igrid/zexp;
+    # used when reconstructing a basis from a reference-schema HDF5
+    # checkpoint, which stores bval directly)
+    bval: np.ndarray | None = None
 
     lval: np.ndarray = field(init=False)
     mval: np.ndarray = field(init=False)
@@ -122,8 +126,13 @@ class DiatomicBasis:
         if self.nquad == 0:
             self.nquad = 5 * self.nnodes
         self.Rhalf = 0.5 * self.Rbond
-        mumax = np.arccosh(self.rmax / self.Rhalf)
-        bval = get_grid(mumax, self.nelem, self.igrid, self.zexp)
+        if self.bval is not None:
+            bval = np.asarray(self.bval, dtype=float)
+            self.nelem = len(bval) - 1
+            self.rmax = float(self.Rhalf * np.cosh(bval[-1]))
+        else:
+            mumax = np.arccosh(self.rmax / self.Rhalf)
+            bval = get_grid(mumax, self.nelem, self.igrid, self.zexp)
         poly = get_basis(self.primbas, self.nnodes)
         self.fem = FEMBasis(poly, bval, drop_first=False, drop_last=True)
         self.xq, self.wq = chebyshev(self.nquad)

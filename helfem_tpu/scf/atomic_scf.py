@@ -62,6 +62,14 @@ class SCFResult:
     occ_b: np.ndarray | None = None
     orbsym_a: list[str] | None = None  # symmetry label per orbE_a entry
     orbsym_b: list[str] | None = None
+    # unsorted per-block eigenvalues [nblk, blen] matching orbs_a/b columns
+    # (needed to assemble global energy-ordered orbital vectors, e.g. for
+    # the reference-schema HDF5 checkpoint export)
+    orbE_blocks_a: np.ndarray | None = None
+    orbE_blocks_b: np.ndarray | None = None
+    # symmetry-block setting the solve used (sym_blocks(symm) reproduces
+    # the block index sets orbs_a/b are expressed in)
+    symm_used: int | None = None
 
 
 def aufbau_blocks(E: np.ndarray, nel: float) -> np.ndarray:
@@ -706,6 +714,9 @@ def scf_atom(
         occ_b=None if restricted else occb,
         orbsym_a=_sorted_syms(Ea),
         orbsym_b=None if restricted else _sorted_syms(np.asarray(Eb)),
+        orbE_blocks_a=np.asarray(Ea),
+        orbE_blocks_b=None if restricted else np.asarray(Eb),
+        symm_used=symm,
     )
 
 

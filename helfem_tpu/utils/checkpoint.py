@@ -33,6 +33,7 @@ def save_atomic(path: str, basis, res) -> None:
         igrid0=basis.igrid0, zexp0=basis.zexp0, Zl=basis.Zl, Zr=basis.Zr,
         Rmid=basis.Rmid, conf_boundary=basis.conf_boundary,
         zeroder=basis.zeroder,
+        bval_r=basis.rb.fem.bval,
         converged=res.converged, E=res.E,
         orbE_a=res.orbE_a, orbs_a=res.orbs_a, occ_a=res.occ_a,
         orbE_b=_opt(res.orbE_b), orbs_b=_opt(res.orbs_b), occ_b=_opt(res.occ_b),
@@ -59,6 +60,9 @@ def load_atomic(path: str):
         Rmid=float(d["Rmid"]) if "Rmid" in d else 0.0,
         conf_boundary=float(d["conf_boundary"]) if "conf_boundary" in d else 0.0,
         zeroder=bool(d["zeroder"]) if "zeroder" in d else False,
+        # explicit boundaries win over the grid parameters (exact restart
+        # for bases built from a reference HDF5 checkpoint's bval)
+        bval=d["bval_r"] if "bval_r" in d else None,
     )
     return basis, dict(d)
 
@@ -74,6 +78,7 @@ def save_diatomic(path: str, basis, res) -> None:
         rmax=basis.rmax, nelem=basis.nelem, nnodes=basis.nnodes,
         nquad=basis.nquad, igrid=basis.igrid, zexp=basis.zexp,
         primbas=basis.primbas,
+        bval_mu=basis.fem.bval,
         converged=res.converged, E=res.E,
         orbE_a=res.orbE_a, orbs_a=_opt(res.orbs_a), occ_a=_opt(res.occ_a),
         orbE_b=_opt(res.orbE_b), orbs_b=_opt(res.orbs_b), occ_b=_opt(res.occ_b),
@@ -92,6 +97,7 @@ def load_diatomic(path: str):
         rmax=float(d["rmax"]), nelem=int(d["nelem"]), nnodes=int(d["nnodes"]),
         nquad=int(d["nquad"]), igrid=int(d["igrid"]), zexp=float(d["zexp"]),
         primbas=int(d["primbas"]) if "primbas" in d else 4,
+        bval=d["bval_mu"] if "bval_mu" in d else None,
     )
     return basis, dict(d)
 
