@@ -176,6 +176,24 @@ def _ex_pbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0, *,
     return 0.5 * (exs(2.0 * ra, 4.0 * saa) + exs(2.0 * rb, 4.0 * sbb))
 
 
+def _ex_rpbe(ra, rb, saa, sab, sbb, ta=0.0, tb=0.0, *,
+             kappa=0.804, mu=0.2195149727645171):
+    # RPBE (Hammer, Hansen, Norskov, PRB 59, 7413 (1999)): same UEG limit,
+    # small-s expansion, and Lieb-Oxford-motivated 1+kappa bound as PBE,
+    # but the enhancement saturates exponentially:
+    # Fx = 1 + kappa (1 - exp(-mu s^2 / kappa)).
+    def exs(r2, s2x4):
+        kf1 = (3.0 * jnp.pi**2) ** (1.0 / 3.0)
+        r13 = r2 ** (1.0 / 3.0)
+        exu = -3.0 * kf1 * r13 / (4.0 * jnp.pi)
+        inv43 = r2 ** (-4.0 / 3.0)
+        s2 = (s2x4 * inv43) * inv43 / (4.0 * kf1**2)
+        Fx = 1.0 + kappa * (1.0 - jnp.exp(-mu * s2 / kappa))
+        return r2 * exu * Fx
+
+    return 0.5 * (exs(2.0 * ra, 4.0 * saa) + exs(2.0 * rb, 4.0 * sbb))
+
+
 # ----------------------------------------------------------------------------
 # PBE correlation
 # ----------------------------------------------------------------------------
@@ -684,6 +702,7 @@ _CATALOG = {
     "lda_c_pw": Functional("lda_c_pw", "lda", _ec_pw92),
     "gga_x_pbe": Functional("gga_x_pbe", "gga", _ex_pbe),
     "gga_c_pbe": Functional("gga_c_pbe", "gga", _ec_pbe),
+    "gga_x_rpbe": Functional("gga_x_rpbe", "gga", _ex_rpbe),
     "gga_x_b88": Functional("gga_x_b88", "gga", _ex_b88),
     "gga_c_lyp": Functional("gga_c_lyp", "gga", _ec_lyp),
     "mgga_x_tpss": Functional("mgga_x_tpss", "mgga", _ex_tpss),
@@ -716,6 +735,7 @@ _ALIASES = {
     "b3lyp5": (0.20, [(0.08, "lda_x", {}), (0.72, "gga_x_b88", {}),
                       (0.19, "lda_c_vwn", {}), (0.81, "gga_c_lyp", {})]),
     # parameter-override variants (Zhang-Yang revPBE; Perdew et al. PBEsol)
+    "rpbe": (0.0, [(1.0, "gga_x_rpbe", {}), (1.0, "gga_c_pbe", {})]),
     "revpbe": (0.0, [(1.0, "gga_x_pbe", {"kappa": 1.245}), (1.0, "gga_c_pbe", {})]),
     "pbesol": (0.0, [(1.0, "gga_x_pbe", {"mu": 10.0 / 81.0}),
                      (1.0, "gga_c_pbe", {"beta": 0.046})]),

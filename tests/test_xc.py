@@ -362,3 +362,50 @@ def test_tpssh_b3lyp_hybrid_consistency():
     assert rb3.converged
     assert abs(rb3.Exx - 0.20 * rhf.Exx) < 5e-3
     assert abs(rb3.E + 2.9037) < 2e-2
+
+
+def test_rpbe_constraints():
+    """RPBE exchange (Hammer-Hansen-Norskov 1999): same UEG limit and
+    small-s expansion as PBE, stronger enhancement at every s > 0, and the
+    same 1 + kappa saturation bound."""
+    z = jnp.array(0.0)
+    r = get_functional("gga_x_rpbe")
+    p = get_functional("gga_x_pbe")
+    l = get_functional("lda_x")
+    for ra in (0.1, 0.7):
+        er = float(r.f(jnp.array(ra), jnp.array(ra), z, z, z))
+        el = float(l.f(jnp.array(ra), jnp.array(ra), z, z, z))
+        assert abs(er - el) < 1e-12  # UEG limit
+    # 1 - e^{-x} > x/(1+x) for x > 0: RPBE Fx > PBE Fx at any finite s,
+    # so the (negative) exchange energy density is more negative
+    for sig in (1e-3, 0.1, 10.0, 1e4):
+        s = jnp.array(sig)
+        erp = float(r.f(jnp.array(0.4), jnp.array(0.4), s, z, s))
+        epb = float(p.f(jnp.array(0.4), jnp.array(0.4), s, z, s))
+        assert erp < epb < 0.0
+        # both bounded by the (1 + kappa) * LDA envelope
+        elo = (1.0 + 0.804) * float(l.f(jnp.array(0.4), jnp.array(0.4), z, z, z))
+        assert erp > elo - 1e-12
+    # small-s expansions agree to O(s^4): the Fx difference is
+    # (mu s^2/kappa)^2/2, quadratically smaller than the s^2 term itself
+    s4, s5 = jnp.array(1e-4), jnp.array(1e-5)
+    d4 = abs(float(r.f(jnp.array(0.4), jnp.array(0.4), s4, z, s4))
+             - float(p.f(jnp.array(0.4), jnp.array(0.4), s4, z, s4)))
+    d5 = abs(float(r.f(jnp.array(0.4), jnp.array(0.4), s5, z, s5))
+             - float(p.f(jnp.array(0.4), jnp.array(0.4), s5, z, s5)))
+    assert d4 < 1e-10
+    assert d5 < 1e-2 * d4  # O(sigma^2) decay of the difference
+
+
+def test_rpbe_he_scf():
+    """RPBE runs through the full SCF machinery; it is a softer-saturating
+    enhancement than revPBE but stronger than PBE, so E sits between."""
+    from helfem_tpu.models.atomic import AtomicBasis
+    from helfem_tpu.scf.atomic_scf import scf_atom
+
+    b = AtomicBasis(Z=2, lmax=0, mmax=0, rmax=30.0, nelem=8, nnodes=10)
+    e_pbe = scf_atom(b, 1, 1, method="PBE", convthr=1e-7).E
+    e_rpbe = scf_atom(b, 1, 1, method="RPBE", convthr=1e-7).E
+    e_rev = scf_atom(b, 1, 1, method="revPBE", convthr=1e-7).E
+    assert e_rpbe < e_pbe - 1e-4
+    assert abs(e_rpbe - e_rev) < 5e-2  # same design goal, similar magnitude
