@@ -76,8 +76,9 @@ def main(argv=None):
     p.add_argument("--zexp0", type=float, default=2.0)
     p.add_argument("--add_conf", type=int, default=1,
                    help="insert an element boundary at the confinement onset radius")
-    p.add_argument("--load", default="", help="warm start from an npz checkpoint "
-                   "(cross-basis orbital projection)")
+    p.add_argument("--load", default="", help="warm start from a checkpoint "
+                   "(cross-basis orbital projection); .chk/.h5/.hdf5 reads the "
+                   "reference HDF5 schema, anything else npz")
     p.add_argument("--readocc", default="", help="occupation file: lines 'l m na nb' "
                    "(enforced per-(l,m) occupations)")
     p.add_argument("--maxit", type=int, default=50)
@@ -95,7 +96,8 @@ def main(argv=None):
     p.add_argument("--conf_R", type=float, default=0.0)
     p.add_argument("--conf_barrier", type=float, default=0.0)
     p.add_argument("--shift_conf", type=float, default=0.0)
-    p.add_argument("--save", default="helfem.npz", help="checkpoint file")
+    p.add_argument("--save", default="helfem.npz", help="checkpoint file; a "
+                   ".chk/.h5/.hdf5 extension writes the reference HDF5 schema")
     p.add_argument("--dftthr", type=float, default=1e-12)
     # SCF control knobs (reference: src/atomic/main.cpp:63-119)
     p.add_argument("--restricted", type=int, default=-1,

@@ -48,8 +48,11 @@ def main(argv=None):
                    help="average the Fock matrix over +-m symmetry pairs "
                         "every iteration (reference --maverage, "
                         "src/diatomic/main.cpp:133,892-895)")
-    p.add_argument("--save", default="", help="write npz checkpoint")
-    p.add_argument("--load", default="", help="warm start from npz checkpoint")
+    p.add_argument("--save", default="", help="write a checkpoint; a "
+                   ".chk/.h5/.hdf5 extension writes the reference HDF5 schema, "
+                   "anything else npz")
+    p.add_argument("--load", default="", help="warm start from a checkpoint "
+                   "(npz or reference-schema HDF5 by extension)")
     p.add_argument("--Ez", type=float, default=0.0, help="electric field along the bond")
     p.add_argument("--Qzz", type=float, default=0.0, help="quadrupole field strength")
     p.add_argument("--Bz", type=float, default=0.0, help="magnetic field along the bond")

@@ -165,106 +165,131 @@ def main(argv=None):
         print(f"Saito 2009 occupations for {SYMBOLS[Z]}: {list(occs)}")
     elif args.occs != "auto":
         occs = np.array([int(x) for x in args.occs.replace(",", " ").split()])
-    res = solve_sadatom(
-        basis, nel=Z - args.Q, method=args.method,
-        search=not args.nosearch, verbose=True, occs=occs, **solver_kw,
-    )
-    shells = "spdfgh"
-    if res.conf_list and len(res.conf_list) > 1:
-        # energy-ordered configuration list (reference: main.cpp:350-365)
-        print(f"\nMinimal energy configurations for {SYMBOLS[Z]}")
-        E0 = res.conf_list[0][1]
-        for i, (key, E, conv) in enumerate(res.conf_list):
-            occfmt = " ".join(f"{n:2d}" for n in key)
-            line = f" {occfmt}  {E:+.10f}"
-            if i > 0:
-                line += f" {(E - E0) * 27.211386245988:11.6f}"
-            if not conv:
-                line += "  convergence failure"
-            print(line)
-    occstr = " ".join(f"{shells[l]}^{n}" for l, n in enumerate(res.occs) if n)
-    print(f"\nConfiguration: {occstr}")
-    Epot = res.E - res.Ekin - res.Ecoul - res.Exx - res.Exc
-    Econf = 0.0
-    if basis.Vconf is not None:
-        Econf = float(np.sum(res.Pl.sum(axis=0) * np.asarray(basis.Vconf)))
-    print(f"Etot  = % 18.9f" % res.E)
-    print(f"Ekin  = % 18.9f" % res.Ekin)
-    print(f"Ecoul = % 18.9f" % res.Ecoul)
-    print(f"Eenuc = % 18.9f" % (Epot - Econf))
-    if basis.Vconf is not None:
-        print(f"Econf = % 18.9f" % Econf)
-    print(f"Exc   = % 18.9f" % (res.Exx + res.Exc))
+    # spin-resolved occupations (reference: main.cpp:578-590 expects
+    # 2*(lmax+1) entries when restricted=0/-1; restricted=-1 with lmax+1
+    # entries goes through Hund's rules, translate_occs at main.cpp:87-95)
+    occs_u = None
+    if occs is not None and args.unrestricted:
+        from helfem_tpu.models.sadconf import hund_rule
 
-    Prad = res.Pl.sum(axis=0)
-    # vdW + electron-count radii (reference: main.cpp:632-639)
-    BOHR_A = 0.529177210903
-    rvdw = vdw_radius(basis, Prad, args.vdwthr)
-    print(f"\nEstimated vdW radius with density threshold {args.vdwthr:e} "
-          f"is {rvdw:.6f} bohr = {rvdw * BOHR_A:.6f} A")
-    print("Note that this criterion is sensitive to numerical noise.")
-    rincl = electron_count_radius(basis, Prad, (Z - args.Q) - args.eps_el)
-    print(f"Estimated vdW radius with electron count threshold "
-          f"{args.eps_el:e} is {rincl:.6f} bohr = {rincl * BOHR_A:.6f} A")
-
-    # SAP potential table (reference: RestrictedPotential 9-column format);
+        if len(occs) == 2 * (args.lmax + 1):
+            occs_u = (occs[: args.lmax + 1], occs[args.lmax + 1 :])
+        elif len(occs) == args.lmax + 1:
+            occs_u = hund_rule(occs)
+            print("Used Hund's rules to translate occupations into "
+                  f"{list(occs_u[0])} + {list(occs_u[1])}")
+        else:
+            raise SystemExit(f"--occs needs {args.lmax + 1} or "
+                             f"{2 * (args.lmax + 1)} entries")
+        occs = None
+    elif occs is not None and len(occs) != args.lmax + 1:
+        raise SystemExit(f"--occs needs {args.lmax + 1} entries")
     # --pot computes the exported screening with a DIFFERENT functional
     # than the SCF (reference: main.cpp:672-678)
     funcs, _ = parse_method(args.method)
     pot_funcs = funcs if args.pot == "none" else parse_method(args.pot)[0]
     if args.pot != "none":
         print(f"exported potential computed with {args.pot}")
-    r, n, dn, ln, wt = radial_density(basis, Prad)
-    tau = kinetic_energy_density(basis, res.Pl)
-    vcoul = coulomb_screening(basis, Prad)
-    vxc = xc_screening(basis, Prad, pot_funcs)
-    zeff = Z - (vcoul + vxc)
-    out = np.column_stack([r, n, dn, ln, tau, vcoul, vxc, wt, zeff])
-    order = np.argsort(r)
-    path = args.output or f"result_{SYMBOLS[Z]}.dat"
-    np.savetxt(path, out[order])
-    print(f"SAP potential written to {path}")
+    BOHR_A = 0.529177210903
+    res = None
+    if args.unrestricted and occs_u is not None:
+        # fixed spin-resolved configuration: like the reference's
+        # restricted=0 path with explicit occs, no restricted leg runs
+        pass
+    else:
+        res = solve_sadatom(
+            basis, nel=Z - args.Q, method=args.method,
+            search=not args.nosearch, verbose=True, occs=occs, **solver_kw,
+        )
+        shells = "spdfgh"
+        if res.conf_list and len(res.conf_list) > 1:
+            # energy-ordered configuration list (reference: main.cpp:350-365)
+            print(f"\nMinimal energy configurations for {SYMBOLS[Z]}")
+            E0 = res.conf_list[0][1]
+            for i, (key, E, conv) in enumerate(res.conf_list):
+                occfmt = " ".join(f"{n:2d}" for n in key)
+                line = f" {occfmt}  {E:+.10f}"
+                if i > 0:
+                    line += f" {(E - E0) * 27.211386245988:11.6f}"
+                if not conv:
+                    line += "  convergence failure"
+                print(line)
+        occstr = " ".join(f"{shells[l]}^{n}" for l, n in enumerate(res.occs) if n)
+        print(f"\nConfiguration: {occstr}")
+        Epot = res.E - res.Ekin - res.Ecoul - res.Exx - res.Exc
+        Econf = 0.0
+        if basis.Vconf is not None:
+            Econf = float(np.sum(res.Pl.sum(axis=0) * np.asarray(basis.Vconf)))
+        print(f"Etot  = % 18.9f" % res.E)
+        print(f"Ekin  = % 18.9f" % res.Ekin)
+        print(f"Ecoul = % 18.9f" % res.Ecoul)
+        print(f"Eenuc = % 18.9f" % (Epot - Econf))
+        if basis.Vconf is not None:
+            print(f"Econf = % 18.9f" % Econf)
+        print(f"Exc   = % 18.9f" % (res.Exx + res.Exc))
 
-    if args.savepot:
-        # multiplicative xc potential table (reference: XCPotential ->
-        # xcpot.dat, main.cpp:666-668); restricted spin densities are Pl/2
-        rp, va, vb = xc_potential_table(basis, res.Pl / 2.0, res.Pl / 2.0, funcs)
-        np.savetxt("xcpot.dat", np.column_stack([rp, va, vb]))
-        print("xc potential written to xcpot.dat")
+        Prad = res.Pl.sum(axis=0)
+        # vdW + electron-count radii (reference: main.cpp:632-639)
+        rvdw = vdw_radius(basis, Prad, args.vdwthr)
+        print(f"\nEstimated vdW radius with density threshold {args.vdwthr:e} "
+              f"is {rvdw:.6f} bohr = {rvdw * BOHR_A:.6f} A")
+        print("Note that this criterion is sensitive to numerical noise.")
+        rincl = electron_count_radius(basis, Prad, (Z - args.Q) - args.eps_el)
+        print(f"Estimated vdW radius with electron count threshold "
+              f"{args.eps_el:e} is {rincl:.6f} bohr = {rincl * BOHR_A:.6f} A")
 
-    if args.completeness:
-        # GTO/STO completeness + importance profiles per l channel
-        # (reference: gto/sto_{completeness,importance}_profile,
-        # src/sadatom/solver.cpp; 501 exponents on [1e-5, 1e10])
-        from helfem_tpu.ops.lcao import completeness_profile, importance_profile
+        # SAP potential table (reference: RestrictedPotential 9-column format);
+        r, n, dn, ln, wt = radial_density(basis, Prad)
+        tau = kinetic_energy_density(basis, res.Pl)
+        vcoul = coulomb_screening(basis, Prad)
+        vxc = xc_screening(basis, Prad, pot_funcs)
+        zeff = Z - (vcoul + vxc)
+        out = np.column_stack([r, n, dn, ln, tau, vcoul, vxc, wt, zeff])
+        order = np.argsort(r)
+        path = args.output or f"result_{SYMBOLS[Z]}.dat"
+        np.savetxt(path, out[order])
+        print(f"SAP potential written to {path}")
 
-        expn = np.logspace(-5, 10, 501)
-        for kind in ("GTO", "STO"):
-            comp = [np.log10(expn)]
-            imp = [np.log10(expn)]
+        if args.savepot:
+            # multiplicative xc potential table (reference: XCPotential ->
+            # xcpot.dat, main.cpp:666-668); restricted spin densities are Pl/2
+            rp, va, vb = xc_potential_table(basis, res.Pl / 2.0, res.Pl / 2.0, funcs)
+            np.savetxt("xcpot.dat", np.column_stack([rp, va, vb]))
+            print("xc potential written to xcpot.dat")
+
+        if args.completeness:
+            # GTO/STO completeness + importance profiles per l channel
+            # (reference: gto/sto_{completeness,importance}_profile,
+            # src/sadatom/solver.cpp; 501 exponents on [1e-5, 1e10])
+            from helfem_tpu.ops.lcao import completeness_profile, importance_profile
+
+            expn = np.logspace(-5, 10, 501)
+            for kind in ("GTO", "STO"):
+                comp = [np.log10(expn)]
+                imp = [np.log10(expn)]
+                for l in range(args.lmax + 1):
+                    comp.append(completeness_profile(basis.rb, l, expn, kind))
+                    # number of (partially) occupied orbitals: shell capacity
+                    # is 2(2l+1) electrons per radial orbital
+                    occn = int(np.ceil(res.occs[l] / (2.0 * (2 * l + 1))))
+                    C_occ = np.asarray(res.orbs[l])[:, :occn]
+                    imp.append(importance_profile(basis.rb, C_occ, l, expn, kind))
+                np.savetxt(f"completeness_{kind}_{SYMBOLS[Z]}.dat", np.column_stack(comp))
+                np.savetxt(f"importance_{kind}_{SYMBOLS[Z]}.dat", np.column_stack(imp))
+                print(f"{kind} completeness + importance profiles written")
+
+        if args.saveing:
+            from helfem_tpu.models.sadatom import xc_ingredients
+
+            ing = xc_ingredients(basis, res.Pl)
+            iorder = np.argsort(ing[:, 0])
+            np.savetxt(f"xcing_{SYMBOLS[Z]}.dat", ing[iorder])
+            print(f"xc ingredients written to xcing_{SYMBOLS[Z]}.dat")
+
+        if args.saveorb:
             for l in range(args.lmax + 1):
-                comp.append(completeness_profile(basis.rb, l, expn, kind))
-                # number of (partially) occupied orbitals: shell capacity
-                # is 2(2l+1) electrons per radial orbital
-                occn = int(np.ceil(res.occs[l] / (2.0 * (2 * l + 1))))
-                C_occ = np.asarray(res.orbs[l])[:, :occn]
-                imp.append(importance_profile(basis.rb, C_occ, l, expn, kind))
-            np.savetxt(f"completeness_{kind}_{SYMBOLS[Z]}.dat", np.column_stack(comp))
-            np.savetxt(f"importance_{kind}_{SYMBOLS[Z]}.dat", np.column_stack(imp))
-            print(f"{kind} completeness + importance profiles written")
-
-    if args.saveing:
-        from helfem_tpu.models.sadatom import xc_ingredients
-
-        ing = xc_ingredients(basis, res.Pl)
-        iorder = np.argsort(ing[:, 0])
-        np.savetxt(f"xcing_{SYMBOLS[Z]}.dat", ing[iorder])
-        print(f"xc ingredients written to xcing_{SYMBOLS[Z]}.dat")
-
-    if args.saveorb:
-        for l in range(args.lmax + 1):
-            np.savetxt(f"orbs_{SYMBOLS[Z]}_l{l}.dat", res.orbs[l])
-        print("radial orbital coefficients written")
+                np.savetxt(f"orbs_{SYMBOLS[Z]}_l{l}.dat", res.orbs[l])
+            print("radial orbital coefficients written")
 
     if args.unrestricted:
         # spin-polarized solve + the five potential variants
@@ -272,7 +297,18 @@ def main(argv=None):
         from helfem_tpu.models.sadatom import search_sadatom_unrestricted
 
         nel = Z - args.Q
-        if args.M > 0:
+        if occs_u is not None:
+            # fixed spin-resolved configuration from --occs (reference:
+            # restricted=0/-1 with explicit occupations, main.cpp:578-590,617-624)
+            oa, ob = (np.asarray(o, dtype=int) for o in occs_u)
+            r_u = solve_sadatom_unrestricted(
+                basis, int(oa.sum()), int(ob.sum()), method=args.method,
+                occs_a=oa, occs_b=ob, verbose=True, **solver_kw,
+            )
+            M = int(oa.sum() - ob.sum() + 1)
+            if not r_u.converged:
+                print("WARNING: unrestricted solve did not converge")
+        elif args.M > 0:
             # fixed multiplicity: plain unrestricted solve with aufbau
             nela = (nel + args.M - 1) // 2
             nelb = nel - nela
@@ -319,7 +355,7 @@ def main(argv=None):
             vpath = f"result{tag}_{SYMBOLS[Z]}.dat"
             np.savetxt(vpath, tab)
             print(f"{mode} potential written to {vpath}")
-    return res
+    return res if res is not None else r_u
 
 
 if __name__ == "__main__":

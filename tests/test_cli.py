@@ -155,3 +155,23 @@ def test_gensap_parity_flags(tmp_path, monkeypatch):
     b1 = SadAtomBasis(Z=7, lmax=1, rmax=20.0, nelem=4, nnodes=4, primbas=5,
                       zeroder=True)
     assert b1.nrad == b0.nrad - 1
+
+
+def test_gensap_spin_resolved_occs(tmp_path, monkeypatch):
+    """--occs with 2*(lmax+1) entries + unrestricted mode runs a FIXED
+    spin-resolved configuration, and --restricted -1 with lmax+1 entries
+    goes through Hund's rules to the same state (reference:
+    src/sadatom/main.cpp:578-590 explicit occs, main.cpp:87-95
+    translate_occs)."""
+    monkeypatch.chdir(tmp_path)
+    from helfem_tpu.cli.gensap import main as gensap_main
+
+    base = ["--Z", "N", "--lmax", "1", "--nelem", "4", "--nnodes", "7",
+            "--Rmax", "20", "--maxit", "80"]
+    r1 = gensap_main(base + ["--occs", "3,2,2,0", "--unrestricted"])
+    assert list(r1.occs) == [3, 2] and list(r1.occs_b) == [2, 0]
+    r2 = gensap_main(base + ["--occs", "5,2", "--restricted", "-1"])
+    assert abs(r1.E - r2.E) < 1e-12
+    # spin polarization lowers the energy vs the restricted solve
+    r3 = gensap_main(base + ["--occs", "5,2", "--nosearch"])
+    assert r1.E < r3.E - 1e-3
