@@ -9,7 +9,10 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="helfem-diatomic-dgrid", description=__doc__)
-    p.add_argument("--load", required=True, help="npz checkpoint from the diatomic CLI")
+    p.add_argument("--load", required=True,
+                   help="diatomic checkpoint: npz from this framework, or a "
+                        "reference-schema HDF5 file (.chk/.h5/.hdf5), incl. "
+                        "ones written by upstream HelFEM")
     p.add_argument("--output", default="density_grid.dat")
     p.add_argument("--nz", type=int, default=100)
     p.add_argument("--nrho", type=int, default=50)
@@ -23,18 +26,24 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from helfem_tpu.models.diatomic_tools import density_grid
-    from helfem_tpu.scf.diatomic_scf import density_dia
-    from helfem_tpu.utils.checkpoint import load_diatomic
 
-    basis, d = load_diatomic(args.load)
-    ops = basis.build_operators()
-    P = np.asarray(density_dia(ops, jnp.asarray(d["orbs_a"]), jnp.asarray(d["occ_a"])))
-    if d["orbs_b"].size:
-        P = P + np.asarray(
-            density_dia(ops, jnp.asarray(d["orbs_b"]), jnp.asarray(d["occ_b"]))
-        )
+    if args.load.endswith((".chk", ".h5", ".hdf5")):
+        from helfem_tpu.utils.checkpoint_h5 import load_diatomic_chk_density
+
+        basis, P = load_diatomic_chk_density(args.load)
     else:
-        P = 2.0 * P
+        from helfem_tpu.scf.diatomic_scf import density_dia
+        from helfem_tpu.utils.checkpoint import load_diatomic
+
+        basis, d = load_diatomic(args.load)
+        ops = basis.build_operators()
+        P = np.asarray(density_dia(ops, jnp.asarray(d["orbs_a"]), jnp.asarray(d["occ_a"])))
+        if d["orbs_b"].size:
+            P = P + np.asarray(
+                density_dia(ops, jnp.asarray(d["orbs_b"]), jnp.asarray(d["occ_b"]))
+            )
+        else:
+            P = 2.0 * P
     z, rho, n = density_grid(
         basis, P, nz=args.nz, nrho=args.nrho,
         zmax=args.zmax if args.zmax > 0 else None,

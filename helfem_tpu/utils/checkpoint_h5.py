@@ -352,6 +352,21 @@ def load_diatomic_chk(path: str):
     return basis, d
 
 
+def load_diatomic_chk_density(path: str):
+    """(basis, total density P in padded coordinates) from a
+    reference-schema diatomic checkpoint — the input the density
+    post-processing tools need (ref: density_line.cpp:37-104 reads
+    basis + P from the HDF5 checkpoint)."""
+    basis, d = load_diatomic_chk(path)
+    if "P" in d:
+        P = d["P"]
+    elif "Pb" in d:
+        P = d["Pa"] + d["Pb"]
+    else:
+        P = 2.0 * d["Pa"]
+    return basis, expand_to_padded(basis, P)
+
+
 def warm_start_density_atomic_h5(basis_new, basis_old, d):
     """(P0a, P0b) warm-start densities in basis_new from an HDF5-loaded
     atomic state: the stored density is used directly when the

@@ -153,3 +153,24 @@ def test_diatomic_chk_roundtrip(tmp_path):
                         P0a=P0a, P0b=P0b)
     assert res2.converged
     assert abs(res2.E - res.E) < 1e-9
+
+
+def test_dline_dgrid_read_chk(tmp_path, monkeypatch):
+    """The density post-processing CLIs read reference-schema HDF5
+    checkpoints directly (like the reference's diatomic_dline/dgrid,
+    density_line.cpp:37-104), using the stored compacted density."""
+    monkeypatch.chdir(tmp_path)
+    from helfem_tpu.cli.diatomic import main as dia_main
+    from helfem_tpu.cli.diatomic_dline import main as dline_main
+
+    ck = str(tmp_path / "h2.chk")
+    dia_main(["--Z1", "H", "--Z2", "H", "--Rbond", "1.4", "--lmax", "2,2",
+              "--nelem", "2", "--nnodes", "6", "--Rmax", "15",
+              "--method", "HF", "--convthr", "1e-7", "--save", ck])
+    dline_main(["--load", ck, "--output", str(tmp_path / "dl.dat"),
+                "--npts", "40"])
+    dl = np.loadtxt(tmp_path / "dl.dat")
+    assert dl.shape == (40, 2)
+    n_mid = dl[np.abs(dl[:, 0]).argmin(), 1]
+    n_nuc = dl[np.abs(dl[:, 0] - 0.7).argmin(), 1]
+    assert 0.0 < n_mid < n_nuc
