@@ -216,6 +216,21 @@ def main(argv=None):
                 print(line)
         occstr = " ".join(f"{shells[l]}^{n}" for l, n in enumerate(res.occs) if n)
         print(f"\nConfiguration: {occstr}")
+        # per-orbital <r^i> moments + density-maximum radius (reference:
+        # OrbitalChannel::Print, src/sadatom/solver.cpp:152-186)
+        from helfem_tpu.models.sadatom import occupied_orbital_table
+
+        rows = occupied_orbital_table(basis, res.occs, res.orbE, res.orbs)
+        hdr = f"{'nl':>3s} {'nocc':>4s} {'E':>16s}"
+        for i in (-2, -1, 1, 2, 3):
+            hdr += f" {'<r>(' + str(i) + ')':>12s}"
+        print(hdr + f" {'r(max)':>12s}")
+        for row in rows:
+            line = (f"{row['n']:2d}{shells[row['l']]} {row['nocc']:4d} "
+                    f"% 16.9f" % row["E"])
+            for i in (-2, -1, 1, 2, 3):
+                line += " %e" % row["moments"][i]
+            print(line + " %e" % row["rmax"])
         Epot = res.E - res.Ekin - res.Ecoul - res.Exx - res.Exc
         Econf = 0.0
         if basis.Vconf is not None:

@@ -503,6 +503,54 @@ def radial_density(basis: SadAtomBasis, Prad: np.ndarray):
     return rb.r.ravel(), n.ravel(), dn.ravel(), ln.ravel(), (rb.wr * fourpi * rb.r**2).ravel()
 
 
+def occupied_orbital_table(basis: SadAtomBasis, occs: np.ndarray,
+                           orbE: np.ndarray, orbs) -> list[dict]:
+    """Per-occupied-shell analysis rows (reference: OrbitalChannel::Print,
+    src/sadatom/solver.cpp:152-186, with the <r^i> operator set of
+    TwoDBasis::Rmatrices, basis.cpp:1274-1282): for each occupied shell,
+    (n, l, nocc, E, <r^i>^(1/i) for i in -2,-1,1,2,3, and the radius of
+    the maximum of the r^2-weighted orbital density,
+    electron_density_maximum_radius with rsqweight=true)."""
+    powers = (-2, -1, 1, 2, 3)
+    R = {i: basis.rb.radial_integral(i) for i in powers}
+    rb = basis.rb
+    gi = rb.fem.gidx
+    rows = []
+    for l in range(basis.lmax + 1):
+        left = int(occs[l])
+        cap = 2 * (2 * l + 1)
+        k = 0
+        while left > 0:
+            nocc = min(left, cap)
+            left -= nocc
+            c = np.asarray(orbs[l])[:, k]
+            cp = np.append(c, 0.0)[gi]  # [nelem, nprim], trash slot dropped
+            mom = {i: float(c @ R[i] @ c) ** (1.0 / i) for i in powers}
+            # coarse max of r^2 |u(r)|^2 on the quadrature grid ...
+            u = np.einsum("eqi,ei->eq", rb.b, cp)
+            rfd = (rb.r * u) ** 2
+            e0, q0 = np.unravel_index(np.argmax(rfd), rfd.shape)
+            # ... then zoomed refinement within the winning element
+            lo = rb.xq[q0 - 1] if q0 > 0 else -1.0
+            hi = rb.xq[q0 + 1] if q0 + 1 < len(rb.xq) else 1.0
+            for _ in range(4):
+                xs = np.linspace(lo, hi, 65)
+                Bf = basis.rb.fem.eval_dnf(xs, 0)[0][e0]  # [nxs, nprim]
+                rs = basis.rb.fem.coords(xs)[e0]
+                us = Bf @ cp[e0]  # u*r = B c
+                j = int(np.argmax(us**2))  # (r u)^2 = (B c)^2
+                lo = xs[max(j - 1, 0)]
+                hi = xs[min(j + 1, len(xs) - 1)]
+            rmax = float(rs[j])
+            rows.append({
+                "n": k + l + 1, "l": l, "nocc": nocc,
+                "E": float(np.asarray(orbE)[l][k]),
+                "moments": mom, "rmax": rmax,
+            })
+            k += 1
+    return rows
+
+
 def xc_ingredients(basis: SadAtomBasis, Pla: np.ndarray, Plb: np.ndarray | None = None):
     """XC-ingredient table on the radial grid: columns [r, rho_a, rho_b,
     sigma_aa, sigma_ab, sigma_bb, lapl_a, lapl_b, tau_a, tau_b]

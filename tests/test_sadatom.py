@@ -375,3 +375,34 @@ def test_xc_ingredients_integrals():
     assert abs(nel - 10.0) < 1e-8
     ekin = np.sum((ing[:, 8] + ing[:, 9]) * wt)
     assert abs(ekin - r.Ekin) < 1e-7
+
+
+def test_occupied_orbital_table_hydrogenic():
+    """The per-orbital analysis table (reference OrbitalChannel::Print /
+    Rmatrices) on the exact hydrogen 1s orbital: <r^i>^(1/i) and the
+    radius of max r^2-density are known in closed form."""
+    import jax.numpy as jnp
+
+    from helfem_tpu.models.sadatom import (
+        SadAtomBasis,
+        eig_channels,
+        occupied_orbital_table,
+    )
+    from helfem_tpu.scf.guess import potential
+
+    b = SadAtomBasis(Z=1, lmax=0, rmax=40.0, nelem=8, nnodes=10)
+    ops = b.build_ops()
+    Vg = jnp.asarray(b.rb.model_potential(potential("core", 1)(b.rb.r)))
+    Eg, Cg = eig_channels((ops.at.T + Vg)[None], ops.at.Sinvh_rad)
+    rows = occupied_orbital_table(b, np.array([1]), np.asarray(Eg), np.asarray(Cg))
+    assert len(rows) == 1
+    row = rows[0]
+    assert row["n"] == 1 and row["l"] == 0 and row["nocc"] == 1
+    assert abs(row["E"] + 0.5) < 1e-10
+    # hydrogen 1s: <r^-2> = 2, <r^-1> = 1, <r> = 3/2, <r^2> = 3, <r^3> = 15/2
+    exact = {-2: 2.0 ** (-0.5), -1: 1.0, 1: 1.5, 2: 3.0 ** 0.5,
+             3: 7.5 ** (1.0 / 3.0)}
+    for i, v in exact.items():
+        assert abs(row["moments"][i] - v) < 1e-8, (i, row["moments"][i])
+    # max of r^2 e^{-2r} is at r = 1 exactly
+    assert abs(row["rmax"] - 1.0) < 1e-5
