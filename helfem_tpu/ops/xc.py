@@ -882,6 +882,20 @@ def parse_method_rs(method: str) -> MethodSpec:
             kfrac,
             0.0,
         )
+    # reference-compatible 'x-c' pair syntax: split at the FIRST top-level
+    # dash (parse_xc_func, ref src/general/dftfuncs.cpp:99-108); catalog
+    # names here use underscores, so a top-level dash is always the pair
+    # separator (dash-named RS aliases were already resolved above)
+    if "," not in m:
+        depth = 0
+        for i, ch in enumerate(m):
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif ch == "-" and depth == 0:
+                m = m[:i] + "," + m[i + 1:]
+                break
     # bracket-aware comma split: 'a[k=1,m=2],b' -> ['a[k=1,m=2]', 'b']
     parts, depth, cur = [], 0, ""
     for ch in m:

@@ -409,3 +409,21 @@ def test_rpbe_he_scf():
     e_rev = scf_atom(b, 1, 1, method="revPBE", convthr=1e-7).E
     assert e_rpbe < e_pbe - 1e-4
     assert abs(e_rpbe - e_rev) < 5e-2  # same design goal, similar magnitude
+
+
+def test_dash_pair_method_syntax():
+    """The reference's 'x-c' functional pair syntax (parse_xc_func splits
+    at the first dash, src/general/dftfuncs.cpp:99-108) parses identically
+    to the comma form, without breaking dash-named RS aliases or bracketed
+    overrides."""
+    from helfem_tpu.ops.xc import parse_method, parse_method_rs
+
+    f1, k1 = parse_method("gga_x_pbe-gga_c_pbe")
+    f2, k2 = parse_method("gga_x_pbe,gga_c_pbe")
+    assert [f.name for f in f1] == [f.name for f in f2]
+    assert k1 == k2 == 0.0
+    f3, _ = parse_method("lda_x-lda_c_vwn")
+    assert [f.name for f in f3] == ["lda_x", "lda_c_vwn"]
+    assert parse_method_rs("lc-lda[omega=0.4]").omega == 0.4
+    f4, _ = parse_method("gga_x_pbe[kappa=1.245]-gga_c_pbe")
+    assert len(f4) == 2
