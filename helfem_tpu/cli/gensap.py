@@ -352,6 +352,27 @@ def main(argv=None):
                 print(line)
             M = int(sum(r_u.occs) - sum(r_u.occs_b) + 1)
         print(f"selected multiplicity {M}, E = {r_u.E:.9f}")
+        # per-orbital analysis per spin channel (reference:
+        # OrbitalChannel::Print for orbsa/orbsb, src/sadatom/solver.cpp)
+        from helfem_tpu.models.sadatom import occupied_orbital_table
+
+        shells_u = "spdfgh"
+        for tag, occ_c, E_c, C_c in (("alpha", r_u.occs, r_u.orbE, r_u.orbs),
+                                     ("beta", r_u.occs_b, r_u.orbE_b, r_u.orbs_b)):
+            if occ_c is None or not np.asarray(occ_c).any():
+                continue
+            print(f"{tag} orbitals:")
+            hdr = f"{'nl':>3s} {'nocc':>4s} {'E':>16s}"
+            for i in (-2, -1, 1, 2, 3):
+                hdr += f" {'<r>(' + str(i) + ')':>12s}"
+            print(hdr + f" {'r(max)':>12s}")
+            for row in occupied_orbital_table(basis, occ_c, E_c, C_c,
+                                              restricted=False):
+                line = (f"{row['n']:2d}{shells_u[row['l']]} {row['nocc']:4d} "
+                        f"% 16.9f" % row["E"])
+                for i in (-2, -1, 1, 2, 3):
+                    line += " %e" % row["moments"][i]
+                print(line + " %e" % row["rmax"])
         # radii of the spin-polarized ground state (reference: main.cpp:707-710)
         Prad_u = (r_u.Pl + r_u.Plb).sum(axis=0)
         rvdw_u = vdw_radius(basis, Prad_u, args.vdwthr)

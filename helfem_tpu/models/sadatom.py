@@ -504,7 +504,8 @@ def radial_density(basis: SadAtomBasis, Prad: np.ndarray):
 
 
 def occupied_orbital_table(basis: SadAtomBasis, occs: np.ndarray,
-                           orbE: np.ndarray, orbs) -> list[dict]:
+                           orbE: np.ndarray, orbs,
+                           restricted: bool = True) -> list[dict]:
     """Per-occupied-shell analysis rows (reference: OrbitalChannel::Print,
     src/sadatom/solver.cpp:152-186, with the <r^i> operator set of
     TwoDBasis::Rmatrices, basis.cpp:1274-1282): for each occupied shell,
@@ -518,7 +519,8 @@ def occupied_orbital_table(basis: SadAtomBasis, occs: np.ndarray,
     rows = []
     for l in range(basis.lmax + 1):
         left = int(occs[l])
-        cap = 2 * (2 * l + 1)
+        # shell capacity: 2(2l+1) electrons restricted, 2l+1 per spin channel
+        cap = (2 if restricted else 1) * (2 * l + 1)
         k = 0
         while left > 0:
             nocc = min(left, cap)

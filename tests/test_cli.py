@@ -139,7 +139,7 @@ def test_gensap_parity_flags(tmp_path, monkeypatch):
     from helfem_tpu.cli.gensap import main as gensap_main
 
     base = ["--Z", "N", "--lmax", "1", "--nelem", "4", "--nnodes", "7",
-            "--Rmax", "20", "--occs", "5,2", "--nosearch", "--maxit", "80"]
+            "--Rmax", "20", "--occs", "4,3", "--nosearch", "--maxit", "80"]
     ref = gensap_main(base)
     alt = gensap_main(base + ["--nquad", "35", "--shift", "0.5",
                               "--iguess", "1", "--dftthr", "1e-11",
@@ -168,10 +168,10 @@ def test_gensap_spin_resolved_occs(tmp_path, monkeypatch):
 
     base = ["--Z", "N", "--lmax", "1", "--nelem", "4", "--nnodes", "7",
             "--Rmax", "20", "--maxit", "80"]
-    r1 = gensap_main(base + ["--occs", "3,2,2,0", "--unrestricted"])
-    assert list(r1.occs) == [3, 2] and list(r1.occs_b) == [2, 0]
-    r2 = gensap_main(base + ["--occs", "5,2", "--restricted", "-1"])
+    r1 = gensap_main(base + ["--occs", "2,3,2,0", "--unrestricted"])
+    assert list(r1.occs) == [2, 3] and list(r1.occs_b) == [2, 0]
+    r2 = gensap_main(base + ["--occs", "4,3", "--restricted", "-1"])
     assert abs(r1.E - r2.E) < 1e-12
     # spin polarization lowers the energy vs the restricted solve
-    r3 = gensap_main(base + ["--occs", "5,2", "--nosearch"])
+    r3 = gensap_main(base + ["--occs", "4,3", "--nosearch"])
     assert r1.E < r3.E - 1e-3
