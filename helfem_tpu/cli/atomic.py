@@ -142,6 +142,9 @@ def main(argv=None):
     p.add_argument("--c_pars", default="", help="same for the correlation functional")
     p.add_argument("--zeroder", action="store_true",
                    help="drop the derivative DOF at Rmax too (Hermite bases)")
+    p.add_argument("--trace", default="",
+                   help="write a jax.profiler device/XLA trace of the SCF to "
+                        "this directory (TensorBoard/Perfetto format)")
     p.add_argument("--taylor_order", type=int, default=-1,
                    help="accepted for reference parity; B(r)/r near the origin "
                         "is evaluated by exact (x - x0) polynomial division here "
@@ -271,20 +274,29 @@ def main(argv=None):
             crash_path += ".crash.npz"
         save_atomic(crash_path, basis, st)
 
-    res = scf_atom(
-        basis, nela, nelb, method=args.method, maxit=args.maxit,
-        convthr=args.convthr, guess=guess, verbose=True, dftthr=args.dftthr,
-        Ez=args.Ez, Qzz=args.Qzz, Bz=args.Bz, iconf=args.iconf,
-        conf_N=args.conf_N, conf_R=args.conf_R, conf_barrier=args.conf_barrier,
-        shift_conf=args.shift_conf, finitenuc=nucmodel, Rrms=args.Rrms,
-        Zl=Zl, Zr=Zr, Rmid=args.Rmid, occs=occs, P0a=P0a, P0b=P0b,
-        save_cb=save_cb if args.save else None,
-        restricted=args.restricted, symmetry=args.symmetry,
-        maverage=args.maverage, perturb=args.perturb, seed=args.seed,
-        dampfock=args.dampfock, dampthr=args.dampthr,
-        diisorder=args.diisorder, diiseps=args.diiseps, diisthr=args.diisthr,
-        ldft=args.ldft, diag=bool(args.diag), eigiter=args.eigiter,
-    )
+    import contextlib
+
+    # --trace: structured XLA/device trace of the SCF (view in
+    # TensorBoard); complements the phase Timer, which stays on regardless
+    trace_cm = (jax.profiler.trace(args.trace, create_perfetto_trace=True)
+                if args.trace else contextlib.nullcontext())
+    with trace_cm:
+        res = scf_atom(
+            basis, nela, nelb, method=args.method, maxit=args.maxit,
+            convthr=args.convthr, guess=guess, verbose=True, dftthr=args.dftthr,
+            Ez=args.Ez, Qzz=args.Qzz, Bz=args.Bz, iconf=args.iconf,
+            conf_N=args.conf_N, conf_R=args.conf_R, conf_barrier=args.conf_barrier,
+            shift_conf=args.shift_conf, finitenuc=nucmodel, Rrms=args.Rrms,
+            Zl=Zl, Zr=Zr, Rmid=args.Rmid, occs=occs, P0a=P0a, P0b=P0b,
+            save_cb=save_cb if args.save else None,
+            restricted=args.restricted, symmetry=args.symmetry,
+            maverage=args.maverage, perturb=args.perturb, seed=args.seed,
+            dampfock=args.dampfock, dampthr=args.dampthr,
+            diisorder=args.diisorder, diiseps=args.diiseps, diisthr=args.diisthr,
+            ldft=args.ldft, diag=bool(args.diag), eigiter=args.eigiter,
+        )
+    if args.trace:
+        print(f"profiler trace written to {args.trace}")
     timer.lap("SCF")
     print()
     for name, val in [
