@@ -88,6 +88,9 @@ def main(argv=None):
     p.add_argument("--c_pars", default="", help="same for the correlation functional")
     p.add_argument("--finitenuc", default="point",
                    help="nuclear model: point|gaussian|spherical|hollow|regularized")
+    p.add_argument("--trace", default="",
+                   help="write a jax.profiler device/XLA trace of the SCF to "
+                        "this directory (TensorBoard/Perfetto format)")
     p.add_argument("--Rrms1", type=float, default=0.0, help="nucleus 1 rms radius")
     p.add_argument("--Rrms2", type=float, default=0.0, help="nucleus 2 rms radius")
     args = p.parse_args(argv)
@@ -203,17 +206,24 @@ def main(argv=None):
             crash_path += ".crash.npz"
         _save_dia(crash_path, basis, st)
 
-    res = scf_diatomic(
-        basis, nela, nelb, method=args.method, maxit=args.maxit,
-        convthr=args.convthr, verbose=True, guess=args.guess, ops=ops,
-        P0a=P0a, P0b=P0b, Ez=args.Ez, Qzz=args.Qzz, Bz=args.Bz,
-        finitenuc=args.finitenuc, Rrms1=args.Rrms1, Rrms2=args.Rrms2,
-        restricted=args.restricted, perturb=args.perturb, seed=args.seed,
-        diisorder=args.diisorder, diiseps=args.diiseps, dftthr=args.dftthr,
-        ldft=args.ldft, occs=occs, readocc_until=args.readocc,
-        diisthr=args.diisthr, save_cb=save_cb if args.save else None,
-        diag=bool(args.diag), maverage=args.maverage,
-    )
+    import contextlib
+
+    trace_cm = (jax.profiler.trace(args.trace, create_perfetto_trace=True)
+                if args.trace else contextlib.nullcontext())
+    with trace_cm:
+        res = scf_diatomic(
+            basis, nela, nelb, method=args.method, maxit=args.maxit,
+            convthr=args.convthr, verbose=True, guess=args.guess, ops=ops,
+            P0a=P0a, P0b=P0b, Ez=args.Ez, Qzz=args.Qzz, Bz=args.Bz,
+            finitenuc=args.finitenuc, Rrms1=args.Rrms1, Rrms2=args.Rrms2,
+            restricted=args.restricted, perturb=args.perturb, seed=args.seed,
+            diisorder=args.diisorder, diiseps=args.diiseps, dftthr=args.dftthr,
+            ldft=args.ldft, occs=occs, readocc_until=args.readocc,
+            diisthr=args.diisthr, save_cb=save_cb if args.save else None,
+            diag=bool(args.diag), maverage=args.maverage,
+        )
+    if args.trace:
+        print(f"profiler trace written to {args.trace}")
     if args.save:
         if args.save.endswith((".chk", ".h5", ".hdf5")):
             # reference-schema HDF5 export (readable by upstream HelFEM
