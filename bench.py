@@ -56,10 +56,12 @@ CPU_F64 = {
     # re-measured 2026-08-18 AFTER the round-3 exchange rewrites (occ-
     # factorized diatomic K, channel-dense bra axis, stacked-matmul
     # triangles), which sped the CPU path up too: N2 PBE 23.6 -> 2.6 s,
-    # Xe 65.5 -> 34.1 s. The baseline tracks this repo's own best CPU f64.
-    "ar_hf": 2.775,
+    # Xe 65.5 -> 34.1 s; and again after the block-diagonal-density
+    # collapsed exchange + blockwise DIIS error (Xe 34.1 -> 6.2 s,
+    # Ar 2.8 -> 1.5 s). The baseline tracks this repo's own best CPU f64.
+    "ar_hf": 1.537,
     "n2_pbe": 2.593,
-    "xe_hf_lmax3": 34.143,
+    "xe_hf_lmax3": 6.167,
     "gensap_kr": 0.339,  # same perturbed-warm protocol as the TPU timing
     # reference-converged N2 (lmax=12, nnodes=15, rmax=40, R=2.068):
     # warm SCF 1720.8 s / 8 iters (+1008.8 s compile, 45.2 s setup),
@@ -98,7 +100,9 @@ def bench_ar():
     import jax.numpy as jnp
     import numpy as np
 
-    from helfem_tpu.models.atomic import AtomicBasis, coulomb, exchange
+    from helfem_tpu.models.atomic import (
+        AtomicBasis, channel_diag, coulomb, exchange, exchange_bd,
+    )
     from helfem_tpu.scf.atomic_scf import scf_atom
 
     basis = AtomicBasis(Z=18, lmax=1, mmax=1, rmax=40.0, nelem=10, nnodes=15)
@@ -138,8 +142,12 @@ def bench_ar():
     eig_blocks_iter(np.asarray(F), bi, bs, 10, -0.6 * 18**2 - 10.0)
     eigiter_s = time.perf_counter() - t0
 
+    # cost of the ACTUAL SCF hot path: J + block-diagonal-density exchange
+    # (the (l,m)-symmetry-block SCF never builds the dense channel-pair K)
     flops, nbytes = _cost_analysis(
-        lambda P: coulomb(ops, P) + exchange(ops, P), Pa
+        lambda P: coulomb(ops, P)
+        + exchange_bd(ops, channel_diag(P, basis.nang, basis.nrad)),
+        Pa,
     )
 
     ok = res.converged and abs(res.E - AR_HF_LIMIT) < 1e-6
@@ -207,7 +215,9 @@ def bench_xe():
     (lmax=3) -- 4x the symmetry blocks and Z=54 vs the Ar headline."""
     import jax.numpy as jnp
 
-    from helfem_tpu.models.atomic import AtomicBasis, coulomb, exchange
+    from helfem_tpu.models.atomic import (
+        AtomicBasis, channel_diag, coulomb, exchange_bd,
+    )
     from helfem_tpu.scf.atomic_scf import scf_atom
 
     basis = AtomicBasis(Z=54, lmax=3, mmax=3, rmax=40.0, nelem=8, nnodes=12, zexp=2.5)
@@ -226,7 +236,9 @@ def bench_xe():
 
     Pa = jnp.zeros((basis.nbf, basis.nbf))
     flops, nbytes = _cost_analysis(
-        lambda P: coulomb(ops, P) + exchange(ops, P), Pa
+        lambda P: coulomb(ops, P)
+        + exchange_bd(ops, channel_diag(P, basis.nang, basis.nrad)),
+        Pa,
     )
     return _rates({
         "ok": bool(res.converged and abs(res.E - XE_HF_LIMIT) < 3e-6),

@@ -671,3 +671,79 @@ def erfc_exchange(ops: AtomicOperators, rs: "ErfcOperators", P: jnp.ndarray) -> 
     K4, _ = jax.lax.scan(body, K4, (ops.G, rs.Lfac, rs.tei))
     K4 = K4[:, :, :nrad, :nrad]
     return -_from4(K4, nang, nrad)
+
+
+def channel_diag(P: jnp.ndarray, nang: int, nrad: int) -> jnp.ndarray:
+    """Per-angular-channel diagonal radial blocks Pd[a] = P[a-block, a-block]
+    of a full density matrix ([nbf,nbf] -> [nang, nrad, nrad])."""
+    P4 = _to4(P, nang, nrad)
+    return P4[jnp.arange(nang), jnp.arange(nang)]
+
+
+def exchange_general_bd(ops: AtomicOperators, tei, U, V, Lfacv,
+                        Pd: jnp.ndarray, pairwise: bool = False) -> jnp.ndarray:
+    """Exchange for a density that is BLOCK-DIAGONAL over angular channels:
+    P4[a, d] = delta_ad * Pd[a], which holds by construction whenever the
+    SCF runs per-(l,m) symmetry blocks (the atomic default, reference
+    dsym=2) -- every occupied orbital then lives in a single angular
+    channel, so P never develops cross-channel blocks.
+
+    DESIGN (TPU): the dense path builds NL*nang^2 channel-pair R matrices
+    (R[g,b,c] = sum_{M,a,d} G[g,M,b,a] G[g,M,c,d] P4[a,d]) and runs the
+    radial kernel on each. With P4 channel-diagonal,
+
+        R[g,b,c] = sum_a wG[g,b,c,a] Pd[a],
+        wG[g,b,c,a] = Lfac_g * sum_M G[g,M,b,a] G[g,M,c,a],
+
+    and since the radial kernel is LINEAR in R, only NL*nang kernel
+    evaluations are needed -- KK[g,a] = kernel_L(Pd[a]) -- followed by one
+    Gaunt-weighting matmul K[b,c] = sum_{g,a} wG[g,b,c,a] KK[g,a]. That is
+    ~nang x fewer kernel FLOPs AND ~nang x less working set than the dense
+    path, so the whole exchange fits in ONE fused dispatch (no L-chunked
+    scan) -- the op-count lever that matters on the latency-bound TPU
+    tunnel. Exactly equal to exchange_general(P) for channel-diagonal P
+    (tested); the reference computes the dense form unconditionally
+    (src/atomic/TwoDBasis.cpp:957-1150)."""
+    nang = ops.G.shape[-1]
+    nrad = ops.Sinvh_rad.shape[0]
+    kern = exchange_kernel_L_pairwise if pairwise else exchange_kernel_L
+    # radial kernel on every (L, channel) pair: batch axis = nang
+    KK = jax.vmap(lambda t, u, v: kern(t, u, v, ops.gidx, nrad, Pd))(tei, U, V)
+    wG = jnp.einsum("gMba,gMca->gbca", ops.G, ops.G) * Lfacv[:, None, None, None]
+    K4 = jnp.einsum("gbca,gaNM->bcNM", wG, KK)[:, :, :nrad, :nrad]
+    return -_from4(K4, nang, nrad)
+
+
+def exchange_bd(ops: AtomicOperators, Pd: jnp.ndarray) -> jnp.ndarray:
+    """Full-range exchange K(P) for channel-block-diagonal P, from the
+    per-channel diagonal radial blocks Pd [nang, nrad, nrad]."""
+    return exchange_general_bd(ops, ops.tei, ops.disjL, ops.disjm1L, ops.Lfac, Pd)
+
+
+def rs_exchange_bd(ops: AtomicOperators, rs: RSOperators, Pd: jnp.ndarray) -> jnp.ndarray:
+    """Yukawa short-range exchange for channel-block-diagonal P (pairwise
+    cross-element kernel for the i_L/k_L scale pairing, see rs_exchange)."""
+    return exchange_general_bd(ops, rs.tei, rs.iL, rs.kL, rs.Lfac, Pd, pairwise=True)
+
+
+def erfc_exchange_bd(ops: AtomicOperators, rs: "ErfcOperators", Pd: jnp.ndarray) -> jnp.ndarray:
+    """erfc short-range exchange for channel-block-diagonal P: same
+    nang^2 -> nang collapse as exchange_general_bd, dense element-pair TEI
+    blocks like erfc_exchange."""
+    nang = ops.G.shape[-1]
+    nrad = ops.Sinvh_rad.shape[0]
+    A = _assembler(ops.gidx, nrad)
+    Rp = _pad_rad(Pd)  # [a, nrad+1, nrad+1]
+    Rw = jnp.einsum("ein,anm,flm->aefil", A, Rp, A)
+
+    def body(K4, xs):
+        GL, LfacL, teiL = xs
+        Kpair = jnp.einsum("efijkl,aefil->aefjk", teiL, Rw)
+        KA = jnp.einsum("ejn,aefjk,fkm->anm", A, Kpair, A)
+        wG = LfacL * jnp.einsum("Mba,Mca->bca", GL, GL)
+        return K4 + jnp.einsum("bca,anm->bcnm", wG, KA), None
+
+    K4 = jnp.zeros((nang, nang, nrad + 1, nrad + 1))
+    K4, _ = jax.lax.scan(body, K4, (ops.G, rs.Lfac, rs.tei))
+    K4 = K4[:, :, :nrad, :nrad]
+    return -_from4(K4, nang, nrad)

@@ -24,7 +24,8 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from helfem_tpu.models.atomic import AtomicOperators, coulomb, exchange
+from helfem_tpu.models.atomic import (AtomicOperators, channel_diag, coulomb,
+                                      exchange, exchange_bd)
 from helfem_tpu.scf.diatomic_scf import _BIG as _DIA_BIG
 from helfem_tpu.utils.linalg import eigh_refined
 
@@ -69,7 +70,8 @@ def pad_ops_for_mesh(ops: AtomicOperators, n: int) -> AtomicOperators:
     )
 
 
-def sharded_scf_step(mesh: Mesh, ops: AtomicOperators, kfrac: float = 1.0):
+def sharded_scf_step(mesh: Mesh, ops: AtomicOperators, kfrac: float = 1.0,
+                     bd: bool = False):
     """Returns a jitted step(Pa, Pb) -> (Fa, E_blocks, C_blocks, energies)
     running one SCF iteration sharded over the mesh.
 
@@ -77,6 +79,12 @@ def sharded_scf_step(mesh: Mesh, ops: AtomicOperators, kfrac: float = 1.0):
     density is replicated; partial J/K are psum'ed. The symmetry-block
     eigensolve shards the (padded) angular-block axis over 'ch' and
     all-gathers the spectra.
+
+    bd=True uses the block-diagonal-density collapsed exchange (the actual
+    SCF hot path under (l,m) symmetry blocks, models.atomic.exchange_bd):
+    each device evaluates the radial kernels of its L shard on the
+    channel-diagonal density blocks and the Gaunt-weighted partial K is
+    psum'ed exactly like the dense path.
     """
     n = mesh.devices.size
     ops = pad_ops_for_mesh(ops, n)
@@ -102,8 +110,12 @@ def sharded_scf_step(mesh: Mesh, ops: AtomicOperators, kfrac: float = 1.0):
         # each device holds an L-shard; J/K partials psum over 'ch'
         P_ = Pa + Pb
         J = jax.lax.psum(coulomb(ops_l, P_), "ch")
-        Ka = kfrac * jax.lax.psum(exchange(ops_l, Pa), "ch")
-        Kb = kfrac * jax.lax.psum(exchange(ops_l, Pb), "ch")
+        if bd:
+            K_of = lambda Ps: exchange_bd(ops_l, channel_diag(Ps, nang, nrad))
+        else:
+            K_of = lambda Ps: exchange(ops_l, Ps)
+        Ka = kfrac * jax.lax.psum(K_of(Pa), "ch")
+        Kb = kfrac * jax.lax.psum(K_of(Pb), "ch")
         Fa = ops_l.H0 + J + Ka
         Fb = ops_l.H0 + J + Kb
         Ekin = jnp.vdot(P_, ops_l.T)

@@ -22,10 +22,14 @@ import numpy as np
 from helfem_tpu.models.atomic import (
     AtomicBasis,
     AtomicOperators,
+    channel_diag,
     coulomb,
     erfc_exchange,
+    erfc_exchange_bd,
     exchange,
+    exchange_bd,
     rs_exchange,
+    rs_exchange_bd,
 )
 from helfem_tpu.models.atomic_dft import build_dft_grid, eval_fxc
 from helfem_tpu.ops.xc import parse_method_rs
@@ -113,15 +117,37 @@ def _diis_error(F, P, S, Sinvh):
     return e.ravel()
 
 
+def _diis_error_bd(F, Pd, Sd, blk_sinvh, nang, nrad):
+    """DIIS error Sinvh^T ([F,P]S-commutator) Sinvh computed BLOCKWISE for a
+    channel-block-diagonal density (and the always-block-diagonal atomic S):
+    FPS[b,c] = F[b,c] Pd[c] Sd[c], so each stage is a [nang^2] batch of
+    [nrad,nrad] matmuls instead of three dense [nbf,nbf] products --
+    ~nang x fewer FLOPs, exactly the same matrix (permuted layout; DIIS
+    dot products and the max-|err| gate are layout-invariant)."""
+    F4 = F.reshape(nang, nrad, nang, nrad).transpose(0, 2, 1, 3)  # [b,c,p,q]
+    PS = jnp.einsum("cqr,crs->cqs", Pd, Sd)
+    FPS = jnp.einsum("bcpq,cqs->bcps", F4, PS)
+    M = FPS - jnp.transpose(FPS, (1, 0, 3, 2))
+    return jnp.einsum("bpi,bcps,csj->bcij", blk_sinvh, M, blk_sinvh).ravel()
+
+
 @lru_cache(maxsize=None)
 def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1e-12,
-              restricted: bool = False, kshort: float = 0.0, kernel: str = "erfc"):
+              restricted: bool = False, kshort: float = 0.0, kernel: str = "erfc",
+              bd: bool = False):
     """Jitted Fock builder for a fixed method (funcs/kfrac/kshort compile-
     time). The exchange operator is kfrac*K + kshort*K_sr(omega) with the
     short-range tables passed in as `rs` (reference: kfrac*exchange +
     kshort*rs_exchange, src/atomic/main.cpp:763-779). With restricted=True,
     Pb is assumed identical to Pa and the exchange build runs once (it
-    dominates the Fock cost on TPU)."""
+    dominates the Fock cost on TPU).
+
+    bd=True asserts every density passed in is block-diagonal over angular
+    channels (guaranteed by construction when the eigensolve runs per-(l,m)
+    symmetry blocks, the atomic default) and routes the exchange through
+    the collapsed exchange_bd path -- ~nang x fewer kernel FLOPs and one
+    dispatch instead of an L-chunked scan. The result is identical to the
+    dense exchange for such densities (tested)."""
 
     @jax.jit
     def fock(ops: AtomicOperators, g, Vextra, rs, Pa, Pb):
@@ -132,17 +158,21 @@ def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1
         Fb = H + J
         Exx = 0.0
         if kfrac != 0.0 or kshort != 0.0:
+            nang = ops.G.shape[-1]
 
             def K_of(Ps):
                 K = jnp.zeros_like(J)
+                Pdx = channel_diag(Ps, nang, nrad) if bd else None
                 if kfrac != 0.0:
-                    K = K + kfrac * exchange(ops, Ps)
+                    K = K + kfrac * (exchange_bd(ops, Pdx) if bd
+                                     else exchange(ops, Ps))
                 if kshort != 0.0:
-                    Ksr = (
-                        erfc_exchange(ops, rs, Ps)
-                        if kernel == "erfc"
-                        else rs_exchange(ops, rs, Ps)
-                    )
+                    if kernel == "erfc":
+                        Ksr = (erfc_exchange_bd(ops, rs, Pdx) if bd
+                               else erfc_exchange(ops, rs, Ps))
+                    else:
+                        Ksr = (rs_exchange_bd(ops, rs, Pdx) if bd
+                               else rs_exchange(ops, rs, Ps))
                     K = K + kshort * Ksr
                 return K
 
@@ -171,24 +201,31 @@ def make_fock(funcs, kfrac: float, nrad: int, Bz: float = 0.0, dftthr: float = 1
 
 @lru_cache(maxsize=None)
 def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
-                    dftthr: float = 1e-12, kshort: float = 0.0, kernel: str = "erfc"):
+                    dftthr: float = 1e-12, kshort: float = 0.0, kernel: str = "erfc",
+                    bd: bool = False):
     """One fully on-device restricted SCF iteration: density -> Fock ->
     C2-DIIS (device circular history) -> blocked eigensolve. Only two scalars
     (energy, DIIS error) need to reach the host per iteration, removing the
     per-iteration host DIIS/transfer overhead (the dominant cost on TPU)."""
     fock = make_fock(funcs, kfrac, nrad, Bz, dftthr, restricted=True,
-                     kshort=kshort, kernel=kernel)
+                     kshort=kshort, kernel=kernel, bd=bd)
 
     @jax.jit
     def step(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
         Pa = density_blocks(C, occ, blk_idx, ops.S)
         Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(ops, g, Vextra, rs, Pa, Pa)
         Etot = Ekin + Enuc + Ecoul + Exx + Exc + Efield
-        # DIIS error vector in the orthonormal basis
-        FPS = Fa @ Pa @ ops.S
-        err = Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full
+        # DIIS error vector in the orthonormal basis (blockwise under bd)
+        if bd:
+            nang = Pa.shape[0] // nrad
+            err = _diis_error_bd(Fa, channel_diag(Pa, nang, nrad),
+                                 channel_diag(ops.S, nang, nrad),
+                                 blk_sinvh, nang, nrad)
+        else:
+            FPS = Fa @ Pa @ ops.S
+            err = (Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full).ravel()
         errmax = jnp.max(jnp.abs(err))
-        Fuse, histF, histE, count = device_diis_step(histF, histE, count, Fa, err.ravel())
+        Fuse, histF, histE, count = device_diis_step(histF, histE, count, Fa, err)
         E, Cn = eig_blocks(Fuse, blk_idx, blk_sinvh)
         return Cn, E, histF, histE, count, Etot, errmax, Nel, (Ekin, Enuc, Ecoul, Exx, Exc, Efield)
 
@@ -198,12 +235,12 @@ def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
 @lru_cache(maxsize=None)
 def make_fused_chunk(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
                      Bz: float = 0.0, dftthr: float = 1e-12, kshort: float = 0.0,
-                     kernel: str = "erfc"):
+                     kernel: str = "erfc", bd: bool = False):
     """`nsteps` fused SCF iterations in ONE jitted lax.scan: amortizes the
     per-call dispatch latency (~60 ms on the TPU plugin) across iterations.
     Occupations are frozen within a chunk (the host refreshes them between
     chunks)."""
-    step = make_fused_step(funcs, kfrac, nrad, nhist, Bz, dftthr, kshort, kernel)
+    step = make_fused_step(funcs, kfrac, nrad, nhist, Bz, dftthr, kshort, kernel, bd)
     # reuse the single-step trace inside a scan
     inner = step.__wrapped__ if hasattr(step, "__wrapped__") else step
 
@@ -229,13 +266,13 @@ def make_fused_chunk(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
 @lru_cache(maxsize=None)
 def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
                        Bz: float = 0.0, dftthr: float = 1e-12, kshort: float = 0.0,
-                       kernel: str = "erfc"):
+                       kernel: str = "erfc", bd: bool = False):
     """Unrestricted analogue of make_fused_chunk: `nsteps` fully on-device
     UHF/UDFT iterations per dispatch. The DIIS history stores spin-stacked
     Fock pairs with the combined alpha+beta error vector (the reference's
     uDIIS combined-error mode, src/general/diis.cpp)."""
     fock = make_fock(funcs, kfrac, nrad, Bz, dftthr, restricted=False,
-                     kshort=kshort, kernel=kernel)
+                     kshort=kshort, kernel=kernel, bd=bd)
 
     @jax.jit
     def chunk(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occa, occb,
@@ -250,6 +287,11 @@ def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
             Etot = Ekin + Enuc + Ecoul + Exx + Exc + Efield
 
             def errof(F, P):
+                if bd:
+                    nang = P.shape[0] // nrad
+                    return _diis_error_bd(F, channel_diag(P, nang, nrad),
+                                          channel_diag(ops.S, nang, nrad),
+                                          blk_sinvh, nang, nrad)
                 FPS = F @ P @ ops.S
                 return (Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full).ravel()
 
@@ -394,7 +436,6 @@ def scf_atom(
         else:
             rs = basis.build_erfc(omega) if kernel == "erfc" else basis.build_yukawa(omega)
     g = build_dft_grid(basis, ntheta=ldft) if funcs else None
-    fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr, kshort=kshort, kernel=kernel)
 
     # extra one-electron terms
     Vextra = np.zeros((basis.nbf, basis.nbf))
@@ -423,11 +464,32 @@ def scf_atom(
     blk_idx = jnp.asarray(blk_idx_np)
     blk_sinvh = jnp.asarray(blk_sinvh_np)
 
+    # per-(l,m) symmetry blocks keep every density channel-block-diagonal,
+    # enabling the collapsed exchange_bd path (identical result, ~nang x
+    # fewer kernel FLOPs, one dispatch instead of an L-chunked scan)
+    bd = symm == 2
+    fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr, kshort=kshort,
+                     kernel=kernel, bd=bd)
+
+    def _channel_bd(P) -> bool:
+        """Host check: is P block-diagonal over angular channels?"""
+        P4 = np.asarray(P).reshape(basis.nang, nrad, basis.nang, nrad)
+        off = P4.copy()
+        off[np.arange(basis.nang), :, np.arange(basis.nang), :] = 0.0
+        return float(np.abs(off).max()) <= 1e-12 * max(float(np.abs(P4).max()), 1.0)
+
     # guess
     if P0a is not None:
-        # warm start: diagonalize the Fock of the supplied density
+        # warm start: diagonalize the Fock of the supplied density. A
+        # checkpoint density from a lower-symmetry run may carry
+        # cross-channel blocks the bd exchange would silently drop -- use
+        # the dense Fock for this one call if so
         P0b_ = P0a if P0b is None else P0b
-        Fg_a, Fg_b, *_ = fock(ops, g, Vextra, rs, jnp.asarray(P0a), jnp.asarray(P0b_))
+        fg = fock
+        if bd and not (_channel_bd(P0a) and _channel_bd(P0b_)):
+            fg = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr,
+                           kshort=kshort, kernel=kernel, bd=False)
+        Fg_a, Fg_b, *_ = fg(ops, g, Vextra, rs, jnp.asarray(P0a), jnp.asarray(P0b_))
         Ea, Ca = eig_blocks(Fg_a, blk_idx, blk_sinvh)
         Ea = np.asarray(Ea)
         if P0b is not None:
@@ -479,7 +541,7 @@ def scf_atom(
     if restricted:
         # Pa == Pb throughout: build the exchange once per Fock
         fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr, restricted=True,
-                         kshort=kshort, kernel=kernel)
+                         kshort=kshort, kernel=kernel, bd=bd)
     Sinvh_np = _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
     Sinvh_dev = jnp.asarray(Sinvh_np)
     diis = DIIS(np.asarray(ops.S), Sinvh_np, max_hist=diisorder, diis_eps=diiseps,
@@ -520,7 +582,7 @@ def scf_atom(
                 nhist = 10
                 CH = 4
                 fused = make_fused_chunk(tuple(funcs), kfrac, nrad, nhist, CH, Bz, dftthr,
-                                         kshort, kernel)
+                                         kshort, kernel, bd)
                 Sinvh_full = jnp.asarray(
                     _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
                 )
@@ -570,7 +632,7 @@ def scf_atom(
                 nhist = 10
                 CH = 4
                 fused = make_fused_chunk_u(tuple(funcs), kfrac, nrad, nhist, CH, Bz,
-                                           dftthr, kshort, kernel)
+                                           dftthr, kshort, kernel, bd)
                 Sinvh_full = jnp.asarray(
                     _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
                 )

@@ -173,7 +173,8 @@ def stage_pallas():
 
 
 def stage_xe():
-    from helfem_tpu.models.atomic import AtomicBasis, coulomb, exchange
+    from helfem_tpu.models.atomic import (AtomicBasis, channel_diag, coulomb,
+                                          exchange, exchange_bd)
     from helfem_tpu.utils.linalg import eig_gsym_lm
 
     basis = AtomicBasis(Z=54, lmax=3, mmax=3, rmax=40.0, nelem=8, nnodes=12, zexp=2.5)
@@ -188,16 +189,26 @@ def stage_xe():
     jK = lambda P: jK_(ops, P)
     jE = lambda F: jE_(F, ops.Sinvh_rad)
     jC = jax.jit(lambda F, P: F @ P - P @ F)
+    # the SCF hot path under (l,m) symmetry blocks: block-diagonal-density
+    # collapsed exchange (one dispatch, no L-chunked scan)
+    jKbd_ = jax.jit(lambda o, P: exchange_bd(o, channel_diag(P, basis.nang,
+                                                             basis.nrad)))
+    jKbd = lambda P: jKbd_(ops, P)
     t0 = time.perf_counter()
     F = ops.H0 + jJ(P) + jK(P)
     _sync(F)
     compile_jk = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _sync(jKbd(P))
+    compile_kbd = time.perf_counter() - t0
     return {
         "nbf": int(basis.nbf),
         "setup_s": round(setup, 2),
         "compile_jk_s": round(compile_jk, 2),
+        "compile_kbd_s": round(compile_kbd, 2),
         "J_s": round(timeit(jJ, P), 4),
         "K_s": round(timeit(jK, P), 4),
+        "K_bd_s": round(timeit(jKbd, P), 4),
         "eig_s": round(timeit(jE, F), 4),
         "commutator_s": round(timeit(jC, F, P), 4),
     }

@@ -17,7 +17,8 @@ _d = _os.path.dirname(_os.path.abspath(__file__))
 _sys.path.insert(0, _d)
 _sys.path.insert(0, _os.path.dirname(_d))  # repo root for helfem_tpu
 
-from helfem_tpu.models.atomic import AtomicBasis, coulomb, exchange
+from helfem_tpu.models.atomic import (AtomicBasis, channel_diag, coulomb,
+                                      exchange, exchange_bd)
 from helfem_tpu.utils.linalg import eig_gsym_lm
 
 
@@ -40,10 +41,15 @@ def main():
     jK = lambda P: jK_(ops, P)
     jE = lambda F: jE_(F, ops.Sinvh_rad)
     jC = jax.jit(lambda F, P: F @ P - P @ F)
+    # the SCF hot path: block-diagonal-density exchange (symm=2 blocks)
+    jKbd_ = jax.jit(lambda o, P: exchange_bd(o, channel_diag(P, basis.nang,
+                                                             basis.nrad)))
+    jKbd = lambda P: jKbd_(ops, P)
 
     F = ops.H0 + jJ(P) + jK(P)
     print("J:", timeit(jJ, P))
-    print("K:", timeit(jK, P))
+    print("K (dense):", timeit(jK, P))
+    print("K (bd, SCF hot path):", timeit(jKbd, P))
     print("eig_blocks:", timeit(jE, F))
     print("commutator:", timeit(jC, F, P))
 

@@ -68,3 +68,57 @@ def test_1s_self_repulsion():
     assert abs(val - 5 * Z / 8) < 1e-10
     # exchange of a single orbital with itself equals minus its self-repulsion
     assert abs(float(jnp.vdot(P, exchange(ops, P))) + 5 * Z / 8) < 1e-10
+
+
+def test_exchange_bd_matches_dense():
+    """The block-diagonal-density exchange (exchange_bd and the rs/erfc
+    variants) must equal the dense channel-pair exchange for any density
+    that is block-diagonal over angular channels -- the invariant the SCF
+    relies on when running per-(l,m) symmetry blocks."""
+    from helfem_tpu.models.atomic import (
+        channel_diag,
+        erfc_exchange,
+        erfc_exchange_bd,
+        exchange_bd,
+        rs_exchange,
+        rs_exchange_bd,
+    )
+
+    basis = AtomicBasis(Z=10, lmax=2, mmax=2, rmax=30.0, nelem=4, nnodes=6)
+    ops = basis.build_operators()
+    nang, nrad = basis.nang, basis.nrad
+    rng = np.random.default_rng(7)
+    P = np.zeros((basis.nbf, basis.nbf))
+    for a in range(nang):
+        B = rng.standard_normal((nrad, nrad))
+        P[a * nrad : (a + 1) * nrad, a * nrad : (a + 1) * nrad] = B + B.T
+    P = jnp.asarray(P)
+    Pd = channel_diag(P, nang, nrad)
+
+    K_dense = exchange(ops, P)
+    K_bd = exchange_bd(ops, Pd)
+    scale = float(jnp.max(jnp.abs(K_dense)))
+    assert float(jnp.max(jnp.abs(K_dense - K_bd))) < 1e-13 * scale
+
+    rs = basis.build_yukawa(0.8)
+    K_dense = rs_exchange(ops, rs, P)
+    K_bd = rs_exchange_bd(ops, rs, Pd)
+    assert float(jnp.max(jnp.abs(K_dense - K_bd))) < 1e-13
+
+    er = basis.build_erfc(0.5)
+    K_dense = erfc_exchange(ops, er, P)
+    K_bd = erfc_exchange_bd(ops, er, Pd)
+    assert float(jnp.max(jnp.abs(K_dense - K_bd))) < 1e-13
+
+
+def test_scf_bd_vs_dense_exchange():
+    """Forcing m-blocks (symmetry=1, dense exchange path) and the default
+    (l,m) blocks (bd exchange path) must converge to the same Ne HF energy."""
+    from helfem_tpu.scf.atomic_scf import scf_atom
+
+    basis = AtomicBasis(Z=10, lmax=1, mmax=1, rmax=30.0, nelem=5, nnodes=8)
+    ops = basis.build_operators()
+    r_bd = scf_atom(basis, 5, 5, convthr=1e-9, maxit=40, ops=ops)
+    r_dn = scf_atom(basis, 5, 5, convthr=1e-9, maxit=40, ops=ops, symmetry=1)
+    assert r_bd.converged and r_dn.converged
+    assert abs(r_bd.E - r_dn.E) < 1e-9

@@ -39,6 +39,11 @@ def test_sharded_step_matches_single(ndev):
     Eref, Cref = eig_gsym_lm(Fref, ops.Sinvh_rad)
     assert np.abs(np.asarray(Ea) - np.asarray(Eref)).max() < 1e-8
 
+    # block-diagonal-density collapsed exchange shard (the SCF hot path)
+    step_bd, _ = sharded_scf_step(mesh, ops, kfrac=1.0, bd=True)
+    Fa_bd, *_ = step_bd(Pa, Pa)
+    assert np.abs(np.asarray(Fa_bd) - np.asarray(Fref)).max() < 1e-10
+
 
 def test_sharded_dia_fock_matches(ndev=4):
     if len(jax.devices()) < ndev:
