@@ -544,8 +544,11 @@ def scf_atom(
                          kshort=kshort, kernel=kernel, bd=bd)
     Sinvh_np = _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
     Sinvh_dev = jnp.asarray(Sinvh_np)
+    # blockwise error commutator: F/P are block-diagonal over the SAME
+    # blocks the eigensolve uses (any P that broke them would already
+    # break eig_blocks), so the dense nbf^3 commutator is pure waste
     diis = DIIS(np.asarray(ops.S), Sinvh_np, max_hist=diisorder, diis_eps=diiseps,
-                diis_thr=diisthr)
+                diis_thr=diisthr, blocks=(blk_idx_np, blk_sinvh_np))
     Sh_np = None
     if rohf:
         from helfem_tpu.utils.linalg import form_sh, rohf_update

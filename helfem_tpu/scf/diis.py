@@ -58,13 +58,28 @@ def device_diis_step(histF, histE, count, F, errv):
 
 class DIIS:
     def __init__(self, S, Sinvh, max_hist: int = 10, diis_eps: float = 0.1, damp: float = 0.5,
-                 adiis: bool = True, diis_thr: float | None = None):
+                 adiis: bool = True, diis_thr: float | None = None,
+                 blocks=None):
         """diis_thr (reference --diisthr, src/general/diis.cpp:241): when
         set, errors in (diis_thr, diis_eps] use the reference's sliding
         DIIS/ADIIS weight blend diisw = 1 - (err-thr)/(eps-thr) instead of
-        the hard switch at diis_eps; below diis_thr it is pure C2-DIIS."""
+        the hard switch at diis_eps; below diis_thr it is pure C2-DIIS.
+
+        blocks=(blk_idx, blk_sinvh) (numpy, padded with nbf / zeros as in
+        the blocked eigensolves): compute the error commutator PER SYMMETRY
+        BLOCK. Exact whenever every F and P is block-diagonal over those
+        blocks (true by construction for symmetry-blocked SCF drivers);
+        sum_b blen^3 FLOPs instead of three dense nbf^3 matmuls -- the
+        dense commutator is a dominant host-loop cost at nbf ~ 4000."""
         self.S = np.asarray(S)
         self.Sinvh = np.asarray(Sinvh)
+        self.blocks = None
+        if blocks is not None:
+            bi = np.asarray(blocks[0])
+            bs = np.asarray(blocks[1])
+            Sp = np.pad(self.S, ((0, 1), (0, 1)))
+            Sb = Sp[bi[:, :, None], bi[:, None, :]]
+            self.blocks = (bi, bs, Sb)
         self.max_hist = max_hist
         self.diis_eps = diis_eps
         self.diis_thr = diis_thr
@@ -75,6 +90,15 @@ class DIIS:
         self.errs: list[np.ndarray] = []
 
     def _error(self, F, P):
+        if self.blocks is not None:
+            bi, bs, Sb = self.blocks
+            Fp = np.pad(np.asarray(F), ((0, 1), (0, 1)))
+            Pp = np.pad(np.asarray(P), ((0, 1), (0, 1)))
+            Fb = Fp[bi[:, :, None], bi[:, None, :]]
+            Pb = Pp[bi[:, :, None], bi[:, None, :]]
+            FPS = np.einsum("bpq,bqr,brs->bps", Fb, Pb, Sb, optimize=True)
+            M = FPS - FPS.transpose(0, 2, 1)
+            return np.einsum("bpi,bps,bsj->bij", bs, M, bs, optimize=True)
         FPS = F @ P @ self.S
         comm = FPS - FPS.T
         return self.Sinvh.T @ comm @ self.Sinvh
