@@ -822,10 +822,12 @@ def exchange_dia_occ(ops: DiatomicOperators, Co: jnp.ndarray,
     tensors (which the f64 emulation multiplies ~8x, OOMing HBM at the
     reference-converged lmax=12) NEVER materialize: the cross-element
     triangles become one dense [(b g), (s F t e o)] x [(s F t e o), (c x)]
-    MXU matmul per chunk, and only the in-element Rg window tensor scales
-    with nang^2. Chunks of `gs` channels fold into the contraction axis,
-    so the scan length drops to nlm/gs with NO growth in the materialized
-    output."""
+    MXU matmul per chunk, and the in-element Rg window tensor runs on the
+    b <= c shell-pair triangle only (Kdiag[b,c,j,k] = Kdiag[c,b,k,j]
+    exactly; one transpose after the scan restores the full tensor --
+    2x fewer FLOPs on the two dominant matmuls). Chunks of `gs` channels
+    fold into the contraction axis, so the scan length drops to nlm/gs
+    with NO growth in the materialized output."""
     import os as _os
 
     nang = ops.GmLM.shape[-1]
@@ -864,14 +866,29 @@ def exchange_dia_occ(ops: DiatomicOperators, Co: jnp.ndarray,
     TT = jnp.stack([CLg2, SS2T], axis=1)  # [c, k, q, e, u, n]
     sgnF = jnp.asarray([[1.0, -1.0], [-1.0, 1.0]])  # R families [[00,02],[20,22]]
 
+    # (b, c) PAIR TRIANGLE: Kdiag[b,c,e,j,k] = Kdiag[c,b,e,k,j] exactly --
+    # the verified teiK pair-layout symmetry tK[q,r,(jk),(il)] =
+    # tK[r,q,(kj),(li)] composes with the rank-factor relation
+    # R_qr[b,c,I,J] = R_rq[c,b,J,I] (the q<->r family swap rides the
+    # b<->c transpose; holds for any sgn since the o-contraction carries
+    # it symmetrically) -- so the in-element Rg/Kd work runs on the
+    # b <= c pairs only (2x fewer FLOPs on the two dominant matmuls) and
+    # the full Kdiag is recovered by one transpose after the scan.
+    bP, cP = np.triu_indices(nang)
+    bP = jnp.asarray(bP.astype(np.int32))
+    cP = jnp.asarray(cP.astype(np.int32))
+    npair = int(bP.shape[0])
+
     nlm = int(ops.step_ilm.shape[0])
-    # dominant chunk intermediate: the in-element Rg window tensor
-    # [s, 4, b, c, e, np^2] (~150 B per logical f64 element: the 8x
+    # dominant chunk intermediates: the pair-triangle Rg window tensor
+    # [s, 4, P, e, np^2] (~150 B per logical f64 element: the 8x
     # f64-emulation stacking, tile padding, live copies, PLUS the resident
     # argument tables the compile-time HBM accounting does not see --
-    # gs=4 at lmax=12 compiled but ResourceExhausted'd at runtime);
+    # gs=4 at lmax=12 compiled but ResourceExhausted'd at runtime) plus
+    # the two pair-gathered AW operands (~16 B/elem f32-pair class);
     # cross-term u/v factors are O(nang * no) and negligible
-    per_chan = 150.0 * 4.0 * nang * nang * nelem * nprim * nprim
+    per_chan = (150.0 * 4.0 * npair * nelem * nprim * nprim
+                + 32.0 * 4.0 * npair * nelem * nprim * no)
     budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
     cap = int(_os.environ.get("HELFEM_EXCHANGE_STEPS", 64))
     gs = max(1, min(nlm, cap, int(budget // max(per_chan, 1.0))))
@@ -906,13 +923,16 @@ def exchange_dia_occ(ops: DiatomicOperators, Co: jnp.ndarray,
         vd = uvq[:, 1, 0] - uvq[:, 1, 1]  # v_0 - v_1  [s, t, e, c, o, x]
         cross = jnp.einsum("stebou,stecox->bucx", ud, vd)
         # in-element: window factors (A shared over k, q), the 2x2 rank
-        # product, then the TEI matmul with the family signs on the table
+        # product on the b <= c PAIR TRIANGLE only (see bP/cP note), then
+        # the TEI matmul with the family signs on the table
         AW = jnp.einsum("ein,skqtbno->skqtebio", A, WW)
-        Rg = jnp.einsum("sqtebio,srteclo->sqrbceil", AW[:, 0], AW[:, 1])
-        Rgv = Rg.reshape(*Rg.shape[:6], -1)  # [s, q, r, b, c, e, np^2(il)]
+        A0 = jnp.take(AW[:, 0], bP, axis=4)  # [s, q, t, e, P, i, o]
+        A1 = jnp.take(AW[:, 1], cP, axis=4)  # [s, r, t, e, P, l, o]
+        Rg = jnp.einsum("sqtePio,srtePlo->sqrPeil", A0, A1)
+        Rgv = Rg.reshape(*Rg.shape[:5], -1)  # [s, q, r, P, e, np^2(il)]
         tK = ops.teiK[ilm].reshape(-1, 2, 2, *ops.teiK.shape[2:])
         tK = tK * sgnF[None, :, :, None, None, None]
-        Kd = jnp.einsum("sqrexy,sqrbcey->bcex", tK, Rgv)
+        Kd = jnp.einsum("sqrexy,sqrPey->Pex", tK, Rgv)
         return Kd, cross
 
     def body(carry, xs_):
@@ -921,11 +941,18 @@ def exchange_dia_occ(ops: DiatomicOperators, Co: jnp.ndarray,
         return (Kd_acc + Kd, cross_acc + cross), None
 
     nr1 = nrad + 1
-    carry0 = (jnp.zeros((nang, nang, nelem, nprim * nprim)),
+    carry0 = (jnp.zeros((npair, nelem, nprim * nprim)),
               jnp.zeros((nang, nr1, nang, nr1)))
     (Kd_acc, cross_acc), _ = jax.lax.scan(body, carry0, xs)
+    # unpack the pair triangle: scatter b <= c pairs, then add the exact
+    # (b<->c, j<->k) transpose; diagonal pairs are halved so the transpose
+    # restores them exactly (Kdiag[b,b,j,k] = Kdiag[b,b,k,j])
+    wpair = jnp.where(bP == cP, 0.5, 1.0)
+    Kd_w = Kd_acc * wpair[:, None, None]
+    Kdiag = jnp.zeros((nang, nang, nelem, nprim * nprim)).at[bP, cP].set(Kd_w)
+    Kdiag = Kdiag.reshape(nang, nang, nelem, nprim, nprim)
+    Kdiag = Kdiag + jnp.transpose(Kdiag, (1, 0, 2, 4, 3))
     # in-element: TEI-contracted windows assembled to global coordinates
-    Kdiag = Kd_acc.reshape(nang, nang, nelem, nprim, nprim)
     Kd1 = jnp.einsum("bcejk,ekm->bcejm", Kdiag, A)
     Kin = jnp.einsum("ein,bceim->bcnm", A, Kd1)
     # cross-element lower triangles; the upper half is the (b<->c, g<->x)

@@ -480,11 +480,22 @@ def scf_diatomic(
         restricted = False
     fock = make_dia_fock(tuple(funcs), kfrac, dftthr=dftthr, restricted=restricted)
     # occupied-orbital factorized exchange (HELFEM_DIA_OCC=0 forces the
-    # dense K(P) path): static padded orbital-column widths per spin; the
-    # +8 margin absorbs degeneracy-averaged fractional spreads
+    # dense K(P) path): static padded orbital-column widths per spin.
+    # TWO-TIER widths: the cross-element exchange matmul scales linearly
+    # in the padded width, so the normal path runs TIGHT (+2 -- diatomic
+    # levels are at most 2-fold degenerate, so aufbau spreads rarely
+    # exceed it) and a WIDE (+8) shape exists for degeneracy-averaged
+    # fractional spreads; the wide jit specialization only compiles if an
+    # overflow ever actually happens.
     use_occ = kfrac != 0.0 and os.environ.get("HELFEM_DIA_OCC", "1") != "0"
-    noa = min(nbf, int(np.ceil(nela)) + 8)
-    nob = min(nbf, int(np.ceil(nelb)) + 8)
+    noa = min(nbf, int(np.ceil(nela)) + 2)
+    nob = min(nbf, int(np.ceil(nelb)) + 2)
+    noa_w = min(nbf, int(np.ceil(nela)) + 8)
+    nob_w = min(nbf, int(np.ceil(nelb)) + 8)
+
+    def occ_select2(occ, no_t, no_w):
+        sel = occ_select(occ, no_t)
+        return sel if sel is not None else occ_select(occ, no_w)
     # big-basis accelerator backends: the on-device batched eigh crashes /
     # ResourceExhausts at lmax=12-class block sizes -- run the eigensolve
     # on the host (the SCF then stays on the host loop, which already
@@ -583,9 +594,9 @@ def scf_diatomic(
                 fshape = ((nhist, nblk, blen, blen) if restricted
                           else (nhist, 2, nblk, blen, blen))
                 hist = (jnp.zeros(fshape), jnp.zeros((nhist, nerr)), jnp.asarray(0))
-            sela = occ_select(occa, noa) if use_occ else None
+            sela = occ_select2(occa, noa, noa_w) if use_occ else None
             selb = (None if restricted or not use_occ
-                    else occ_select(occb, nob))
+                    else occ_select2(occb, nob, nob_w))
             Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps = fused(
                 ops, g, Vextra_dev,
                 jnp.asarray(occa), jnp.asarray(occb), sela, selb, Ca, Cb, *hist
@@ -624,8 +635,9 @@ def scf_diatomic(
 
         Pa = density_dia(ops, Ca, jnp.asarray(occa))
         Pb = Pa if restricted else density_dia(ops, Cb, jnp.asarray(occb))
-        sela_h = occ_select(occa, noa) if use_occ else None
-        selb_h = None if restricted or not use_occ else occ_select(occb, nob)
+        sela_h = occ_select2(occa, noa, noa_w) if use_occ else None
+        selb_h = (None if restricted or not use_occ
+                  else occ_select2(occb, nob, nob_w))
         Coa = None if sela_h is None else occupied_dia(ops, Ca, sela_h)
         Cob = (Coa if restricted else
                (None if selb_h is None else occupied_dia(ops, Cb, selb_h)))

@@ -54,9 +54,9 @@ def main():
     jJ = lambda P: jJ_(ops, P)
     jK = lambda P: jK_(ops, P)
 
-    # occupied-orbital factorized exchange: the SCF path at scale (no=15
-    # covers N2's 7 doubly-occupied orbitals + degeneracy margin)
-    no = 15
+    # occupied-orbital factorized exchange: the SCF path at scale (no=9 =
+    # N2's 7 doubly-occupied orbitals + the driver's tight +2 margin)
+    no = 9
     Co = jax.random.normal(key, (basis.nbf, no), dtype=jnp.float64) * 0.1
     jKo_ = jax.jit(exchange_dia_occ)
     jKo = lambda C: jKo_(ops, C)
