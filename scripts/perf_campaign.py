@@ -232,7 +232,8 @@ def _n2_stages(lmax, nnodes, rmax, dense_K):
     key = jax.random.PRNGKey(0)
     P = jax.random.normal(key, (basis.nbf, basis.nbf), dtype=jnp.float64)
     P = 0.5 * (P + P.T) * 1e-2
-    Co = jax.random.normal(key, (basis.nbf, 15), dtype=jnp.float64) * 0.1
+    # tight two-tier width the SCF driver actually uses for N2 (7 + 2)
+    Co = jax.random.normal(key, (basis.nbf, 9), dtype=jnp.float64) * 0.1
     jJ_ = jax.jit(coulomb_dia)
     jKo_ = jax.jit(exchange_dia_occ)
     jJ = lambda P: jJ_(ops, P)
