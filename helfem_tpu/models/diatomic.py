@@ -182,7 +182,13 @@ class DiatomicBasis:
                     lms.add((L, abs(M)))
                     LMs.add((L, M))
         self.lm_map = sorted(lms)
-        self.LM_map = sorted(LMs)
+        # M = 0 channels FIRST: GmLM/GpLM are built with the hard selection
+        # m_a - m_b = M, so a symmetry-block-diagonal density (m_a = m_b,
+        # guaranteed by the per-m blocked eigensolve) projects to zero on
+        # every M != 0 channel -- the Coulomb build can run on this prefix
+        # alone (coulomb_dia njbd), skipping ~8x of the channel scan.
+        self.LM_map = sorted(LMs, key=lambda p: (p[1] != 0, p))
+        self.njbd = sum(1 for (_, M) in self.LM_map if M == 0)
         self.lm_index = {p: i for i, p in enumerate(self.lm_map)}
 
     # --- radial integrals -------------------------------------------------------
@@ -581,22 +587,34 @@ def _from4(P4, nang, nrad):
     return P4.transpose(0, 2, 1, 3).reshape(nang * nrad, nang * nrad)
 
 
-def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
+def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray,
+                njbd: int | None = None) -> jnp.ndarray:
     """J(P): scan over CHUNKS of the signed (L,M) channels; per channel
     prefix sums over elements (reference: src/diatomic/basis.cpp:1359-1531).
     All per-channel work is batched einsums over the chunk (the dominant
     per-channel cost is the in-element TEI contraction and the two
     assembler matmul pairs); an HBM budget (HELFEM_EXCHANGE_HBM) bounds the
-    batched TEI gather [S, nelem, np^4]."""
+    batched TEI gather [S, nelem, np^4].
+
+    njbd (static; = basis.njbd): restrict the scan to the leading M = 0
+    channels. EXACT for any symmetry-block-diagonal density (m_a = m_b
+    everywhere P is nonzero -- true by construction for every density the
+    blocked-eigensolve drivers produce): GmLM/GpLM carry the hard
+    selection m_a - m_b = M, so all the skipped channels project P to
+    exactly zero. Dense/probe callers leave njbd=None and scan all
+    channels."""
     import os as _os
 
+    GmLM = ops.GmLM if njbd is None else ops.GmLM[:njbd]
+    GpLM = ops.GpLM if njbd is None else ops.GpLM[:njbd]
+    LM_ilm = ops.LM_ilm if njbd is None else ops.LM_ilm[:njbd]
     nang = ops.GmLM.shape[-1]
     nrad = ops.shellmask.shape[-1]
     nelem, nprim = ops.gidx.shape
     gi = ops.gidx
     P4 = _to4(P, nang, nrad)
-    Paux0 = jnp.einsum("sab,abIJ->sIJ", ops.GmLM, P4)
-    Paux2 = jnp.einsum("sab,abIJ->sIJ", ops.GpLM, P4)
+    Paux0 = jnp.einsum("sab,abIJ->sIJ", GmLM, P4)
+    Paux2 = jnp.einsum("sab,abIJ->sIJ", GpLM, P4)
     Paux0 = jnp.pad(Paux0, ((0, 0), (0, 1), (0, 1)))
     Paux2 = jnp.pad(Paux2, ((0, 0), (0, 1), (0, 1)))
 
@@ -604,7 +622,7 @@ def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
 
     A = _assembler(gi, nrad)
 
-    nLM = int(ops.GmLM.shape[0])
+    nLM = int(GmLM.shape[0])
     per_s = 16.0 * (4.0 * nelem * nprim**4 + 4.0 * nang * (nrad + 1) ** 2)
     budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
     # J has its own step cap: it was silently riding HELFEM_EXCHANGE_STEPS
@@ -616,7 +634,7 @@ def coulomb_dia(ops: DiatomicOperators, P: jnp.ndarray) -> jnp.ndarray:
     # padded channels: GmLM/GpLM rows are zero => Paux = 0 => contribute 0
     xs = tuple(
         padc(x).reshape((nLM + npad) // gs, gs, *x.shape[1:])
-        for x in (Paux0, Paux2, ops.LM_ilm, ops.GmLM, ops.GpLM)
+        for x in (Paux0, Paux2, LM_ilm, GmLM, GpLM)
     )
 
     def body(J4, xs_):

@@ -258,15 +258,18 @@ class DiaSCFResult:
 
 
 @lru_cache(maxsize=None)
-def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12, restricted: bool = False):
+def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12, restricted: bool = False,
+                  njbd: int | None = None):
     """Jitted diatomic Fock builder. With restricted=True, Pb is assumed
     identical to Pa and the exchange operator is built once (it dominates
-    the Fock cost on TPU)."""
+    the Fock cost on TPU). njbd restricts the Coulomb scan to the M = 0
+    channel prefix -- exact for the symmetry-block-diagonal densities this
+    driver produces (see coulomb_dia)."""
 
     @jax.jit
     def fock(ops: DiatomicOperators, g, Pa, Pb, Coa=None, Cob=None):
         P = Pa + Pb
-        J = coulomb_dia(ops, P)
+        J = coulomb_dia(ops, P, njbd)
         Fa = ops.H0 + J
         Fb = ops.H0 + J
         Exx = 0.0
@@ -304,7 +307,7 @@ def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12, restricted: bool = False)
 @lru_cache(maxsize=None)
 def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
                          dftthr: float = 1e-12, restricted: bool = True,
-                         Bz: float = 0.0):
+                         Bz: float = 0.0, njbd: int | None = None):
     """`nsteps` fully on-device diatomic SCF iterations in ONE jitted
     lax.scan (density -> Fock -> device C2-DIIS -> blocked eigensolve),
     the diatomic analogue of the atomic fused chunk: only per-iteration
@@ -323,7 +326,7 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
     than dense [nhist, nbf, nbf]); the extrapolated Fock feeds
     eig_blocks_dia_b directly without a scatter/gather round trip. The
     dense Fock from fock() is gathered into blocks ONCE per iteration."""
-    fock = make_dia_fock(funcs, kfrac, dftthr, restricted=restricted)
+    fock = make_dia_fock(funcs, kfrac, dftthr, restricted=restricted, njbd=njbd)
 
     @jax.jit
     def chunk(ops, g, Vextra, occa, occb, sela, selb,
@@ -478,7 +481,11 @@ def scf_diatomic(
         restricted = (not rohf) and Bz == 0.0
     else:
         restricted = False
-    fock = make_dia_fock(tuple(funcs), kfrac, dftthr=dftthr, restricted=restricted)
+    # every density here is symmetry-block-diagonal (per-m blocks), so the
+    # Coulomb build runs on the M = 0 channel prefix (exact; coulomb_dia)
+    njbd = getattr(basis, "njbd", None)
+    fock = make_dia_fock(tuple(funcs), kfrac, dftthr=dftthr, restricted=restricted,
+                         njbd=njbd)
     # occupied-orbital factorized exchange (HELFEM_DIA_OCC=0 forces the
     # dense K(P) path): static padded orbital-column widths per spin.
     # TWO-TIER widths: the cross-element exchange matmul scales linearly
@@ -513,7 +520,8 @@ def scf_diatomic(
         # Fock of the supplied density and diagonalize it as the guess
         # (reference --load restart, src/diatomic/main.cpp).
         P0b_ = P0a if P0b is None else P0b
-        gfock = fock if P0b is None else make_dia_fock(tuple(funcs), kfrac, dftthr=dftthr)
+        gfock = (fock if P0b is None
+                 else make_dia_fock(tuple(funcs), kfrac, dftthr=dftthr, njbd=njbd))
         Fg_a, Fg_b, *_ = gfock(ops, g, jnp.asarray(P0a), jnp.asarray(P0b_))
         Ea, Ca = eig_full(Fg_a)
         if restricted:
@@ -586,7 +594,8 @@ def scf_diatomic(
                 nhist = 10
                 CH = 4
                 fused = make_dia_fused_chunk(
-                    tuple(funcs), kfrac, nhist, CH, dftthr, restricted, Bz
+                    tuple(funcs), kfrac, nhist, CH, dftthr, restricted, Bz,
+                    njbd=njbd,
                 )
                 # block-coordinate DIIS history (see make_dia_fused_chunk)
                 nblk, blen = ops.blk_idx.shape
