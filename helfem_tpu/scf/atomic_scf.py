@@ -236,29 +236,45 @@ def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
 def make_fused_chunk(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
                      Bz: float = 0.0, dftthr: float = 1e-12, kshort: float = 0.0,
                      kernel: str = "erfc", bd: bool = False):
-    """`nsteps` fused SCF iterations in ONE jitted lax.scan: amortizes the
-    per-call dispatch latency (~60 ms on the TPU plugin) across iterations.
-    Occupations are frozen within a chunk (the host refreshes them between
-    chunks)."""
+    """Up to `nsteps` fused SCF iterations in ONE jitted dispatch:
+    amortizes the per-call dispatch latency (~60 ms on the TPU plugin)
+    across iterations. Occupations are frozen within a chunk (the host
+    refreshes them between chunks). The steps run under a lax.while_loop
+    with the convergence gate ON DEVICE (err < convthr and |dE| < convthr,
+    the host loop's own test), so a chunk that converges mid-way stops
+    immediately instead of paying the remaining Fock builds."""
     step = make_fused_step(funcs, kfrac, nrad, nhist, Bz, dftthr, kshort, kernel, bd)
-    # reuse the single-step trace inside a scan
+    # reuse the single-step trace inside the loop body
     inner = step.__wrapped__ if hasattr(step, "__wrapped__") else step
 
     @jax.jit
-    def chunk(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
-        def body(carry, _):
-            C, histF, histE, count = carry
-            Cn, E, histF, histE, count, Etot, errmax, Nel, comps = inner(
-                ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count
-            )
-            return (Cn, histF, histE, count), (E, Cn, Etot, errmax, Nel, comps)
+    def chunk(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C,
+              histF, histE, count, convthr, Eprev, nrun):
+        def cond(st):
+            return (st[0] < nrun) & (~st[1])
 
-        # per-step (E, C) stacks come back so the host can report the
-        # orbitals of the EXACT convergence iteration, not the chunk end
-        (C, histF, histE, count), (Es, Cs, Etots, errs, Nels, comps) = jax.lax.scan(
-            body, (C, histF, histE, count), None, length=nsteps
-        )
-        return Cs, Es, histF, histE, count, Etots, errs, Nels, comps
+        def body(st):
+            (k, _done, C, histF, histE, count, Ep,
+             Es, Cs, Etots, errs, Nels, comps) = st
+            Cn, E, histF, histE, count, Etot, errmax, Nel, comp = inner(
+                ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C,
+                histF, histE, count
+            )
+            done = (errmax < convthr) & (jnp.abs(Etot - Ep) < convthr)
+            return (k + 1, done, Cn, histF, histE, count, Etot,
+                    Es.at[k].set(E), Cs.at[k].set(Cn),
+                    Etots.at[k].set(Etot), errs.at[k].set(errmax),
+                    Nels.at[k].set(Nel), comps.at[k].set(jnp.stack(comp)))
+
+        nb, bl = C.shape[0], C.shape[1]
+        st0 = (jnp.asarray(0), jnp.asarray(False), C, histF, histE, count,
+               Eprev,
+               jnp.zeros((nsteps, nb, bl)), jnp.zeros((nsteps, nb, bl, bl)),
+               jnp.zeros(nsteps), jnp.zeros(nsteps), jnp.zeros(nsteps),
+               jnp.zeros((nsteps, 6)))
+        (k, _done, C, histF, histE, count, _Ep,
+         Es, Cs, Etots, errs, Nels, comps) = jax.lax.while_loop(cond, body, st0)
+        return Cs, Es, histF, histE, count, Etots, errs, Nels, comps, k
 
     return chunk
 
@@ -276,9 +292,8 @@ def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
 
     @jax.jit
     def chunk(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occa, occb,
-              Ca, Cb, histF, histE, count):
-        def body(carry, _):
-            Ca, Cb, histF, histE, count = carry
+              Ca, Cb, histF, histE, count, convthr, Eprev, nrun):
+        def step(Ca, Cb, histF, histE, count):
             Pa = density_blocks(Ca, occa, blk_idx, ops.S)
             Pb = density_blocks(Cb, occb, blk_idx, ops.S)
             Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(
@@ -302,17 +317,38 @@ def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
             )
             Ea, Cna = eig_blocks(Fuse[0], blk_idx, blk_sinvh)
             Eb, Cnb = eig_blocks(Fuse[1], blk_idx, blk_sinvh)
-            return (Cna, Cnb, histF, histE, count), (
-                Ea, Eb, Cna, Cnb, Etot, errmax, Nel,
-                (Ekin, Enuc, Ecoul, Exx, Exc, Efield),
-            )
+            return (Cna, Cnb, histF, histE, count,
+                    Ea, Eb, Etot, errmax, Nel,
+                    jnp.stack([Ekin, Enuc, Ecoul, Exx, Exc, Efield]))
 
-        # per-step stacks so the host selects the exact reported iteration
-        (Ca, Cb, histF, histE, count), (Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = jax.lax.scan(
-            body, (Ca, Cb, histF, histE, count), None, length=nsteps
+        def cond(st):
+            return (st[0] < nrun) & (~st[1])
+
+        def body(st):
+            (k, _done, Ca, Cb, histF, histE, count, Ep,
+             Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = st
+            (Cna, Cnb, histF, histE, count,
+             Ea, Eb, Etot, errmax, Nel, comp) = step(Ca, Cb, histF, histE, count)
+            done = (errmax < convthr) & (jnp.abs(Etot - Ep) < convthr)
+            return (k + 1, done, Cna, Cnb, histF, histE, count, Etot,
+                    Eas.at[k].set(Ea), Ebs.at[k].set(Eb),
+                    Cas.at[k].set(Cna), Cbs.at[k].set(Cnb),
+                    Etots.at[k].set(Etot), errs.at[k].set(errmax),
+                    Nels.at[k].set(Nel), comps.at[k].set(comp))
+
+        nb, bl = Ca.shape[0], Ca.shape[1]
+        st0 = (jnp.asarray(0), jnp.asarray(False), Ca, Cb, histF, histE, count,
+               Eprev,
+               jnp.zeros((nsteps, nb, bl)), jnp.zeros((nsteps, nb, bl)),
+               jnp.zeros((nsteps, nb, bl, bl)), jnp.zeros((nsteps, nb, bl, bl)),
+               jnp.zeros(nsteps), jnp.zeros(nsteps), jnp.zeros(nsteps),
+               jnp.zeros((nsteps, 6)))
+        (k, _done, Ca, Cb, histF, histE, count, _Ep,
+         Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = jax.lax.while_loop(
+            cond, body, st0
         )
         return (
-            Cas, Cbs, Eas, Ebs, histF, histE, count, Etots, errs, Nels, comps
+            Cas, Cbs, Eas, Ebs, histF, histE, count, Etots, errs, Nels, comps, k
         )
 
     return chunk
@@ -594,15 +630,17 @@ def scf_atom(
                     jnp.zeros((nhist, basis.nbf * basis.nbf)),
                     jnp.asarray(0),
                 )
-            Cs, Es, hF, hE, cnt, Etots, errs, Nels, comps = fused(
-                ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, jnp.asarray(occa), Ca, *hist
+            nrun = min(CH, maxit - it + 1)
+            Cs, Es, hF, hE, cnt, Etots, errs, Nels, comps, kdev = fused(
+                ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, jnp.asarray(occa), Ca, *hist,
+                jnp.asarray(float(convthr)), jnp.asarray(Eold), jnp.asarray(nrun)
             )
             hist = (hF, hE, cnt)
             Etots = np.asarray(Etots)
             errs = np.asarray(errs)
-            # never report iterations past maxit: the chunk may run a few
-            # steps beyond, but they are not counted or used
-            kmax = min(len(Etots), maxit - it + 1)
+            # the device chunk stops itself at convergence or the maxit
+            # boundary (nrun); kdev = steps actually run
+            kmax = int(kdev)
             k = 0
             for k in range(kmax):
                 Etot = float(Etots[k])
@@ -622,7 +660,7 @@ def scf_atom(
             Ea = np.asarray(Es[k])
             Eb, Cb = Ea, Ca
             Nel = Nels[k]
-            Ekin, Enuc, Ecoul, Exx, Exc, Efield = (x[k] for x in comps)
+            Ekin, Enuc, Ecoul, Exx, Exc, Efield = np.asarray(comps[k])
             if save_cb is not None:
                 save_cb(it, Etot, Ea, Ca, occa, None, None, None)
             if converged or it >= maxit:
@@ -644,15 +682,18 @@ def scf_atom(
                     jnp.zeros((nhist, 2 * basis.nbf * basis.nbf)),
                     jnp.asarray(0),
                 )
-            Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps = fused(
+            Emag = -0.5 * Bz * (nela - nelb)
+            nrun = min(CH, maxit - it + 1)
+            Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps, kdev = fused(
                 ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full,
-                jnp.asarray(occa), jnp.asarray(occb), Ca, Cb, *hist
+                jnp.asarray(occa), jnp.asarray(occb), Ca, Cb, *hist,
+                jnp.asarray(float(convthr)), jnp.asarray(Eold - Emag),
+                jnp.asarray(nrun)
             )
             hist = (hF, hE, cnt)
             Etots = np.asarray(Etots)
             errs = np.asarray(errs)
-            Emag = -0.5 * Bz * (nela - nelb)
-            kmax = min(len(Etots), maxit - it + 1)
+            kmax = int(kdev)
             k = 0
             for k in range(kmax):
                 Etot = float(Etots[k]) + Emag
@@ -669,7 +710,7 @@ def scf_atom(
             Ea = np.asarray(Eas[k])
             Eb = np.asarray(Ebs[k])
             Nel = Nels[k]
-            Ekin, Enuc, Ecoul, Exx, Exc, Efield = (x[k] for x in comps)
+            Ekin, Enuc, Ecoul, Exx, Exc, Efield = np.asarray(comps[k])
             if save_cb is not None:
                 save_cb(it, Etot, Ea, Ca, occa, Eb, Cb, occb)
             if converged or it >= maxit:

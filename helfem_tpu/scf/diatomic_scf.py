@@ -308,13 +308,18 @@ def make_dia_fock(funcs, kfrac, dftthr: float = 1e-12, restricted: bool = False,
 def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
                          dftthr: float = 1e-12, restricted: bool = True,
                          Bz: float = 0.0, njbd: int | None = None):
-    """`nsteps` fully on-device diatomic SCF iterations in ONE jitted
-    lax.scan (density -> Fock -> device C2-DIIS -> blocked eigensolve),
-    the diatomic analogue of the atomic fused chunk: only per-iteration
-    (E, err) scalars reach the host, removing the per-iteration transfer
-    and dispatch latency that dominated the host-loop driver on TPU.
-    Occupations are frozen within a chunk (the host refreshes them
-    between chunks).
+    """Up to `nsteps` fully on-device diatomic SCF iterations in ONE
+    jitted dispatch (density -> Fock -> device C2-DIIS -> blocked
+    eigensolve), the diatomic analogue of the atomic fused chunk: only
+    per-iteration (E, err) scalars reach the host, removing the
+    per-iteration transfer and dispatch latency that dominated the
+    host-loop driver on TPU. Occupations are frozen within a chunk (the
+    host refreshes them between chunks). The steps run under a
+    lax.while_loop with the CONVERGENCE TEST ON DEVICE (err < convthr and
+    |dE| < convthr, the host loop's own gate), so a chunk that converges
+    mid-way stops immediately -- no wasted Fock builds (a build is ~65 s
+    at the reference-converged N2 lmax=12) -- while still amortizing the
+    dispatch cost when far from convergence.
 
     DESIGN (TPU): every Fock/density/overlap here is block-diagonal over
     the symmetry blocks by construction (that is what makes the blocked
@@ -330,7 +335,7 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
 
     @jax.jit
     def chunk(ops, g, Vextra, occa, occb, sela, selb,
-              Ca, Cb, histF, histE, count):
+              Ca, Cb, histF, histE, count, convthr, Eprev, nrun):
         Sb = gather_blocks_dia(ops, ops.S)
 
         def errof_b(Fb, Pb):
@@ -341,8 +346,7 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
             return jnp.einsum("bpi,bps,bsj->bij",
                               ops.blk_sinvh, M, ops.blk_sinvh).ravel()
 
-        def body(carry, _):
-            Ca, Cb, histF, histE, count = carry
+        def step(Ca, Cb, histF, histE, count):
             Pab = jnp.einsum("bpk,bk,bqk->bpq", Ca, occa, Ca)
             Pa = _scatter_blocks_dia(ops, Pab)
             if restricted:
@@ -380,16 +384,39 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
             else:
                 Ea, Cna = eig_blocks_dia_b(ops, Fuse[0])
                 Eb, Cnb = eig_blocks_dia_b(ops, Fuse[1])
-            return (Cna, Cnb, histF, histE, count), (
-                Ea, Eb, Cna, Cnb, Etot, errmax, Nel,
-                (Ekin, Enuc, Ecoul, Exx, Exc, Efield),
-            )
+            return (Cna, Cnb, histF, histE, count,
+                    Ea, Eb, Etot, errmax, Nel,
+                    jnp.stack([Ekin, Enuc, Ecoul, Exx, Exc, Efield]))
 
-        # per-step stacks so the host selects the exact reported iteration
-        (Ca, Cb, histF, histE, count), (Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = jax.lax.scan(
-            body, (Ca, Cb, histF, histE, count), None, length=nsteps
+        def cond(st):
+            k, done = st[0], st[1]
+            return (k < nrun) & (~done)
+
+        def body(st):
+            (k, _done, Ca, Cb, histF, histE, count, Ep,
+             Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = st
+            (Cna, Cnb, histF, histE, count,
+             Ea, Eb, Etot, errmax, Nel, comp) = step(Ca, Cb, histF, histE, count)
+            done = (errmax < convthr) & (jnp.abs(Etot - Ep) < convthr)
+            return (k + 1, done, Cna, Cnb, histF, histE, count, Etot,
+                    Eas.at[k].set(Ea), Ebs.at[k].set(Eb),
+                    Cas.at[k].set(Cna), Cbs.at[k].set(Cnb),
+                    Etots.at[k].set(Etot), errs.at[k].set(errmax),
+                    Nels.at[k].set(Nel), comps.at[k].set(comp))
+
+        nb, bl = Ca.shape[0], Ca.shape[1]
+        st0 = (jnp.asarray(0), jnp.asarray(False), Ca, Cb, histF, histE, count,
+               Eprev,
+               jnp.zeros((nsteps, nb, bl)), jnp.zeros((nsteps, nb, bl)),
+               jnp.zeros((nsteps, nb, bl, bl)), jnp.zeros((nsteps, nb, bl, bl)),
+               jnp.zeros(nsteps), jnp.zeros(nsteps), jnp.zeros(nsteps),
+               jnp.zeros((nsteps, 6)))
+        (k, _done, Ca, Cb, histF, histE, count, _Ep,
+         Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = jax.lax.while_loop(
+            cond, body, st0
         )
-        return Cas, Cbs, Eas, Ebs, histF, histE, count, Etots, errs, Nels, comps
+        return (Cas, Cbs, Eas, Ebs, histF, histE, count,
+                Etots, errs, Nels, comps, k)
 
     return chunk
 
@@ -606,15 +633,21 @@ def scf_diatomic(
             sela = occ_select2(occa, noa, noa_w) if use_occ else None
             selb = (None if restricted or not use_occ
                     else occ_select2(occb, nob, nob_w))
-            Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps = fused(
+            Emag = -0.5 * Bz * (nela - nelb)
+            nrun = min(CH, maxit - it + 1)
+            # the device chunk stops itself on the convergence gate; pass
+            # the previous total energy on the chunk's own scale (without
+            # the constant nuclear-repulsion + spin-Zeeman shifts)
+            Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps, kdev = fused(
                 ops, g, Vextra_dev,
-                jnp.asarray(occa), jnp.asarray(occb), sela, selb, Ca, Cb, *hist
+                jnp.asarray(occa), jnp.asarray(occb), sela, selb, Ca, Cb, *hist,
+                jnp.asarray(float(convthr)),
+                jnp.asarray(Eold - Enucrep - Emag), jnp.asarray(nrun),
             )
             hist = (hF, hE, cnt)
             Etots = np.asarray(Etots)
             errs = np.asarray(errs)
-            Emag = -0.5 * Bz * (nela - nelb)
-            kmax = min(len(Etots), maxit - it + 1)
+            kmax = int(kdev)
             k = 0
             for k in range(kmax):
                 Etot = float(Etots[k]) + Enucrep + Emag
@@ -631,7 +664,7 @@ def scf_diatomic(
             Ea = np.asarray(Eas[k])
             Eb = np.asarray(Ebs[k])
             Nel = Nels[k]
-            Ekin, Enuc, Ecoul, Exx, Exc, Efield = (x[k] for x in comps)
+            Ekin, Enuc, Ecoul, Exx, Exc, Efield = np.asarray(comps[k])
             Efield = float(Efield)
             if save_cb is not None:
                 save_cb(it, Etot, Ea, Ca, occa,
