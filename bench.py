@@ -68,10 +68,11 @@ CPU_F64 = {
     "xe_hf_lmax3": 6.167,
     "gensap_kr": 0.276,  # same perturbed-warm protocol as the TPU timing
     # reference-converged N2 (lmax=12, nnodes=15, rmax=40, R=2.068):
-    # warm SCF 653.9 s / 8 iters (+432.3 s compile, 122.0 s setup),
+    # warm SCF 571.1 s / 8 iters (+273.6 s compile, 132.5 s setup),
     # E = -108.99381787 = HF limit - 7.6 uEh (was 1720.8 s before the
-    # pair-triangle/tight-width exchange + blockwise DIIS, same E)
-    "n2_hf_lmax12": 653.9,
+    # pair-triangle/tight-width exchange + blockwise DIIS, 653.9 s
+    # before the while-loop convergence gate removed wasted Fock builds)
+    "n2_hf_lmax12": 571.1,
 }
 
 
