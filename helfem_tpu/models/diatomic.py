@@ -400,13 +400,19 @@ class DiatomicBasis:
 
     def compute_tei(self):
         """All radial TEI tables: in-element 4 families + disjoint moments,
-        indexed by the (L,|M|) channel list.
+        indexed by the (L,|M|) channel list. The in-element families are
+        returned DIRECTLY in the two matmul-native pair layouts the J/K
+        builds consume (teiJ rows (ij)/cols (kl); teiK rows (jk)/cols (il)).
 
         All contractions are batched over the full channel axis (the
         reference's OpenMP-over-(L,M) loop, src/diatomic/basis.cpp:1166-1187,
         becomes a handful of BLAS-backed einsums): at N2 lmax=12 that is
         207 channels x nelem elements in a few seconds instead of thousands
-        of per-channel dispatches."""
+        of per-channel dispatches. The pair regroup runs per (channel,
+        family, element) on L2-resident nprim^4 blocks -- one global
+        transpose of the assembled [nlm, 4, nelem, np^4] tensor walks a
+        multi-GB working set with cache-hostile strides and measured ~10x
+        slower than the whole double quadrature."""
         nelem, nq = self.mu.shape
         nprim = self.fem.nprim
         nlm = len(self.lm_map)
@@ -430,11 +436,15 @@ class DiatomicBasis:
         dP0, dQ0 = dmom(Pc_out, 0), dmom(Qc_out, 0)
         dP2, dQ2 = dmom(Pc_out, 2), dmom(Qc_out, 2)
 
-        # in-element double quadrature, batched over channels per element
-        t00 = np.empty((nlm, nelem, nprim, nprim, nprim, nprim))
-        t02 = np.empty_like(t00)
-        t20 = np.empty_like(t00)
-        t22 = np.empty_like(t00)
+        # in-element double quadrature, batched over channels per element.
+        # hugepage-backed tables: this VM faults 4 KiB pages at ~15 s/GB on
+        # first touch, which made ALLOCATING these (2 GB at lmax=12) cost
+        # more than computing them (utils/hostmem.py)
+        from helfem_tpu.utils.hostmem import huge_empty
+
+        np2 = nprim * nprim
+        teiJ = huge_empty((nlm, 4, nelem, np2, np2))
+        teiK = huge_empty((nlm, 4, nelem, np2, np2))
         # basis values at inner points
         Bin = np.empty((nelem, nq, nq, nprim))
         for e in range(nelem):
@@ -445,9 +455,7 @@ class DiatomicBasis:
             lo = np.concatenate([[self.fem.bval[e]], self.mu[e][:-1]])
             seg_hlen[e] = 0.5 * (self.mu[e] - lo)
 
-        np2 = nprim * nprim
-        tfam = {(0, 0): t00, (0, 2): t02, (2, 0): t20, (2, 2): t22}
-        shp = (nlm, nprim, nprim, nprim, nprim)
+        fams = [(0, 0), (0, 2), (2, 0), (2, 2)]  # family axis order
         for e in range(nelem):
             # inner-point pair products [p, q, kl] and outer pair products [p, ij]
             BBin = (Bin[e][:, :, :, None] * Bin[e][:, :, None, :]).reshape(nq, nq, np2)
@@ -464,10 +472,20 @@ class DiatomicBasis:
                     # [c, ij, kl] = sum_p wout[c,p] BBout[p,ij] inner[c,p,kl]
                     A = wout[:, :, None] * BBout[None]  # [c, p, ij]
                     wrk[(k, l)] = np.matmul(A.transpose(0, 2, 1), inner)  # [c,ij,kl]
-            # symmetrize (ij)<->(kl): family (k,l) pairs with (l,k) transposed
-            for (k, l), t in tfam.items():
-                t[:, e] = (wrk[(k, l)] + wrk[(l, k)].transpose(0, 2, 1)).reshape(shp)
-        return t00, t02, t20, t22, dP0, dP2, dQ0, dQ2
+            # symmetrize (ij)<->(kl) -- family (k,l) pairs with (l,k)
+            # transposed -- and write both pair layouts per channel: the
+            # [np^2, np^2] blocks stay cache-resident, and the J layout is
+            # the symmetrized matrix itself (no 4-index reshuffle)
+            for F, (k, l) in enumerate(fams):
+                for c in range(nlm):
+                    ws = wrk[(k, l)][c] + wrk[(l, k)][c].T
+                    teiJ[c, F, e] = ws
+                    teiK[c, F, e] = (
+                        ws.reshape(nprim, nprim, nprim, nprim)
+                        .transpose(1, 2, 0, 3)
+                        .reshape(np2, np2)
+                    )
+        return teiJ, teiK, dP0, dP2, dQ0, dQ2
 
     # --- device constants ----------------------------------------------------------------
     def build_operators(self, parity: bool = True, chol: bool = False) -> DiatomicOperators:
@@ -501,18 +519,12 @@ class DiatomicBasis:
                 for (L, Ma) in self.lm_map
             ]
         )
-        t00, t02, t20, t22, dP0, dP2, dQ0, dQ2 = self.compute_tei()
-        # stack families and regroup the 4 prim indices into the two pair
-        # layouts the J/K contractions consume as plain matmuls (see the
-        # DiatomicOperators field comments)
-        nprim = self.fem.nprim
-        np2 = nprim * nprim
-        tF = np.stack([t00, t02, t20, t22], axis=1)  # [c, F, e, i, j, k, l]
-        teiJ = tF.reshape(nlm, 4, -1, np2, np2)  # rows (ij), cols (kl)
-        teiK = np.ascontiguousarray(
-            tF.transpose(0, 1, 2, 4, 5, 3, 6)
-        ).reshape(nlm, 4, -1, np2, np2)  # rows (jk), cols (il)
-        del tF, t00, t02, t20, t22
+        # in-element families arrive already in the two matmul-native pair
+        # layouts (teiJ rows (ij)/cols (kl), teiK rows (jk)/cols (il)) --
+        # regrouped per element inside the quadrature loop; assembling the
+        # 6-index tensor and transposing it globally costs more than the
+        # quadrature itself (multi-GB strided copies)
+        teiJ, teiK, dP0, dP2, dQ0, dQ2 = self.compute_tei()
 
         # exchange scan channels: one step per (L,|M|) with signed-LM lookups
         LM_pos = {p: i for i, p in enumerate(self.LM_map)}
