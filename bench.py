@@ -68,11 +68,13 @@ CPU_F64 = {
     "xe_hf_lmax3": 6.167,
     "gensap_kr": 0.276,  # same perturbed-warm protocol as the TPU timing
     # reference-converged N2 (lmax=12, nnodes=15, rmax=40, R=2.068):
-    # warm SCF 571.1 s / 8 iters (+273.6 s compile, 132.5 s setup),
-    # E = -108.99381787 = HF limit - 7.6 uEh (was 1720.8 s before the
-    # pair-triangle/tight-width exchange + blockwise DIIS, 653.9 s
-    # before the while-loop convergence gate removed wasted Fock builds)
-    "n2_hf_lmax12": 571.1,
+    # warm SCF 505.8 s / 8 iters / 63.2 s per iteration (+ setup 18.5 s --
+    # was 132.5 s before the hugepage-backed in-loop pair-layout TEI
+    # tables), E = -108.99381787 = HF limit - 7.6 uEh. History: 1720.8 s
+    # before the pair-triangle/tight-width exchange + blockwise DIIS,
+    # 653.9 s before the while-loop convergence gate, 571.1 s before the
+    # table rework relieved allocator/page pressure on the SCF loop.
+    "n2_hf_lmax12": 505.8,
 }
 
 
@@ -274,8 +276,11 @@ def bench_n2_converged():
     t0 = time.perf_counter()
     ops = basis.build_operators()
     setup_s = time.perf_counter() - t0
+    # the lmax=12 basis rides the HOST-eigensolve loop (HELFEM_DIA_HOSTEIG),
+    # so ONE iteration compiles every kernel the real run uses; a maxit=4
+    # warmup would bill ~3 extra REAL iterations (~70 s each) as "compile"
     t0 = time.perf_counter()
-    scf_diatomic(basis, 7, 7, method="HF", convthr=1e-7, maxit=4, ops=ops,
+    scf_diatomic(basis, 7, 7, method="HF", convthr=1e-7, maxit=1, ops=ops,
                  guess="SAP")
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
