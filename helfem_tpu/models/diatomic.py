@@ -886,14 +886,17 @@ def exchange_dia_occ(ops: DiatomicOperators, Co: jnp.ndarray,
     # factor COMPLETELY: cross = (u_m - u_p)(v_0 - v_1) with u_q the
     # Cq-transform of the weighted Gaunt factors and v_q the prefix-summed
     # P-transform of the unweighted ones -- a 4x FLOP collapse of the
-    # cross matmul. Tables are stacked [k(left/right), q] with the
-    # contraction index LAST so each chunk builds all u/v factors in ONE
-    # einsum (per-op overhead, not FLOPs, dominates the scan body).
+    # cross matmul. The LEFT factor stays in ELEMENT-LOCAL row coordinates
+    # (i of width nprim) through the whole scan: its global rows are the
+    # ~nprim rows of element e only, so accumulating the cross product in
+    # global coordinates wastes nrad/nprim (~4.7x at the converged-N2
+    # discretization, measured 16 s of a 22 s stage) on structurally-zero
+    # rows; ONE one-hot assembly matmul after the scan restores global
+    # rows. The right factor is prefix-summed over elements f < e and is
+    # genuinely dense in its global column axis.
     CL2 = jnp.stack([left(ops.dQ0), left(ops.dQ2)], axis=1)  # [c, q, e, i, n]
-    CLg2 = jnp.einsum("eig,cqein->cqegn", A, CL2)
     SS2T = jnp.stack([right_sums_low(ops.dP0), right_sums_low(ops.dP2)],
                      axis=1).transpose(0, 1, 2, 4, 3)  # [c, q, e, x, m]
-    TT = jnp.stack([CLg2, SS2T], axis=1)  # [c, k, q, e, u, n]
     sgnF = jnp.asarray([[1.0, -1.0], [-1.0, 1.0]])  # R families [[00,02],[20,22]]
 
     # (b, c) PAIR TRIANGLE: Kdiag[b,c,e,j,k] = Kdiag[c,b,e,k,j] exactly --
@@ -946,12 +949,14 @@ def exchange_dia_occ(ops: DiatomicOperators, Co: jnp.ndarray,
         U = jnp.einsum("sqtba,ano->sqtbno", Gq, C4p)
         V = U if sgn is None else jnp.einsum("sqtba,ano->sqtbno", Gq, Cs4p)
         WW = jnp.stack([w2[:, None, :, None, None, None] * U, V], axis=1)
-        # u (k=0: global-row Cq transforms) and v (k=1: prefix-summed P
-        # transforms) for both q in ONE einsum via the stacked TT table
-        uvq = jnp.einsum("skqeun,skqtbno->skqtebou", TT[ilm], WW)
-        ud = uvq[:, 0, 0] - uvq[:, 0, 1]  # u_m - u_p  [s, t, e, b, o, g]
-        vd = uvq[:, 1, 0] - uvq[:, 1, 1]  # v_0 - v_1  [s, t, e, c, o, x]
-        cross = jnp.einsum("stebou,stecox->bucx", ud, vd)
+        # u: ELEMENT-LOCAL Cq transforms of the weighted factors (see the
+        # CL2 note -- local rows i, assembled to global AFTER the scan);
+        # v: prefix-summed P transforms of the unweighted ones
+        ul = jnp.einsum("sqein,sqtbno->sqtebio", CL2[ilm], WW[:, 0])
+        ud = ul[:, 0] - ul[:, 1]  # u_m - u_p  [s, t, e, b, i, o]
+        vq = jnp.einsum("sqexm,sqtcmo->sqtecox", SS2T[ilm], WW[:, 1])
+        vd = vq[:, 0] - vq[:, 1]  # v_0 - v_1  [s, t, e, c, o, x]
+        cross = jnp.einsum("stebio,stecox->ebicx", ud, vd)
         # in-element: window factors (A shared over k, q), the 2x2 rank
         # product on the b <= c PAIR TRIANGLE only (see bP/cP note), then
         # the TEI matmul with the family signs on the table
@@ -972,8 +977,10 @@ def exchange_dia_occ(ops: DiatomicOperators, Co: jnp.ndarray,
 
     nr1 = nrad + 1
     carry0 = (jnp.zeros((npair, nelem, nprim * nprim)),
-              jnp.zeros((nang, nr1, nang, nr1)))
-    (Kd_acc, cross_acc), _ = jax.lax.scan(body, carry0, xs)
+              jnp.zeros((nelem, nang, nprim, nang, nr1)))
+    (Kd_acc, cross_loc), _ = jax.lax.scan(body, carry0, xs)
+    # left-local cross rows -> global coordinates (one one-hot matmul)
+    cross_acc = jnp.einsum("eiu,ebicx->bucx", A, cross_loc)
     # unpack the pair triangle: scatter b <= c pairs, then add the exact
     # (b<->c, j<->k) transpose; diagonal pairs are halved so the transpose
     # restores them exactly (Kdiag[b,b,j,k] = Kdiag[b,b,k,j])
