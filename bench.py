@@ -64,17 +64,19 @@ CPU_F64 = {
     # by noise the SMALLER (faster-CPU) number is recorded so vs_baseline
     # never flatters the TPU. The baseline tracks this repo's best CPU f64.
     "ar_hf": 1.537,
-    "n2_pbe": 1.605,
+    "n2_pbe": 0.975,  # 1.605 before the element-local cross factors
     "xe_hf_lmax3": 6.167,
     "gensap_kr": 0.276,  # same perturbed-warm protocol as the TPU timing
     # reference-converged N2 (lmax=12, nnodes=15, rmax=40, R=2.068):
-    # warm SCF 505.8 s / 8 iters / 63.2 s per iteration (+ setup 18.5 s --
-    # was 132.5 s before the hugepage-backed in-loop pair-layout TEI
-    # tables), E = -108.99381787 = HF limit - 7.6 uEh. History: 1720.8 s
-    # before the pair-triangle/tight-width exchange + blockwise DIIS,
-    # 653.9 s before the while-loop convergence gate, 571.1 s before the
-    # table rework relieved allocator/page pressure on the SCF loop.
-    "n2_hf_lmax12": 505.8,
+    # warm SCF 382.2 s / 8 iters / 47.8 s per iteration (setup 12.8 s --
+    # was 132.5 before the hugepage-backed in-loop pair-layout TEI tables;
+    # warmup = compile + 1 iter 64.5 s warm-cache),
+    # E = -108.99381787 = HF limit - 7.6 uEh. History: 1720.8 s before the
+    # pair-triangle/tight-width exchange + blockwise DIIS, 653.9 before
+    # the while-loop convergence gate, 571.1 before the table rework
+    # relieved allocator pressure, 505.8 before the element-local cross
+    # factors cut K_occ 56.8 -> 43.6 s/call.
+    "n2_hf_lmax12": 382.2,
 }
 
 
