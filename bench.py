@@ -63,9 +63,11 @@ CPU_F64 = {
     # occ exchange (converged N2 below). Where repeat measurements differ
     # by noise the SMALLER (faster-CPU) number is recorded so vs_baseline
     # never flatters the TPU. The baseline tracks this repo's best CPU f64.
-    "ar_hf": 1.537,
+    # ar/xe: 1.537/6.167 before the atomic fused chunks moved the DIIS
+    # side (blockwise error + Fock history) into symmetry-block coords
+    "ar_hf": 1.342,
     "n2_pbe": 0.975,  # 1.605 before the element-local cross factors
-    "xe_hf_lmax3": 6.167,
+    "xe_hf_lmax3": 4.433,
     "gensap_kr": 0.276,  # same perturbed-warm protocol as the TPU timing
     # reference-converged N2 (lmax=12, nnodes=15, rmax=40, R=2.068):
     # warm SCF 382.2 s / 8 iters / 47.8 s per iteration (setup 12.8 s --

@@ -40,7 +40,9 @@ from helfem_tpu.utils.linalg import (
     build_blocks,
     density_blocks,
     eig_blocks,
+    eig_blocks_b,
     eigh_refined,
+    gather_blocks,
 )
 
 __all__ = ["scf_atom", "SCFResult", "aufbau_blocks"]
@@ -117,18 +119,27 @@ def _diis_error(F, P, S, Sinvh):
     return e.ravel()
 
 
-def _diis_error_bd(F, Pd, Sd, blk_sinvh, nang, nrad):
-    """DIIS error Sinvh^T ([F,P]S-commutator) Sinvh computed BLOCKWISE for a
-    channel-block-diagonal density (and the always-block-diagonal atomic S):
-    FPS[b,c] = F[b,c] Pd[c] Sd[c], so each stage is a [nang^2] batch of
-    [nrad,nrad] matmuls instead of three dense [nbf,nbf] products --
-    ~nang x fewer FLOPs, exactly the same matrix (permuted layout; DIIS
-    dot products and the max-|err| gate are layout-invariant)."""
-    F4 = F.reshape(nang, nrad, nang, nrad).transpose(0, 2, 1, 3)  # [b,c,p,q]
-    PS = jnp.einsum("cqr,crs->cqs", Pd, Sd)
-    FPS = jnp.einsum("bcpq,cqs->bcps", F4, PS)
-    M = FPS - jnp.transpose(FPS, (1, 0, 3, 2))
-    return jnp.einsum("bpi,bcps,csj->bcij", blk_sinvh, M, blk_sinvh).ravel()
+def _scatter_blocks(Pb, blk_idx, nbf):
+    """Scatter block-coordinate matrices [nblk, blen, blen] into a global
+    [nbf, nbf] (padded slots land on the trash row/col and are dropped)."""
+    P = jnp.zeros((nbf + 1, nbf + 1))
+    P = P.at[blk_idx[:, :, None], blk_idx[:, None, :]].add(Pb)
+    return P[:nbf, :nbf]
+
+
+def _diis_error_blocks(Fb, Pb, Sb, blk_sinvh):
+    """DIIS error Sinvh^T ([F,P]S-commutator) Sinvh per SYMMETRY BLOCK,
+    from block-coordinate matrices [nblk, blen, blen]. This is the
+    reference's error metric under --symmetry: the reference zeroes the
+    off-block Fock entries (scf::enforce_fock_symmetry,
+    src/atomic/main.cpp:846) BEFORE DIIS, so the dense commutator's
+    support is exactly the diagonal blocks -- the same definition the
+    host-loop DIIS uses (scf/diis.py blocks=). Padded slots are exact
+    zeros (blk_sinvh and the gathered pads are zero there). Sum_b blen^3
+    FLOPs instead of three dense nbf^3 products."""
+    FPS = jnp.einsum("bpq,bqr,brs->bps", Fb, Pb, Sb)
+    M = FPS - jnp.transpose(FPS, (0, 2, 1))
+    return jnp.einsum("bpi,bps,bsj->bij", blk_sinvh, M, blk_sinvh).ravel()
 
 
 @lru_cache(maxsize=None)
@@ -212,21 +223,30 @@ def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
 
     @jax.jit
     def step(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
-        Pa = density_blocks(C, occ, blk_idx, ops.S)
+        nbf = ops.S.shape[0]
+        Pab = jnp.einsum("bpk,bk,bqk->bpq", C, occ, C)
+        Pa = _scatter_blocks(Pab, blk_idx, nbf)
         Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(ops, g, Vextra, rs, Pa, Pa)
         Etot = Ekin + Enuc + Ecoul + Exx + Exc + Efield
-        # DIIS error vector in the orthonormal basis (blockwise under bd)
         if bd:
-            nang = Pa.shape[0] // nrad
-            err = _diis_error_bd(Fa, channel_diag(Pa, nang, nrad),
-                                 channel_diag(ops.S, nang, nrad),
-                                 blk_sinvh, nang, nrad)
+            # whole DIIS side in symmetry-block coordinates: blockwise
+            # error (the reference's metric under --symmetry, see
+            # _diis_error_blocks) and block-coordinate Fock history
+            # ([nhist, nblk, blen, blen] -- the dense [nhist, nbf, nbf]
+            # history's read/write traffic dominated the fused step).
+            # Loss-free: the blocked eigensolve never reads off-block F.
+            Fab = gather_blocks(Fa, blk_idx)
+            Sb = gather_blocks(ops.S, blk_idx)
+            err = _diis_error_blocks(Fab, Pab, Sb, blk_sinvh)
+            errmax = jnp.max(jnp.abs(err))
+            Fuse, histF, histE, count = device_diis_step(histF, histE, count, Fab, err)
+            E, Cn = eig_blocks_b(Fuse, blk_idx, blk_sinvh, nbf)
         else:
             FPS = Fa @ Pa @ ops.S
             err = (Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full).ravel()
-        errmax = jnp.max(jnp.abs(err))
-        Fuse, histF, histE, count = device_diis_step(histF, histE, count, Fa, err)
-        E, Cn = eig_blocks(Fuse, blk_idx, blk_sinvh)
+            errmax = jnp.max(jnp.abs(err))
+            Fuse, histF, histE, count = device_diis_step(histF, histE, count, Fa, err)
+            E, Cn = eig_blocks(Fuse, blk_idx, blk_sinvh)
         return Cn, E, histF, histE, count, Etot, errmax, Nel, (Ekin, Enuc, Ecoul, Exx, Exc, Efield)
 
     return step
@@ -294,29 +314,43 @@ def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
     def chunk(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occa, occb,
               Ca, Cb, histF, histE, count, convthr, Eprev, nrun):
         def step(Ca, Cb, histF, histE, count):
-            Pa = density_blocks(Ca, occa, blk_idx, ops.S)
-            Pb = density_blocks(Cb, occb, blk_idx, ops.S)
+            nbf = ops.S.shape[0]
+            Pab = jnp.einsum("bpk,bk,bqk->bpq", Ca, occa, Ca)
+            Pbb = jnp.einsum("bpk,bk,bqk->bpq", Cb, occb, Cb)
+            Pa = _scatter_blocks(Pab, blk_idx, nbf)
+            Pb = _scatter_blocks(Pbb, blk_idx, nbf)
             Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield = fock(
                 ops, g, Vextra, rs, Pa, Pb
             )
             Etot = Ekin + Enuc + Ecoul + Exx + Exc + Efield
 
-            def errof(F, P):
-                if bd:
-                    nang = P.shape[0] // nrad
-                    return _diis_error_bd(F, channel_diag(P, nang, nrad),
-                                          channel_diag(ops.S, nang, nrad),
-                                          blk_sinvh, nang, nrad)
-                FPS = F @ P @ ops.S
-                return (Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full).ravel()
+            if bd:
+                # block-coordinate DIIS side (see make_fused_step)
+                Sb = gather_blocks(ops.S, blk_idx)
+                Fab = gather_blocks(Fa, blk_idx)
+                Fbb = gather_blocks(Fb, blk_idx)
+                err = jnp.concatenate([
+                    _diis_error_blocks(Fab, Pab, Sb, blk_sinvh),
+                    _diis_error_blocks(Fbb, Pbb, Sb, blk_sinvh),
+                ])
+                errmax = jnp.max(jnp.abs(err))
+                Fuse, histF, histE, count = device_diis_step(
+                    histF, histE, count, jnp.stack([Fab, Fbb]), err
+                )
+                Ea, Cna = eig_blocks_b(Fuse[0], blk_idx, blk_sinvh, nbf)
+                Eb, Cnb = eig_blocks_b(Fuse[1], blk_idx, blk_sinvh, nbf)
+            else:
+                def errof(F, P):
+                    FPS = F @ P @ ops.S
+                    return (Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full).ravel()
 
-            err = jnp.concatenate([errof(Fa, Pa), errof(Fb, Pb)])
-            errmax = jnp.max(jnp.abs(err))
-            Fuse, histF, histE, count = device_diis_step(
-                histF, histE, count, jnp.stack([Fa, Fb]), err
-            )
-            Ea, Cna = eig_blocks(Fuse[0], blk_idx, blk_sinvh)
-            Eb, Cnb = eig_blocks(Fuse[1], blk_idx, blk_sinvh)
+                err = jnp.concatenate([errof(Fa, Pa), errof(Fb, Pb)])
+                errmax = jnp.max(jnp.abs(err))
+                Fuse, histF, histE, count = device_diis_step(
+                    histF, histE, count, jnp.stack([Fa, Fb]), err
+                )
+                Ea, Cna = eig_blocks(Fuse[0], blk_idx, blk_sinvh)
+                Eb, Cnb = eig_blocks(Fuse[1], blk_idx, blk_sinvh)
             return (Cna, Cnb, histF, histE, count,
                     Ea, Eb, Etot, errmax, Nel,
                     jnp.stack([Ekin, Enuc, Ecoul, Exx, Exc, Efield]))
@@ -625,9 +659,14 @@ def scf_atom(
                 Sinvh_full = jnp.asarray(
                     _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
                 )
+                # bd: DIIS history in symmetry-block coordinates (see
+                # make_fused_step) -- nblk*blen^2 instead of nbf^2
+                nblk, blen = blk_idx_np.shape
                 hist = (
-                    jnp.zeros((nhist, basis.nbf, basis.nbf)),
-                    jnp.zeros((nhist, basis.nbf * basis.nbf)),
+                    (jnp.zeros((nhist, nblk, blen, blen)) if bd else
+                     jnp.zeros((nhist, basis.nbf, basis.nbf))),
+                    jnp.zeros((nhist, (nblk * blen * blen) if bd
+                               else basis.nbf * basis.nbf)),
                     jnp.asarray(0),
                 )
             nrun = min(CH, maxit - it + 1)
@@ -677,9 +716,12 @@ def scf_atom(
                 Sinvh_full = jnp.asarray(
                     _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
                 )
+                nblk, blen = blk_idx_np.shape
                 hist = (
-                    jnp.zeros((nhist, 2, basis.nbf, basis.nbf)),
-                    jnp.zeros((nhist, 2 * basis.nbf * basis.nbf)),
+                    (jnp.zeros((nhist, 2, nblk, blen, blen)) if bd else
+                     jnp.zeros((nhist, 2, basis.nbf, basis.nbf))),
+                    jnp.zeros((nhist, 2 * ((nblk * blen * blen) if bd
+                                           else basis.nbf * basis.nbf))),
                     jnp.asarray(0),
                 )
             Emag = -0.5 * Bz * (nela - nelb)

@@ -8,6 +8,8 @@ whitened eigensolves batch into ONE vmapped eigh over the angular axis
 src/general/scf_helpers.cpp:142-186).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,13 +113,36 @@ def build_blocks(S: np.ndarray, blocks, chol: bool = False) -> tuple[np.ndarray,
 
 
 @jax.jit
+def gather_blocks(F: jnp.ndarray, blk_idx: jnp.ndarray) -> jnp.ndarray:
+    """Symmetry-block coordinates [nblk, blen, blen] of a global matrix
+    (padded slots read the zero pad row/col)."""
+    Fp = jnp.pad(F, ((0, 1), (0, 1)))
+    return Fp[blk_idx[:, :, None], blk_idx[:, None, :]]
+
+
+@functools.partial(jax.jit, static_argnames=("nbf",))
+def eig_blocks_b(Fb: jnp.ndarray, blk_idx: jnp.ndarray, blk_sinvh: jnp.ndarray,
+                 nbf: int):
+    """Batched whitened eigensolve from BLOCK-coordinate Fock matrices
+    [nblk, blen, blen] (the fused chunks keep their DIIS Fock history in
+    block coordinates); padded slots (blk_idx == nbf) get eigenvalue _BIG
+    (never occupied). Returns (E [nblk, blen], C [nblk, blen, blen]) in
+    block coordinates."""
+    Forth = jnp.einsum("bpi,bpq,bqj->bij", blk_sinvh, Fb, blk_sinvh)
+    pad = (blk_idx == nbf).astype(Fb.dtype)
+    Forth = Forth + _BIG * jnp.eye(blk_idx.shape[1])[None] * pad[:, None, :]
+    E, V = eigh_refined(Forth)
+    C = jnp.einsum("bpi,bij->bpj", blk_sinvh, V)
+    return E, C
+
+
+@jax.jit
 def eig_blocks(F: jnp.ndarray, blk_idx: jnp.ndarray, blk_sinvh: jnp.ndarray):
     """Batched whitened eigensolve over padded symmetry blocks; padded slots
     get eigenvalue _BIG (never occupied). Returns (E [nblk, blen],
     C [nblk, blen, blen]) in block coordinates."""
     nbf = F.shape[0]
-    Fp = jnp.pad(F, ((0, 1), (0, 1)))
-    Fb = Fp[blk_idx[:, :, None], blk_idx[:, None, :]]
+    Fb = gather_blocks(F, blk_idx)
     Forth = jnp.einsum("bpi,bpq,bqj->bij", blk_sinvh, Fb, blk_sinvh)
     pad = (blk_idx == nbf).astype(F.dtype)
     Forth = Forth + _BIG * jnp.eye(blk_idx.shape[1])[None] * pad[:, None, :]
