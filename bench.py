@@ -6,11 +6,22 @@
 Plus heavier profile points: Xe HF (lmax=3), N2 HF at the REFERENCE-
 CONVERGED discretization (lmax=12 per |m|), and gensap Kr.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
-value = Ar-HF SCF seconds + N2-PBE SCF seconds and the "profile" dict holds
-the per-phase breakdown (host setup / TEI tables, compile, SCF wall, per-
-iteration, eigensolve probe, achieved GFLOP/s and GB/s of the Fock build
-from XLA cost analysis) the headline number is made of.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline", ...}
+AS SOON AS the two headline configs finish (round 3 lost its score to a
+driver timeout: the full five-config sweep blew the budget and the single
+trailing JSON line was never printed). value = Ar-HF SCF seconds + N2-PBE
+SCF seconds; the "profile" dict holds the per-phase breakdown (host setup /
+TEI tables, compile, SCF wall, per-iteration, eigensolve probe, achieved
+GFLOP/s and GB/s of the Fock build from XLA cost analysis).
+
+The heavier profile points (Xe, gensap Kr, reference-converged N2 lmax=12)
+run AFTER the headline print and only while a hard wall-clock budget
+remains (HELFEM_BENCH_BUDGET_S, default 1080 s measured from process
+start); each has a conservative cost estimate and is skipped -- recorded as
+such -- when it would not fit. If any extras ran, ONE enriched JSON line
+(same metric/value, wider profile) is printed at the end; the driver's
+last-line parse picks it up, and a kill mid-extras still leaves the
+headline line as the tail.
 
 vs_baseline: the reference OpenMP binary cannot be built in this image
 (no Fortran compiler, no Armadillo headers, no GSL -- see BASELINE.md), so
@@ -25,9 +36,13 @@ mismatch > 1 uEh fails the metric (value = inf).
 """
 
 import json
+import os
 import time
 
 import jax
+
+_T0 = time.monotonic()  # process start: the budget clock the driver bills
+BUDGET_S = float(os.environ.get("HELFEM_BENCH_BUDGET_S", "1080"))
 
 jax.config.update("jax_enable_x64", True)
 
@@ -379,6 +394,7 @@ def _device_init_watchdog(limit_s: float = 900.0):
             "value": float("inf"),
             "unit": "s",
             "vs_baseline": 1.0,
+            "budget_used_s": round(time.monotonic() - _T0, 1),
             "profile": {"error": f"device init did not complete within "
                                  f"{limit_s:.0f}s (wedged TPU tunnel)"},
         }), flush=True)
@@ -387,17 +403,12 @@ def _device_init_watchdog(limit_s: float = 900.0):
         _os._exit(2)
 
 
-def main():
-    _device_init_watchdog()
-    ar = _guard(bench_ar)
-    n2 = _guard(bench_n2)
-    xe = _guard(bench_xe)
-    sap = _guard(bench_gensap)
-    n2c = _guard(bench_n2_converged)
+def _emit(profile):
+    """Assemble and print the metric JSON line from whatever profile
+    entries exist so far (headline = Ar + N2 PBE)."""
+    ar, n2 = profile["ar_hf"], profile["n2_pbe"]
     ok = ar.get("ok", False) and n2.get("ok", False)
     value = ar["scf_s"] + n2["scf_s"] if ok else float("inf")
-    profile = {"ar_hf": ar, "n2_pbe": n2, "xe_hf_lmax3": xe,
-               "gensap_kr": sap, "n2_hf_lmax12": n2c}
     # per-config CPU-f64 comparison where measured
     for key, cpu_s in CPU_F64.items():
         if cpu_s and key in profile and profile[key].get("scf_s"):
@@ -412,10 +423,39 @@ def main():
                 "value": round(value, 3) if ok else value,
                 "unit": "s",
                 "vs_baseline": vsb,
+                "budget_used_s": round(time.monotonic() - _T0, 1),
                 "profile": profile,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    _device_init_watchdog(min(900.0, max(120.0, 0.75 * BUDGET_S)))
+    profile = {"ar_hf": _guard(bench_ar), "n2_pbe": _guard(bench_n2)}
+    # the score is on the board the moment the two headline configs finish
+    _emit(profile)
+
+    # heavier profile points, best-effort within the remaining budget.
+    # Cost estimates are deliberately generous (compile walls included);
+    # a config that would not fit is recorded as skipped, not attempted.
+    extras = [
+        ("xe_hf_lmax3", bench_xe, 320.0),
+        ("gensap_kr", bench_gensap, 200.0),
+        ("n2_hf_lmax12", bench_n2_converged, 1400.0),
+    ]
+    for key, fn, est_s in extras:
+        remaining = BUDGET_S - (time.monotonic() - _T0)
+        if remaining < est_s:
+            profile[key] = {"ok": None, "skipped": True,
+                            "reason": f"budget: {remaining:.0f}s left < {est_s:.0f}s estimate"}
+            continue
+        profile[key] = _guard(fn)
+    # enriched line (same metric/value, extras or skip records added);
+    # the driver's last-line parse picks it up, and a kill mid-extras
+    # still leaves the earlier headline line as the tail
+    _emit(profile)
 
 
 if __name__ == "__main__":
