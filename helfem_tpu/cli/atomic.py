@@ -145,6 +145,12 @@ def main(argv=None):
     p.add_argument("--trace", default="",
                    help="write a jax.profiler device/XLA trace of the SCF to "
                         "this directory (TensorBoard/Perfetto format)")
+    p.add_argument("--ndev", type=int, default=0,
+                   help="run the SCF over an N-device mesh: the Fock build "
+                        "shards the TEI L axis and the DFT-grid element axis, "
+                        "the blocked eigensolve shards the symmetry-block "
+                        "axis (the multi-chip replacement for the reference's "
+                        "OpenMP, src/atomic/TwoDBasis.cpp:987)")
     p.add_argument("--taylor_order", type=int, default=-1,
                    help="accepted for reference parity; B(r)/r near the origin "
                         "is evaluated by exact (x - x0) polynomial division here "
@@ -294,6 +300,7 @@ def main(argv=None):
             dampfock=args.dampfock, dampthr=args.dampthr,
             diisorder=args.diisorder, diiseps=args.diiseps, diisthr=args.diisthr,
             ldft=args.ldft, diag=bool(args.diag), eigiter=args.eigiter,
+            ndev=args.ndev,
         )
     if args.trace:
         print(f"profiler trace written to {args.trace}")

@@ -93,6 +93,13 @@ def main(argv=None):
                         "this directory (TensorBoard/Perfetto format)")
     p.add_argument("--Rrms1", type=float, default=0.0, help="nucleus 1 rms radius")
     p.add_argument("--Rrms2", type=float, default=0.0, help="nucleus 2 rms radius")
+    p.add_argument("--ndev", type=int, default=0,
+                   help="run the SCF over an N-device mesh: the Coulomb (L,M) "
+                        "channel scan, the exchange (L,|M|) step scan, and the "
+                        "XC mu-element axis shard over the mesh; the blocked "
+                        "eigensolve shards the symmetry-block axis (the "
+                        "multi-chip replacement for the reference's OpenMP, "
+                        "src/diatomic/basis.cpp:1560)")
     args = p.parse_args(argv)
 
     import jax
@@ -220,7 +227,7 @@ def main(argv=None):
             diisorder=args.diisorder, diiseps=args.diiseps, dftthr=args.dftthr,
             ldft=args.ldft, occs=occs, readocc_until=args.readocc,
             diisthr=args.diisthr, save_cb=save_cb if args.save else None,
-            diag=bool(args.diag), maverage=args.maverage,
+            diag=bool(args.diag), maverage=args.maverage, ndev=args.ndev,
         )
     if args.trace:
         print(f"profiler trace written to {args.trace}")

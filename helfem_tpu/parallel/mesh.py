@@ -32,7 +32,8 @@ from helfem_tpu.utils.linalg import eigh_refined
 __all__ = ["make_mesh", "pad_ops_for_mesh", "sharded_scf_step",
            "sharded_dia_fock", "sharded_xc_fock", "pad_grid_for_mesh",
            "sharded_dia_eig", "sharded_dia_xc", "pad_dia_grid_for_mesh",
-           "sharded_sad_exchange"]
+           "sharded_sad_exchange", "sharded_eig_blocks",
+           "sharded_atomic_fock", "sharded_dia_scf_fock"]
 
 
 def make_mesh(n_devices: int, backend: str | None = None) -> Mesh:
@@ -171,6 +172,125 @@ def sharded_scf_step(mesh: Mesh, ops: AtomicOperators, kfrac: float = 1.0,
         return Fa, Fb, Ea, Ca, Eb, Cb, Ekin + Enuc + Ecoul + Exx
 
     return step, ops
+
+
+def sharded_eig_blocks(mesh: Mesh, blk_idx, blk_sinvh, nbf: int):
+    """Generic blocked whitened eigensolve with the (padded) symmetry-block
+    axis sharded over 'ch' and the spectra all-gathered -- the multi-chip
+    form of utils.linalg.eig_blocks (same _BIG padded-slot convention; the
+    reference analog is the per-block LAPACK loop of scf::eig_gsym_sub,
+    src/general/scf_helpers.cpp:142-162, whose blocks OpenMP'd BLAS handled
+    serially). Returns a jitted eig(F) -> (E [nblk, blen], C)."""
+    n = mesh.devices.size
+    blk_idx = jnp.asarray(blk_idx)
+    blk_sinvh = jnp.asarray(blk_sinvh)
+    nblk, blen = blk_idx.shape
+    pad = (-nblk) % n
+    blk_idx_p = jnp.concatenate(
+        [blk_idx, jnp.full((pad, blen), nbf, blk_idx.dtype)]
+    )
+    blk_sinvh_p = jnp.pad(blk_sinvh, ((0, pad), (0, 0), (0, 0)))
+    per = (nblk + pad) // n
+
+    def eig_shard(F):
+        i = jax.lax.axis_index("ch")
+        bi = jax.lax.dynamic_slice_in_dim(blk_idx_p, i * per, per, 0)
+        bs = jax.lax.dynamic_slice_in_dim(blk_sinvh_p, i * per, per, 0)
+        Fp = jnp.pad(F, ((0, 1), (0, 1)))
+        Fb = Fp[bi[:, :, None], bi[:, None, :]]
+        Forth = jnp.einsum("bpi,bpq,bqj->bij", bs, Fb, bs)
+        padm = (bi == nbf).astype(F.dtype)
+        Forth = Forth + _DIA_BIG * jnp.eye(blen)[None] * padm[:, None, :]
+        E, V = eigh_refined(Forth)
+        C = jnp.einsum("bpi,bij->bpj", bs, V)
+        E = jax.lax.all_gather(E, "ch", axis=0, tiled=True)
+        C = jax.lax.all_gather(C, "ch", axis=0, tiled=True)
+        return E[:nblk], C[:nblk]
+
+    eig_sm = jax.shard_map(
+        eig_shard, mesh=mesh, in_specs=(P(),), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(eig_sm)
+
+
+def sharded_atomic_fock(mesh: Mesh, ops: AtomicOperators, funcs=(), g=None,
+                        kfrac: float = 0.0, nrad: int = 0, bd: bool = True,
+                        Bz: float = 0.0, dftthr: float = 1e-12,
+                        restricted: bool = False):
+    """Full atomic Fock build (J + K + XC + fields + energies) sharded over
+    the mesh in ONE shard_map dispatch: the L axis of the TEI/Gaunt tensors
+    is sharded over 'ch' (J/K partials psum), the radial-element axis of
+    the DFT grid is sharded over 'ch' (XC partials psum -- the reference
+    DFTGrid's OpenMP even/odd element sweep, src/atomic/dftgrid.cpp:817-870).
+
+    Returns (fock_fn, ops_padded, g_padded) where fock_fn(Vextra, Pa, Pb)
+    has the same 9-tuple contract as scf.atomic_scf.make_fock's fock()
+    (minus the ops/g/rs leading args, closed over here), so the SCF host
+    loop can swap it in directly (the --ndev driver path)."""
+    from helfem_tpu.models.atomic_dft import DFTGridOps, eval_fxc
+
+    n = mesh.devices.size
+    ops = pad_ops_for_mesh(ops, n)
+    nang = ops.G.shape[-1]
+    if funcs:
+        g = pad_grid_for_mesh(g, nrad, n)
+        gspec = DFTGridOps(
+            bg=P("ch"), dbg=P("ch"), r=P("ch"), w2=P("ch"),
+            wth=P(), TT=P(), dTT=P(), dTT2=P(), TTm2=P(),
+            gidx=P("ch"), d2bg=P("ch"), LTT=P(),
+        )
+    else:
+        gspec = P()
+
+    lspec = AtomicOperators(
+        gidx=P(), G=P("ch"), Lfac=P("ch"), tei=P("ch"),
+        disjL=P("ch"), disjm1L=P("ch"),
+        S=P(), H0=P(), T=P(), Vnuc=P(), Sinvh_rad=P(),
+    )
+
+    def fock_shard(ops_l, g_l, Vextra, Pa, Pb):
+        Ptot = Pa + Pb
+        J = jax.lax.psum(coulomb(ops_l, Ptot), "ch")
+        H = ops_l.H0 + Vextra
+        Fa = H + J
+        Fb = H + J
+        Exx = 0.0
+        if kfrac != 0.0:
+            if bd:
+                K_of = lambda Ps: exchange_bd(ops_l, channel_diag(Ps, nang, nrad))
+            else:
+                K_of = lambda Ps: exchange(ops_l, Ps)
+            Ka = kfrac * jax.lax.psum(K_of(Pa), "ch")
+            Kb = Ka if restricted else kfrac * jax.lax.psum(K_of(Pb), "ch")
+            Fa = Fa + Ka
+            Fb = Fb + Kb
+            Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
+        Exc = 0.0
+        Nel = 0.0
+        if funcs:
+            XCa, XCb, Exc, Nel = eval_fxc(funcs, g_l, Pa, Pb, nrad, dftthr)
+            Fa = Fa + jax.lax.psum(XCa, "ch")
+            Fb = Fb + jax.lax.psum(XCb, "ch")
+            Exc = jax.lax.psum(Exc, "ch")
+            Nel = jax.lax.psum(Nel, "ch")
+        if Bz != 0.0:
+            Fa = Fa - 0.5 * Bz * ops_l.S
+            Fb = Fb + 0.5 * Bz * ops_l.S
+        Ekin = jnp.vdot(Ptot, ops_l.T)
+        Enuc = jnp.vdot(Ptot, ops_l.Vnuc)
+        Efield = jnp.vdot(Ptot, Vextra)
+        Ecoul = 0.5 * jnp.vdot(Ptot, J)
+        return Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel, Efield
+
+    fock_sm = jax.shard_map(
+        fock_shard,
+        mesh=mesh,
+        in_specs=(lspec, gspec, P(), P(), P()),
+        out_specs=tuple(P() for _ in range(9)),
+        check_vma=False,
+    )
+    return jax.jit(lambda Vextra, Pa, Pb: fock_sm(ops, g, Vextra, Pa, Pb)), ops, g
 
 
 def pad_grid_for_mesh(g, nrad: int, n: int):
@@ -477,6 +597,150 @@ def sharded_dia_xc(mesh: Mesh, g, funcs, ops, thr: float = 1e-12):
         check_vma=False,
     )
     return jax.jit(lambda Pa, Pb: xc_sm(g, ops, Pa, Pb)), g
+
+
+def sharded_dia_scf_fock(mesh: Mesh, ops, funcs=(), g=None, kfrac: float = 0.0,
+                         dftthr: float = 1e-12, restricted: bool = False):
+    """Full diatomic Fock build sharded over the mesh in ONE shard_map
+    dispatch, with the same contract as scf.diatomic_scf.make_dia_fock's
+    fock() (minus the leading ops/g args): fock_fn(Pa, Pb, Coa, Cob) ->
+    (Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel). Sharding (the --ndev
+    driver path):
+
+    - Coulomb: signed-(L,M) channel scan axis sharded over 'ch' (reference:
+      the omp-for over (L,M) disjoint integrals, src/diatomic/basis.cpp:1175).
+    - exchange: (L,|M|) step axis sharded over 'ch', occupied-factorized
+      K(Co) when Co columns are supplied (the SCF hot path), dense K(P)
+      otherwise (reference: omp collapse(2), src/diatomic/basis.cpp:1560).
+    - XC: mu-element axis of the 2D grid sharded over 'ch'.
+    All partials psum; padded channels/steps point at an appended all-zero
+    Gaunt row (exact no-ops)."""
+    from helfem_tpu.models.diatomic import (coulomb_dia, exchange_dia,
+                                            exchange_dia_occ)
+    from helfem_tpu.models.diatomic_dft import DiaGridOps, eval_fxc_dia
+
+    n = mesh.devices.size
+
+    # pad the sharded axes (zero Gaunt channel trick, see sharded_dia_fock)
+    nLM = ops.GmLM.shape[0]
+    zrow = jnp.zeros((1,) + ops.GmLM.shape[1:])
+    nsteps = ops.step_ilm.shape[0]
+    pad_steps = (-nsteps) % n
+
+    def padn(x, axis=0):
+        pad = (-x.shape[axis]) % n
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    ops = ops._replace(
+        GmLM=padn(jnp.concatenate([ops.GmLM, zrow])),
+        GpLM=padn(jnp.concatenate([ops.GpLM, zrow])),
+        LM_ilm=padn(jnp.concatenate([ops.LM_ilm, jnp.zeros(1, ops.LM_ilm.dtype)])),
+        step_ilm=padn(ops.step_ilm),
+        step_sp=jnp.concatenate(
+            [ops.step_sp, jnp.full(pad_steps, nLM, ops.step_sp.dtype)]
+        ),
+        step_sm=jnp.concatenate(
+            [ops.step_sm, jnp.full(pad_steps, nLM, ops.step_sm.dtype)]
+        ),
+        step_wm=padn(ops.step_wm),
+    )
+    lm_chunk = ops.GmLM.shape[0] // n
+    st_chunk = ops.step_ilm.shape[0] // n
+
+    if funcs:
+        nrad = int(ops.shellmask.shape[-1])
+        g = pad_dia_grid_for_mesh(g, nrad, n)
+        gspec = DiaGridOps(
+            Bg=P("ch"), dBg=P("ch"), w=P("ch"), invh=P("ch"),
+            TT=P(), dTT=P(), dTT2=P(), TTm2=P(), invhphi2=P("ch"),
+            sqeta=P(), gidx=P("ch"), d2Bg=P("ch"), coth=P("ch"),
+            inv_sh2=P("ch"), LLTT=P(), TTmm=P(),
+        )
+    else:
+        gspec = P()
+
+    def make(fock_shard, nout, has_occ):
+        in_specs = (jax.tree.map(lambda _: P(), ops), gspec, P(), P())
+        if has_occ:
+            in_specs = in_specs + (P(), P())
+        return jax.shard_map(
+            fock_shard, mesh=mesh, in_specs=in_specs,
+            out_specs=tuple(P() for _ in range(nout)), check_vma=False,
+        )
+
+    def body(ops_r, g_l, Pa, Pb, Ka, Kb):
+        """Everything but the exchange partials (already psum'ed)."""
+        Ptot = Pa + Pb
+        i = jax.lax.axis_index("ch")
+
+        def sl(x, chunk):
+            return jax.lax.dynamic_slice_in_dim(x, i * chunk, chunk, axis=0)
+
+        ops_j = ops_r._replace(
+            GmLM=sl(ops_r.GmLM, lm_chunk),
+            GpLM=sl(ops_r.GpLM, lm_chunk),
+            LM_ilm=sl(ops_r.LM_ilm, lm_chunk),
+        )
+        J = jax.lax.psum(coulomb_dia(ops_j, Ptot), "ch")
+        Fa = ops_r.H0 + J + Ka
+        Fb = ops_r.H0 + J + Kb
+        Exx = 0.5 * (jnp.vdot(Pa, Ka) + jnp.vdot(Pb, Kb))
+        Exc = 0.0
+        Nel = 0.0
+        if funcs:
+            XCa, XCb, Exc, Nel = eval_fxc_dia(funcs, g_l, ops_r, Pa, Pb, dftthr)
+            Fa = Fa + jax.lax.psum(XCa, "ch")
+            Fb = Fb + jax.lax.psum(XCb, "ch")
+            Exc = jax.lax.psum(Exc, "ch")
+            Nel = jax.lax.psum(Nel, "ch")
+        Ekin = jnp.vdot(Ptot, ops_r.T)
+        Enuc = jnp.vdot(Ptot, ops_r.Vnuc)
+        Ecoul = 0.5 * jnp.vdot(Ptot, J)
+        return Fa, Fb, Ekin, Enuc, Ecoul, Exx, Exc, Nel
+
+    def k_ops(ops_r):
+        i = jax.lax.axis_index("ch")
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, i * st_chunk, st_chunk, axis=0)
+
+        return ops_r._replace(
+            step_ilm=sl(ops_r.step_ilm), step_sp=sl(ops_r.step_sp),
+            step_sm=sl(ops_r.step_sm), step_wm=sl(ops_r.step_wm),
+        )
+
+    def fock_dense(ops_r, g_l, Pa, Pb):
+        Ka = Kb = jnp.zeros_like(Pa)
+        if kfrac != 0.0:
+            ops_k = k_ops(ops_r)
+            Ka = kfrac * jax.lax.psum(exchange_dia(ops_k, Pa), "ch")
+            Kb = (Ka if restricted
+                  else kfrac * jax.lax.psum(exchange_dia(ops_k, Pb), "ch"))
+        return body(ops_r, g_l, Pa, Pb, Ka, Kb)
+
+    def fock_occ(ops_r, g_l, Pa, Pb, Coa, Cob):
+        ops_k = k_ops(ops_r)
+        Ka = kfrac * jax.lax.psum(exchange_dia_occ(ops_k, Coa), "ch")
+        Kb = (Ka if restricted
+              else kfrac * jax.lax.psum(exchange_dia_occ(ops_k, Cob), "ch"))
+        return body(ops_r, g_l, Pa, Pb, Ka, Kb)
+
+    dense_sm = make(fock_dense, 8, has_occ=False)
+    occ_sm = make(fock_occ, 8, has_occ=True) if kfrac != 0.0 else None
+    dense_jit = jax.jit(lambda Pa, Pb: dense_sm(ops, g, Pa, Pb))
+    occ_jit = (jax.jit(lambda Pa, Pb, Coa, Cob: occ_sm(ops, g, Pa, Pb, Coa, Cob))
+               if occ_sm is not None else None)
+
+    def fock_fn(Pa, Pb, Coa=None, Cob=None):
+        if kfrac != 0.0 and Coa is not None and (restricted or Cob is not None):
+            return occ_jit(Pa, Pb, Coa, Coa if Cob is None else Cob)
+        return dense_jit(Pa, Pb)
+
+    return fock_fn, ops, g
 
 
 def sharded_sad_exchange(mesh: Mesh, ops):

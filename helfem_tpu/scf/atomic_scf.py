@@ -473,6 +473,7 @@ def scf_atom(
     ldft: int = 0,
     diag: bool = True,
     eigiter: int = 0,
+    ndev: int = 0,
 ) -> SCFResult:
     """Restricted/unrestricted SCF. method: 'HF', 'LDA', 'SVWN', 'PBE', or
     an 'x_func,c_func' pair of functional names.
@@ -489,7 +490,16 @@ def scf_atom(
     checkpoint hook, called once per host-loop pass -- every iteration on
     the host path, every fused 4-iteration chunk once the on-device path
     engages (the reference writes HDF5 every iteration,
-    main.cpp:735-737,854-855)."""
+    main.cpp:735-737,854-855).
+
+    ndev >= 2 runs the SCF over an ndev-device mesh (--ndev): the Fock
+    build shards the TEI L axis and the DFT-grid element axis over 'ch'
+    with psum'ed partials, and the blocked eigensolve shards the
+    symmetry-block axis (parallel.mesh.sharded_atomic_fock /
+    sharded_eig_blocks) -- the multi-chip replacement for the reference's
+    always-on OpenMP (src/atomic/TwoDBasis.cpp:987-1005,
+    dftgrid.cpp:817-870). Converged energies equal the single-device
+    path's (tested to 1e-9 on a virtual 8-device mesh)."""
     if ops is None:
         ops = basis.build_operators()
     nrad = basis.nrad
@@ -612,6 +622,25 @@ def scf_atom(
         # Pa == Pb throughout: build the exchange once per Fock
         fock = make_fock(tuple(funcs), kfrac, nrad, Bz, dftthr, restricted=True,
                          kshort=kshort, kernel=kernel, bd=bd)
+
+    # --ndev: multi-device mesh execution (see docstring). The sharded
+    # Fock/eigensolve replace the single-device jits in the host loop;
+    # fused single-device chunks are disabled (warmup below).
+    eig_sharded = None
+    if ndev >= 2:
+        if kshort != 0.0:
+            raise NotImplementedError("--ndev does not support range-separated "
+                                      "exchange yet (erfc/yukawa tables)")
+        from helfem_tpu.parallel.mesh import (make_mesh, sharded_atomic_fock,
+                                              sharded_eig_blocks)
+
+        mesh = make_mesh(ndev)
+        sfock, _, _ = sharded_atomic_fock(
+            mesh, ops, tuple(funcs), g, kfrac, nrad, bd, Bz, dftthr,
+            restricted=restricted,
+        )
+        fock = lambda ops_, g_, Vx_, rs_, Pa, Pb: sfock(Vx_, Pa, Pb)  # noqa: E731
+        eig_sharded = sharded_eig_blocks(mesh, blk_idx_np, blk_sinvh_np, basis.nbf)
     Sinvh_np = _full_sinvh(blk_idx_np, blk_sinvh_np, basis.nbf)
     Sinvh_dev = jnp.asarray(Sinvh_np)
     # blockwise error commutator: F/P are block-diagonal over the SAME
@@ -633,7 +662,8 @@ def scf_atom(
     # restricted and the plain-unrestricted paths; ROHF/CUHF, Fock
     # m-averaging, and MO-basis damping need host-side per-iteration Fock
     # surgery and stay on the host loop
-    warmup = maxit if (rohf or maverage or dampfock != 1.0 or eigiter > 0) else 2
+    warmup = maxit if (rohf or maverage or dampfock != 1.0 or eigiter > 0
+                       or ndev >= 2) else 2
     fused = None
     hist = None
     it = 0
@@ -825,12 +855,14 @@ def scf_atom(
                                             eigiter, sigma)
                 Cb = jnp.asarray(Cb_np)
         else:
-            Ea, Ca = eig_blocks(jnp.asarray(Fa_), blk_idx, blk_sinvh)
+            eig_fn = eig_sharded if eig_sharded is not None else (
+                lambda F: eig_blocks(F, blk_idx, blk_sinvh))
+            Ea, Ca = eig_fn(jnp.asarray(Fa_))
             Ea = np.asarray(Ea)
             if restricted:
                 Eb, Cb = Ea, Ca
             else:
-                Eb, Cb = eig_blocks(jnp.asarray(Fb_), blk_idx, blk_sinvh)
+                Eb, Cb = eig_fn(jnp.asarray(Fb_))
                 Eb = np.asarray(Eb)
 
     labels = basis.sym_labels(symm)

@@ -453,6 +453,7 @@ def scf_diatomic(
     save_cb=None,
     diag: bool = True,
     maverage: bool = False,
+    ndev: int = 0,
 ) -> DiaSCFResult:
     """Diatomic SCF. Ez/Qzz/Bz add the electric-dipole, quadrupole, and
     magnetic (orbital Zeeman + diamagnetic + spin) field operators
@@ -542,6 +543,30 @@ def scf_diatomic(
             return eig_blocks_dia_host(ops, np.asarray(F))
         E, C = eig_blocks_dia(ops, jnp.asarray(F))
         return np.asarray(E), C
+
+    # --ndev: multi-device mesh execution. The Fock build shards the
+    # Coulomb (L,M) channel scan, the exchange (L,|M|) step scan, and the
+    # XC mu-element axis over 'ch' with psum'ed partials; the blocked
+    # eigensolve shards the symmetry-block axis (parallel.mesh.
+    # sharded_dia_scf_fock / sharded_dia_eig) -- the multi-chip replacement
+    # for the reference's OpenMP sites (src/diatomic/basis.cpp:1175,1560).
+    # Fused single-device chunks are disabled (warmup below).
+    if ndev >= 2:
+        from helfem_tpu.parallel.mesh import (make_mesh, sharded_dia_eig,
+                                              sharded_dia_scf_fock)
+
+        mesh = make_mesh(ndev)
+        sfock_fn, _, _ = sharded_dia_scf_fock(
+            mesh, ops, tuple(funcs), g, kfrac, dftthr, restricted=restricted,
+        )
+        fock = lambda ops_, g_, Pa, Pb, Coa=None, Cob=None: sfock_fn(  # noqa: E731
+            Pa, Pb, Coa, Cob)
+        eig_mesh = sharded_dia_eig(mesh, ops)
+        host_eig = False
+
+        def eig_full(F):  # noqa: F811 - mesh override of the local above
+            E, C = eig_mesh(jnp.asarray(F))
+            return np.asarray(E), C
     if P0a is not None:
         # warm start from a density (e.g. a loaded checkpoint): build the
         # Fock of the supplied density and diagonalize it as the guess
@@ -594,7 +619,7 @@ def scf_diatomic(
     # shift and the ROHF Fock surgery need per-iteration host logic and
     # keep the host loop
     warmup = 2 if (shift == 0.0 and not rohf and not host_eig
-                   and not maverage) else maxit
+                   and not maverage and ndev < 2) else maxit
     fused = None
     hist = None
     Nel = 0.0

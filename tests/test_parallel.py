@@ -155,6 +155,58 @@ def test_sharded_dia_xc_matches(ndev=4):
     assert abs(float(Exc) - float(Exc_r)) < 1e-11
 
 
+def test_scf_atom_ndev_converges(ndev=4):
+    """END-TO-END --ndev path: full atomic SCF to convergence through the
+    sharded Fock build + sharded blocked eigensolve equals the
+    single-device driver's converged energy (the user-facing multi-chip
+    replacement for the reference's always-on OpenMP,
+    src/atomic/TwoDBasis.cpp:987-1005)."""
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from helfem_tpu.scf.atomic_scf import scf_atom
+
+    b = AtomicBasis(Z=4, lmax=1, mmax=1, rmax=15.0, nelem=4, nnodes=6, nquad=40)
+    ops = b.build_operators()
+    r1 = scf_atom(b, 2, 2, convthr=1e-9, maxit=40, ops=ops)
+    rN = scf_atom(b, 2, 2, convthr=1e-9, maxit=40, ops=ops, ndev=ndev)
+    assert rN.converged
+    assert abs(rN.E - r1.E) < 1e-9
+
+
+def test_scf_atom_ndev_dft_converges(ndev=4):
+    """--ndev with a GGA: the element-sharded XC quadrature runs inside the
+    sharded Fock build to convergence."""
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from helfem_tpu.scf.atomic_scf import scf_atom
+
+    b = AtomicBasis(Z=4, lmax=0, mmax=0, rmax=15.0, nelem=4, nnodes=6, nquad=40)
+    ops = b.build_operators()
+    r1 = scf_atom(b, 2, 2, method="PBE", convthr=1e-8, maxit=40, ops=ops)
+    rN = scf_atom(b, 2, 2, method="PBE", convthr=1e-8, maxit=40, ops=ops,
+                  ndev=ndev)
+    assert rN.converged
+    assert abs(rN.E - r1.E) < 1e-9
+
+
+def test_scf_diatomic_ndev_converges(ndev=4):
+    """END-TO-END --ndev diatomic SCF (H2 HF): sharded Coulomb channel scan +
+    sharded occ-factorized exchange + sharded blocked eigensolve, run to
+    convergence, equals the single-device result."""
+    if len(jax.devices()) < ndev:
+        pytest.skip("not enough devices")
+    from helfem_tpu.models.diatomic import DiatomicBasis
+    from helfem_tpu.scf.diatomic_scf import scf_diatomic
+
+    b = DiatomicBasis(Z1=1, Z2=1, Rbond=1.4, lmax=(3,), rmax=15.0, nelem=3,
+                      nnodes=6)
+    ops = b.build_operators()
+    r1 = scf_diatomic(b, 1, 1, convthr=1e-9, maxit=40, ops=ops)
+    rN = scf_diatomic(b, 1, 1, convthr=1e-9, maxit=40, ops=ops, ndev=ndev)
+    assert rN.converged
+    assert abs(rN.E - r1.E) < 1e-9
+
+
 def test_sharded_sad_exchange_matches(ndev=4):
     """L-sharded sadatom exchange == single-device sad_exchange."""
     if len(jax.devices()) < ndev:
