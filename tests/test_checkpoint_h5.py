@@ -174,3 +174,85 @@ def test_dline_dgrid_read_chk(tmp_path, monkeypatch):
     n_mid = dl[np.abs(dl[:, 0]).argmin(), 1]
     n_nuc = dl[np.abs(dl[:, 0] - 0.7).argmin(), 1]
     assert 0.0 < n_mid < n_nuc
+
+
+# --- golden fixtures (bytes NOT produced by this repo's writer) -----------------
+
+
+_FIXDIR = __import__("os").path.join(__import__("os").path.dirname(__file__),
+                                     "fixtures")
+
+
+def test_golden_atomic_chk_fixture():
+    """Load a committed reference-layout atomic .chk whose bytes were
+    assembled by an independent raw-h5py generator replicating the
+    reference Checkpoint call sequence (tests/fixtures/make_golden_chk.py,
+    ref src/general/checkpoint.cpp:117-258,477-508) -- NOT by
+    save_atomic_chk. Guards the reader against layout drift: basis
+    reconstruction, arma storage conventions, orthonormality, electron
+    count, and a warm start that reconverges in <= 3 iterations."""
+    import os
+
+    from helfem_tpu.scf.atomic_scf import scf_atom
+    from helfem_tpu.utils.checkpoint_h5 import (
+        load_atomic_chk,
+        warm_start_density_atomic_h5,
+    )
+
+    p = os.path.join(_FIXDIR, "he_hf_ref_layout.chk")
+    with h5py.File(p, "r") as f:
+        # raw layout spot checks (arma conventions, scalar datasets)
+        assert f["HelFEM_ID"].shape == () and f["HelFEM_ID"].dtype == np.int32
+        assert f["lval"].ndim == 2 and f["lval"].shape[1] == 1
+        assert f["bval"].shape[0] == 1
+        nbf_file = f["S"].shape[0]
+        assert f["Ca"].shape[1] == nbf_file  # (n_cols, n_rows) mat layout
+        # the resolved taylor_order the reference binary writes (nprim-1)
+        assert int(np.asarray(f["taylor_order"])[()]) == 5
+
+    basis, d = load_atomic_chk(p)
+    assert basis.Z == 2 and basis.lmax == 1 and basis.nnodes == 6
+    assert basis.nbf == d["S"].shape[0]
+    S, Ca = d["S"], d["Ca"]
+    G = Ca.T @ S @ Ca
+    assert abs(G - np.eye(G.shape[0])).max() < 1e-9
+    assert abs(np.trace(d["P"] @ S) - 2.0) < 1e-9
+    # our own basis reproduces the stored one-electron matrices exactly
+    np.testing.assert_allclose(basis.overlap(), S, atol=1e-12)
+    np.testing.assert_allclose(basis.kinetic(), d["T"], atol=1e-10)
+
+    P0a, P0b = warm_start_density_atomic_h5(basis, basis, d)
+    res = scf_atom(basis, d["nela"], d["nelb"], method="HF", convthr=1e-8,
+                   P0a=P0a, P0b=P0b)
+    assert res.converged and res.niter <= 3
+    assert abs(res.E - (-2.861610216958)) < 1e-8
+
+
+def test_golden_diatomic_chk_fixture():
+    """Same for the diatomic reader: committed H2 fixture in the
+    reference's compacted pure-function layout (first radial function of
+    every m != 0 shell dropped, ref src/diatomic/basis.cpp:461-472)."""
+    import os
+
+    from helfem_tpu.scf.diatomic_scf import scf_diatomic
+    from helfem_tpu.utils.checkpoint_h5 import (
+        _pure_indices,
+        load_diatomic_chk,
+        warm_start_density_dia_h5,
+    )
+
+    p = os.path.join(_FIXDIR, "h2_hf_ref_layout.chk")
+    basis, d = load_diatomic_chk(p)
+    assert basis.Z1 == 1 and basis.Z2 == 1
+    assert abs(basis.Rbond - 1.4) < 1e-12
+    keep = _pure_indices(basis)
+    assert d["S"].shape == (len(keep), len(keep))
+    G = d["Ca"].T @ d["S"] @ d["Ca"]
+    assert abs(G - np.eye(G.shape[0])).max() < 1e-8
+    assert abs(np.trace(d["P"] @ d["S"]) - 2.0) < 1e-9
+
+    P0a, P0b = warm_start_density_dia_h5(basis, basis, d)
+    res = scf_diatomic(basis, d["nela"], d["nelb"], method="HF",
+                       convthr=1e-8, P0a=P0a, P0b=P0b)
+    assert res.converged
+    assert abs(res.E - (-1.127614145385)) < 1e-8
