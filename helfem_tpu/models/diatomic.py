@@ -398,11 +398,21 @@ class DiatomicBasis:
             Q_in.reshape(Lmax + 1, Mmax + 1, nelem, nq, nq),
         )
 
-    def compute_tei(self):
+    def compute_tei(self, k_layout: bool = True):
         """All radial TEI tables: in-element 4 families + disjoint moments,
         indexed by the (L,|M|) channel list. The in-element families are
         returned DIRECTLY in the two matmul-native pair layouts the J/K
         builds consume (teiJ rows (ij)/cols (kl); teiK rows (jk)/cols (il)).
+
+        k_layout=False (the build_operators default): return teiJ with the
+        REDUCED family axis [(0,0), (0,2), (2,2)] and teiK=None. The (2,0)
+        family is exactly the per-block transpose of (0,2) (ws20 =
+        wrk[(2,0)] + wrk[(0,2)].T = ws02.T) and the K pair layout is a pure
+        index permutation of the J layout, so both are reconstructed ON
+        DEVICE by tei_from_J3 -- shipping 3/8 of the bytes through the
+        host->device tunnel, whose ~7 MB/s is what made the TPU-process
+        setup 297 s at the reference-converged N2 lmax=12 (PERF_TPU_r03)
+        while the same host quadrature took 12.8 s in a CPU process.
 
         All contractions are batched over the full channel axis (the
         reference's OpenMP-over-(L,M) loop, src/diatomic/basis.cpp:1166-1187,
@@ -443,8 +453,9 @@ class DiatomicBasis:
         from helfem_tpu.utils.hostmem import huge_empty
 
         np2 = nprim * nprim
-        teiJ = huge_empty((nlm, 4, nelem, np2, np2))
-        teiK = huge_empty((nlm, 4, nelem, np2, np2))
+        nfam = 4 if k_layout else 3
+        teiJ = huge_empty((nlm, nfam, nelem, np2, np2))
+        teiK = huge_empty((nlm, 4, nelem, np2, np2)) if k_layout else None
         # basis values at inner points
         Bin = np.empty((nelem, nq, nq, nprim))
         for e in range(nelem):
@@ -455,7 +466,9 @@ class DiatomicBasis:
             lo = np.concatenate([[self.fem.bval[e]], self.mu[e][:-1]])
             seg_hlen[e] = 0.5 * (self.mu[e] - lo)
 
-        fams = [(0, 0), (0, 2), (2, 0), (2, 2)]  # family axis order
+        # family axis order; k_layout=False drops (2, 0) = (0, 2).T
+        fams = ([(0, 0), (0, 2), (2, 0), (2, 2)] if k_layout
+                else [(0, 0), (0, 2), (2, 2)])
         for e in range(nelem):
             # inner-point pair products [p, q, kl] and outer pair products [p, ij]
             BBin = (Bin[e][:, :, :, None] * Bin[e][:, :, None, :]).reshape(nq, nq, np2)
@@ -480,11 +493,12 @@ class DiatomicBasis:
                 for c in range(nlm):
                     ws = wrk[(k, l)][c] + wrk[(l, k)][c].T
                     teiJ[c, F, e] = ws
-                    teiK[c, F, e] = (
-                        ws.reshape(nprim, nprim, nprim, nprim)
-                        .transpose(1, 2, 0, 3)
-                        .reshape(np2, np2)
-                    )
+                    if k_layout:
+                        teiK[c, F, e] = (
+                            ws.reshape(nprim, nprim, nprim, nprim)
+                            .transpose(1, 2, 0, 3)
+                            .reshape(np2, np2)
+                        )
         return teiJ, teiK, dP0, dP2, dQ0, dQ2
 
     # --- device constants ----------------------------------------------------------------
@@ -519,12 +533,17 @@ class DiatomicBasis:
                 for (L, Ma) in self.lm_map
             ]
         )
-        # in-element families arrive already in the two matmul-native pair
-        # layouts (teiJ rows (ij)/cols (kl), teiK rows (jk)/cols (il)) --
-        # regrouped per element inside the quadrature loop; assembling the
-        # 6-index tensor and transposing it globally costs more than the
-        # quadrature itself (multi-GB strided copies)
-        teiJ, teiK, dP0, dP2, dQ0, dQ2 = self.compute_tei()
+        # in-element families in the two matmul-native pair layouts (teiJ
+        # rows (ij)/cols (kl), teiK rows (jk)/cols (il)). Only the REDUCED
+        # J table ([(0,0),(0,2),(2,2)] family axis, 3/8 of the bytes) is
+        # computed on host and shipped; the (2,0) family (= (0,2).T per
+        # block) and the whole K pair layout (a pure index permutation) are
+        # reconstructed ON DEVICE (tei_from_J3) -- the host->device tunnel
+        # measured ~50 MB/s, so shipping both full tables dominated the
+        # TPU-process setup at big bases (297 s at N2 lmax=12, PERF_TPU_r03)
+        teiJ3, _, dP0, dP2, dQ0, dQ2 = self.compute_tei(k_layout=False)
+        nprim = self.fem.nprim
+        teiJ_dev, teiK_dev = tei_from_J3(jnp.asarray(teiJ3), nprim)
 
         # exchange scan channels: one step per (L,|M|) with signed-LM lookups
         LM_pos = {p: i for i, p in enumerate(self.LM_map)}
@@ -571,8 +590,8 @@ class DiatomicBasis:
             GpLM=jnp.asarray(GpLM),
             LM_ilm=jnp.asarray(LM_ilm),
             LMfac=jnp.asarray(LMfac),
-            teiJ=jnp.asarray(teiJ),
-            teiK=jnp.asarray(teiK),
+            teiJ=teiJ_dev,
+            teiK=teiK_dev,
             dP0=jnp.asarray(dP0),
             dP2=jnp.asarray(dP2),
             dQ0=jnp.asarray(dQ0),
@@ -589,6 +608,28 @@ class DiatomicBasis:
 # --------------------------------------------------------------------------------
 # jitted J/K builds
 # --------------------------------------------------------------------------------
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("nprim",))
+def tei_from_J3(teiJ3: jnp.ndarray, nprim: int):
+    """Reconstruct the full 4-family teiJ [(0,0),(0,2),(2,0),(2,2)] and the
+    K pair layout from the reduced 3-family J table ON DEVICE (see
+    compute_tei k_layout=False): family (2,0) is the per-block transpose of
+    (0,2) (the (ij)<->(kl) swap exchanges the cosh-power slots), and
+    teiK[jk, il] is the fixed (i,j,k,l) -> (j,k,i,l) index permutation of
+    teiJ[ij, kl] (reference builds the exchange-ordered copies on host:
+    utils::exchange_tei, libhelfem/src/utils.cpp)."""
+    nlm, _, nelem, np2, _ = teiJ3.shape
+    teiJ = jnp.stack(
+        [teiJ3[:, 0], teiJ3[:, 1],
+         jnp.swapaxes(teiJ3[:, 1], -1, -2), teiJ3[:, 2]], axis=1)
+    teiK = (teiJ.reshape(nlm, 4, nelem, nprim, nprim, nprim, nprim)
+            .transpose(0, 1, 2, 4, 5, 3, 6)
+            .reshape(nlm, 4, nelem, np2, np2))
+    return teiJ, teiK
 
 
 def _to4(P, nang, nrad):

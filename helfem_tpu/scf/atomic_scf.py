@@ -659,11 +659,19 @@ def scf_atom(
     converged = False
     occa = occb = None
     # fused on-device chunks engage after the host warmup for both the
-    # restricted and the plain-unrestricted paths; ROHF/CUHF, Fock
-    # m-averaging, and MO-basis damping need host-side per-iteration Fock
-    # surgery and stay on the host loop
+    # restricted and the plain-unrestricted paths. The TWO host warmup
+    # iterations are load-bearing: the host DIIS runs ADIIS energy-model
+    # weights in the large-error regime (err > diis_eps) that the device
+    # chunk's pure C2-DIIS cannot handle (measured: Ar from a TF guess
+    # stalls 0.1 Eh high without them). ROHF/CUHF, Fock m-averaging, and
+    # MO-basis damping need host-side per-iteration Fock surgery and stay
+    # on the host loop.
     warmup = maxit if (rohf or maverage or dampfock != 1.0 or eigiter > 0
                        or ndev >= 2) else 2
+    # chunk-length schedule: 2, 4, 8, ... up to the compiled buffer size --
+    # early chunks stay short so aufbau can reorder occupations while the
+    # SCF is far from self-consistent, late chunks amortize the dispatch
+    chunk_len = 4
     fused = None
     hist = None
     it = 0
@@ -683,7 +691,7 @@ def scf_atom(
             # back for host-side convergence checks
             if fused is None:
                 nhist = 10
-                CH = 4
+                CH = 16
                 fused = make_fused_chunk(tuple(funcs), kfrac, nrad, nhist, CH, Bz, dftthr,
                                          kshort, kernel, bd)
                 Sinvh_full = jnp.asarray(
@@ -699,7 +707,8 @@ def scf_atom(
                                else basis.nbf * basis.nbf)),
                     jnp.asarray(0),
                 )
-            nrun = min(CH, maxit - it + 1)
+            nrun = min(chunk_len, CH, maxit - it + 1)
+            chunk_len = min(2 * chunk_len, CH)
             Cs, Es, hF, hE, cnt, Etots, errs, Nels, comps, kdev = fused(
                 ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, jnp.asarray(occa), Ca, *hist,
                 jnp.asarray(float(convthr)), jnp.asarray(Eold), jnp.asarray(nrun)
@@ -740,7 +749,7 @@ def scf_atom(
             # unrestricted fused chunk (spin-stacked DIIS history)
             if fused is None:
                 nhist = 10
-                CH = 4
+                CH = 16
                 fused = make_fused_chunk_u(tuple(funcs), kfrac, nrad, nhist, CH, Bz,
                                            dftthr, kshort, kernel, bd)
                 Sinvh_full = jnp.asarray(
@@ -755,7 +764,8 @@ def scf_atom(
                     jnp.asarray(0),
                 )
             Emag = -0.5 * Bz * (nela - nelb)
-            nrun = min(CH, maxit - it + 1)
+            nrun = min(chunk_len, CH, maxit - it + 1)
+            chunk_len = min(2 * chunk_len, CH)
             Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps, kdev = fused(
                 ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full,
                 jnp.asarray(occa), jnp.asarray(occb), Ca, Cb, *hist,

@@ -48,15 +48,43 @@ def eig_blocks_dia_b(ops: DiatomicOperators, Fb: jnp.ndarray):
     [nblk, blen, blen] (the fused chunk keeps its whole DIIS history in
     block coordinates; see make_dia_fused_chunk). Padded slots get
     eigenvalue _BIG (never occupied). Returns (E [nblk, blen],
-    C [nblk, blen, blen]) in block coordinates."""
+    C [nblk, blen, blen]) in block coordinates.
+
+    The batched eigh runs in CHUNKS of HELFEM_DIA_EIG_CHUNK blocks via
+    lax.map (default 2): the emulated-f64 QR tridiagonalization allocates
+    its workspace per batch element, and the full [nblk ~ 10, 490, 490]
+    batch at the reference-converged N2 lmax=12 ResourceExhausts on top of
+    the resident TEI tables; two-at-a-time bounds the live workspace while
+    keeping one dispatch (chunking happens INSIDE the jitted program)."""
     bi = ops.blk_idx
     nbf = ops.S.shape[0]
     Forth = jnp.einsum("bpi,bpq,bqj->bij", ops.blk_sinvh, Fb, ops.blk_sinvh)
     pad = (bi == nbf).astype(Fb.dtype)
     Forth = Forth + _BIG * jnp.eye(bi.shape[1])[None] * pad[:, None, :]
-    E, V = eigh_refined(Forth)
+    E, V = _eigh_chunked(Forth)
     C = jnp.einsum("bpi,bij->bpj", ops.blk_sinvh, V)
     return E, C
+
+
+def _eigh_chunked(Forth: jnp.ndarray):
+    """eigh_refined over a block batch, lax.map'ed in chunks so the QR
+    workspace of the emulated-f64 eigh stays bounded (see
+    eig_blocks_dia_b). Chunk size HELFEM_DIA_EIG_CHUNK (0 = whole batch);
+    a ragged tail pads with identity blocks (eigenvalue 1, discarded)."""
+    nblk = Forth.shape[0]
+    cs = int(os.environ.get("HELFEM_DIA_EIG_CHUNK", "2"))
+    if cs <= 0 or cs >= nblk:
+        return eigh_refined(Forth)
+    npad = (-nblk) % cs
+    if npad:
+        eye = jnp.broadcast_to(jnp.eye(Forth.shape[-1], dtype=Forth.dtype),
+                               (npad, *Forth.shape[1:]))
+        Forth = jnp.concatenate([Forth, eye])
+    Fc = Forth.reshape((nblk + npad) // cs, cs, *Forth.shape[1:])
+    E, V = jax.lax.map(eigh_refined, Fc)
+    E = E.reshape(-1, E.shape[-1])[:nblk]
+    V = V.reshape(-1, *V.shape[-2:])[:nblk]
+    return E, V
 
 
 @jax.jit
@@ -531,12 +559,14 @@ def scf_diatomic(
     def occ_select2(occ, no_t, no_w):
         sel = occ_select(occ, no_t)
         return sel if sel is not None else occ_select(occ, no_w)
-    # big-basis accelerator backends: the on-device batched eigh crashes /
-    # ResourceExhausts at lmax=12-class block sizes -- run the eigensolve
-    # on the host (the SCF then stays on the host loop, which already
-    # round-trips F for DIIS)
+    # HELFEM_DIA_HOSTEIG=<nbf>: opt-in host (LAPACK) eigensolve fallback
+    # above that basis size. No longer the default at lmax=12-class bases:
+    # the chunked batched eigh (_eigh_chunked) bounds the emulated-f64 QR
+    # workspace that used to ResourceExhaust on top of the resident TEI
+    # tables, so the big-basis SCF now stays on device (fused chunks),
+    # killing the 21.6 s/iter host LAPACK + double tunnel transfer.
     host_eig = (jax.default_backend() != "cpu"
-                and nbf >= int(os.environ.get("HELFEM_DIA_HOSTEIG", 2000)))
+                and nbf >= int(os.environ.get("HELFEM_DIA_HOSTEIG", 10**9)))
 
     def eig_full(F):
         if host_eig:
@@ -615,11 +645,13 @@ def scf_diatomic(
         Sh_np = form_sh(np.asarray(ops.S))
 
     Eold, Etot, converged = 0.0, 0.0, False
-    # fused on-device chunks engage after a short host warmup; the level
-    # shift and the ROHF Fock surgery need per-iteration host logic and
-    # keep the host loop
-    warmup = 2 if (shift == 0.0 and not rohf and not host_eig
+    # fused on-device chunks engage immediately (occupations refresh
+    # between chunks; the doubling chunk schedule keeps that cadence tight
+    # early); the level shift and the ROHF Fock surgery need per-iteration
+    # host logic and keep the host loop
+    warmup = 0 if (shift == 0.0 and not rohf and not host_eig
                    and not maverage and ndev < 2) else maxit
+    chunk_len = 4
     fused = None
     hist = None
     Nel = 0.0
@@ -644,7 +676,7 @@ def scf_diatomic(
         if it > warmup and not readocc_hold:
             if fused is None:
                 nhist = 10
-                CH = 4
+                CH = 16
                 fused = make_dia_fused_chunk(
                     tuple(funcs), kfrac, nhist, CH, dftthr, restricted, Bz,
                     njbd=njbd,
@@ -659,7 +691,8 @@ def scf_diatomic(
             selb = (None if restricted or not use_occ
                     else occ_select2(occb, nob, nob_w))
             Emag = -0.5 * Bz * (nela - nelb)
-            nrun = min(CH, maxit - it + 1)
+            nrun = min(chunk_len, CH, maxit - it + 1)
+            chunk_len = min(2 * chunk_len, CH)
             # the device chunk stops itself on the convergence gate; pass
             # the previous total energy on the chunk's own scale (without
             # the constant nuclear-repulsion + spin-Zeeman shifts)

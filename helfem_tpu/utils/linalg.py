@@ -17,7 +17,8 @@ import numpy as np
 __all__ = ["form_sinvh", "eigh_refined", "eig_gsym_lm", "eig_gsym_m"]
 
 
-def eigh_refined(A: jnp.ndarray, npass: int = 4, tau: float = 1e-9):
+def eigh_refined(A: jnp.ndarray, npass: int = 4, tau: float = 1e-9,
+                 mode: str = "auto"):
     """Symmetric eigendecomposition with f64 accuracy on TPU.
 
     The TPU eigh kernel stops at ~f32 residual tolerance (observed ~1e-7
@@ -34,9 +35,30 @@ def eigh_refined(A: jnp.ndarray, npass: int = 4, tau: float = 1e-9):
     basis of the cluster is equally valid for densities/occupations). Each
     pass contracts the residual quadratically; 4 passes take the observed
     1e-4 errors to ~1e-13. Batches over leading axes (works under vmap).
+
+    mode (or env HELFEM_EIGH): which kernel seeds the refinement.
+      - "mixed": run the eigh itself in NATIVE f32 and lift to f64 purely
+        by the refinement passes. Since the TPU's emulated-f64 eigh stops
+        at f32-quality residuals anyway, the seed quality is the same but
+        the O(n^3) tridiagonalization runs at native-f32 speed instead of
+        paying the f64 software emulation -- the accelerator default (the
+        eigensolve dominated the fused SCF iteration wall on chip).
+      - "f64": emulated/native f64 eigh seed (the CPU default: LAPACK f64
+        is native there and the f32 detour would only add passes).
+      - "auto": "mixed" off-CPU, "f64" on CPU. Resolved at trace time.
     """
+    import os
+
+    if mode == "auto":
+        mode = os.environ.get(
+            "HELFEM_EIGH",
+            "mixed" if jax.default_backend() != "cpu" else "f64")
     n = A.shape[-1]
-    E, V = jnp.linalg.eigh(A)
+    if mode == "mixed":
+        E32, V32 = jnp.linalg.eigh(A.astype(jnp.float32))
+        E, V = E32.astype(A.dtype), V32.astype(A.dtype)
+    else:
+        E, V = jnp.linalg.eigh(A)
     eye = jnp.eye(n, dtype=A.dtype)
 
     def body(carry, _):
