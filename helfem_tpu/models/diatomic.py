@@ -610,18 +610,10 @@ class DiatomicBasis:
 # --------------------------------------------------------------------------------
 
 
-from functools import partial as _partial
+from functools import lru_cache, partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("nprim",))
-def tei_from_J3(teiJ3: jnp.ndarray, nprim: int):
-    """Reconstruct the full 4-family teiJ [(0,0),(0,2),(2,0),(2,2)] and the
-    K pair layout from the reduced 3-family J table ON DEVICE (see
-    compute_tei k_layout=False): family (2,0) is the per-block transpose of
-    (0,2) (the (ij)<->(kl) swap exchanges the cosh-power slots), and
-    teiK[jk, il] is the fixed (i,j,k,l) -> (j,k,i,l) index permutation of
-    teiJ[ij, kl] (reference builds the exchange-ordered copies on host:
-    utils::exchange_tei, libhelfem/src/utils.cpp)."""
+def _tei_from_J3_impl(teiJ3: jnp.ndarray, nprim: int):
     nlm, _, nelem, np2, _ = teiJ3.shape
     teiJ = jnp.stack(
         [teiJ3[:, 0], teiJ3[:, 1],
@@ -630,6 +622,31 @@ def tei_from_J3(teiJ3: jnp.ndarray, nprim: int):
             .transpose(0, 1, 2, 4, 5, 3, 6)
             .reshape(nlm, 4, nelem, np2, np2))
     return teiJ, teiK
+
+
+@lru_cache(maxsize=1)
+def _tei_from_J3_jit():
+    # donate the (large) reduced table so XLA can reuse its buffer while
+    # materializing the 4-family J and K outputs -- the transient peak
+    # would otherwise be 11/8 of a full table on top of the outputs in the
+    # big-basis regime that already runs close to HBM capacity. CPU does
+    # not implement donation and would warn, so only donate off-CPU.
+    donate = (0,) if jax.default_backend() != "cpu" else ()
+    return jax.jit(_tei_from_J3_impl, static_argnames=("nprim",),
+                   donate_argnums=donate)
+
+
+def tei_from_J3(teiJ3: jnp.ndarray, nprim: int):
+    """Reconstruct the full 4-family teiJ [(0,0),(0,2),(2,0),(2,2)] and the
+    K pair layout from the reduced 3-family J table ON DEVICE (see
+    compute_tei k_layout=False): family (2,0) is the per-block transpose of
+    (0,2) (the (ij)<->(kl) swap exchanges the cosh-power slots), and
+    teiK[jk, il] is the fixed (i,j,k,l) -> (j,k,i,l) index permutation of
+    teiJ[ij, kl] (reference builds the exchange-ordered copies on host:
+    utils::exchange_tei, libhelfem/src/utils.cpp). The input buffer is
+    DONATED on accelerators (see _tei_from_J3_jit); callers must not reuse
+    teiJ3 afterwards."""
+    return _tei_from_J3_jit()(teiJ3, nprim)
 
 
 def _to4(P, nang, nrad):

@@ -40,7 +40,7 @@ from helfem_tpu.utils.linalg import (
     build_blocks,
     density_blocks,
     eig_blocks,
-    eig_blocks_b,
+    eig_blocks_b_warm,
     eigh_refined,
     gather_blocks,
 )
@@ -222,7 +222,8 @@ def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
                      kshort=kshort, kernel=kernel, bd=bd)
 
     @jax.jit
-    def step(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, histF, histE, count):
+    def step(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, Vw,
+             histF, histE, count, wgate):
         nbf = ops.S.shape[0]
         Pab = jnp.einsum("bpk,bk,bqk->bpq", C, occ, C)
         Pa = _scatter_blocks(Pab, blk_idx, nbf)
@@ -240,14 +241,20 @@ def make_fused_step(funcs, kfrac: float, nrad: int, nhist: int, Bz: float = 0.0,
             err = _diis_error_blocks(Fab, Pab, Sb, blk_sinvh)
             errmax = jnp.max(jnp.abs(err))
             Fuse, histF, histE, count = device_diis_step(histF, histE, count, Fab, err)
-            E, Cn = eig_blocks_b(Fuse, blk_idx, blk_sinvh, nbf)
         else:
             FPS = Fa @ Pa @ ops.S
             err = (Sinvh_full.T @ (FPS - FPS.T) @ Sinvh_full).ravel()
             errmax = jnp.max(jnp.abs(err))
             Fuse, histF, histE, count = device_diis_step(histF, histE, count, Fa, err)
-            E, Cn = eig_blocks(Fuse, blk_idx, blk_sinvh)
-        return Cn, E, histF, histE, count, Etot, errmax, Nel, (Ekin, Enuc, Ecoul, Exx, Exc, Efield)
+            Fuse = gather_blocks(Fuse, blk_idx)
+        # warm-started blocked eigensolve: the previous step's whitened
+        # eigenvectors Vw seed matmul-only refinement; the (dominant on
+        # chip) emulated-f64 eigh runs only when the residual certificate
+        # fails (first step of a chunk entered with Vw = I, or a large
+        # DIIS jump). See utils/linalg.py:eigh_warm.
+        E, Cn, Vn, _good = eig_blocks_b_warm(Fuse, blk_idx, blk_sinvh, nbf,
+                                             Vw, wgate)
+        return Cn, E, Vn, histF, histE, count, Etot, errmax, Nel, (Ekin, Enuc, Ecoul, Exx, Exc, Efield)
 
     return step
 
@@ -268,33 +275,37 @@ def make_fused_chunk(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
     inner = step.__wrapped__ if hasattr(step, "__wrapped__") else step
 
     @jax.jit
-    def chunk(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C,
+    def chunk(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C, Vw,
               histF, histE, count, convthr, Eprev, nrun):
+        # warm-eigensolve acceptance gate: keep the eigensolve residual
+        # well below the SCF convergence gate (see eigh_warm)
+        wgate = jnp.minimum(0.1 * convthr, 1e-9)
+
         def cond(st):
             return (st[0] < nrun) & (~st[1])
 
         def body(st):
-            (k, _done, C, histF, histE, count, Ep,
+            (k, _done, C, Vw, histF, histE, count, Ep,
              Es, Cs, Etots, errs, Nels, comps) = st
-            Cn, E, histF, histE, count, Etot, errmax, Nel, comp = inner(
+            Cn, E, Vn, histF, histE, count, Etot, errmax, Nel, comp = inner(
                 ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occ, C,
-                histF, histE, count
+                Vw, histF, histE, count, wgate
             )
             done = (errmax < convthr) & (jnp.abs(Etot - Ep) < convthr)
-            return (k + 1, done, Cn, histF, histE, count, Etot,
+            return (k + 1, done, Cn, Vn, histF, histE, count, Etot,
                     Es.at[k].set(E), Cs.at[k].set(Cn),
                     Etots.at[k].set(Etot), errs.at[k].set(errmax),
                     Nels.at[k].set(Nel), comps.at[k].set(jnp.stack(comp)))
 
         nb, bl = C.shape[0], C.shape[1]
-        st0 = (jnp.asarray(0), jnp.asarray(False), C, histF, histE, count,
+        st0 = (jnp.asarray(0), jnp.asarray(False), C, Vw, histF, histE, count,
                Eprev,
                jnp.zeros((nsteps, nb, bl)), jnp.zeros((nsteps, nb, bl, bl)),
                jnp.zeros(nsteps), jnp.zeros(nsteps), jnp.zeros(nsteps),
                jnp.zeros((nsteps, 6)))
-        (k, _done, C, histF, histE, count, _Ep,
+        (k, _done, C, Vw, histF, histE, count, _Ep,
          Es, Cs, Etots, errs, Nels, comps) = jax.lax.while_loop(cond, body, st0)
-        return Cs, Es, histF, histE, count, Etots, errs, Nels, comps, k
+        return Cs, Es, Vw, histF, histE, count, Etots, errs, Nels, comps, k
 
     return chunk
 
@@ -312,8 +323,10 @@ def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
 
     @jax.jit
     def chunk(ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, occa, occb,
-              Ca, Cb, histF, histE, count, convthr, Eprev, nrun):
-        def step(Ca, Cb, histF, histE, count):
+              Ca, Cb, Vwa, Vwb, histF, histE, count, convthr, Eprev, nrun):
+        wgate = jnp.minimum(0.1 * convthr, 1e-9)
+
+        def step(Ca, Cb, Vwa, Vwb, histF, histE, count):
             nbf = ops.S.shape[0]
             Pab = jnp.einsum("bpk,bk,bqk->bpq", Ca, occa, Ca)
             Pbb = jnp.einsum("bpk,bk,bqk->bpq", Cb, occb, Cb)
@@ -337,8 +350,7 @@ def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
                 Fuse, histF, histE, count = device_diis_step(
                     histF, histE, count, jnp.stack([Fab, Fbb]), err
                 )
-                Ea, Cna = eig_blocks_b(Fuse[0], blk_idx, blk_sinvh, nbf)
-                Eb, Cnb = eig_blocks_b(Fuse[1], blk_idx, blk_sinvh, nbf)
+                Fua, Fub = Fuse[0], Fuse[1]
             else:
                 def errof(F, P):
                     FPS = F @ P @ ops.S
@@ -349,9 +361,14 @@ def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
                 Fuse, histF, histE, count = device_diis_step(
                     histF, histE, count, jnp.stack([Fa, Fb]), err
                 )
-                Ea, Cna = eig_blocks(Fuse[0], blk_idx, blk_sinvh)
-                Eb, Cnb = eig_blocks(Fuse[1], blk_idx, blk_sinvh)
-            return (Cna, Cnb, histF, histE, count,
+                Fua = gather_blocks(Fuse[0], blk_idx)
+                Fub = gather_blocks(Fuse[1], blk_idx)
+            # warm-started blocked eigensolves (see make_fused_step)
+            Ea, Cna, Vna, _ = eig_blocks_b_warm(Fua, blk_idx, blk_sinvh, nbf,
+                                                Vwa, wgate)
+            Eb, Cnb, Vnb, _ = eig_blocks_b_warm(Fub, blk_idx, blk_sinvh, nbf,
+                                                Vwb, wgate)
+            return (Cna, Cnb, Vna, Vnb, histF, histE, count,
                     Ea, Eb, Etot, errmax, Nel,
                     jnp.stack([Ekin, Enuc, Ecoul, Exx, Exc, Efield]))
 
@@ -359,30 +376,32 @@ def make_fused_chunk_u(funcs, kfrac: float, nrad: int, nhist: int, nsteps: int,
             return (st[0] < nrun) & (~st[1])
 
         def body(st):
-            (k, _done, Ca, Cb, histF, histE, count, Ep,
+            (k, _done, Ca, Cb, Vwa, Vwb, histF, histE, count, Ep,
              Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = st
-            (Cna, Cnb, histF, histE, count,
-             Ea, Eb, Etot, errmax, Nel, comp) = step(Ca, Cb, histF, histE, count)
+            (Cna, Cnb, Vna, Vnb, histF, histE, count,
+             Ea, Eb, Etot, errmax, Nel, comp) = step(Ca, Cb, Vwa, Vwb,
+                                                     histF, histE, count)
             done = (errmax < convthr) & (jnp.abs(Etot - Ep) < convthr)
-            return (k + 1, done, Cna, Cnb, histF, histE, count, Etot,
+            return (k + 1, done, Cna, Cnb, Vna, Vnb, histF, histE, count, Etot,
                     Eas.at[k].set(Ea), Ebs.at[k].set(Eb),
                     Cas.at[k].set(Cna), Cbs.at[k].set(Cnb),
                     Etots.at[k].set(Etot), errs.at[k].set(errmax),
                     Nels.at[k].set(Nel), comps.at[k].set(comp))
 
         nb, bl = Ca.shape[0], Ca.shape[1]
-        st0 = (jnp.asarray(0), jnp.asarray(False), Ca, Cb, histF, histE, count,
-               Eprev,
+        st0 = (jnp.asarray(0), jnp.asarray(False), Ca, Cb, Vwa, Vwb,
+               histF, histE, count, Eprev,
                jnp.zeros((nsteps, nb, bl)), jnp.zeros((nsteps, nb, bl)),
                jnp.zeros((nsteps, nb, bl, bl)), jnp.zeros((nsteps, nb, bl, bl)),
                jnp.zeros(nsteps), jnp.zeros(nsteps), jnp.zeros(nsteps),
                jnp.zeros((nsteps, 6)))
-        (k, _done, Ca, Cb, histF, histE, count, _Ep,
+        (k, _done, Ca, Cb, Vwa, Vwb, histF, histE, count, _Ep,
          Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = jax.lax.while_loop(
             cond, body, st0
         )
         return (
-            Cas, Cbs, Eas, Ebs, histF, histE, count, Etots, errs, Nels, comps, k
+            Cas, Cbs, Eas, Ebs, Vwa, Vwb, histF, histE, count, Etots, errs,
+            Nels, comps, k
         )
 
     return chunk
@@ -492,7 +511,8 @@ def scf_atom(
     engages (the reference writes HDF5 every iteration,
     main.cpp:735-737,854-855).
 
-    ndev >= 2 runs the SCF over an ndev-device mesh (--ndev): the Fock
+    ndev >= 1 runs the SCF over an ndev-device mesh (--ndev; 1 = mesh
+    machinery on a single device, the one-chip sharded artifact): the Fock
     build shards the TEI L axis and the DFT-grid element axis over 'ch'
     with psum'ed partials, and the blocked eigensolve shards the
     symmetry-block axis (parallel.mesh.sharded_atomic_fock /
@@ -627,7 +647,7 @@ def scf_atom(
     # Fock/eigensolve replace the single-device jits in the host loop;
     # fused single-device chunks are disabled (warmup below).
     eig_sharded = None
-    if ndev >= 2:
+    if ndev >= 1:
         if kshort != 0.0:
             raise NotImplementedError("--ndev does not support range-separated "
                                       "exchange yet (erfc/yukawa tables)")
@@ -667,8 +687,8 @@ def scf_atom(
     # MO-basis damping need host-side per-iteration Fock surgery and stay
     # on the host loop.
     warmup = maxit if (rohf or maverage or dampfock != 1.0 or eigiter > 0
-                       or ndev >= 2) else 2
-    # chunk-length schedule: 2, 4, 8, ... up to the compiled buffer size --
+                       or ndev >= 1) else 2
+    # chunk-length schedule: 4, 8, 16 up to the compiled buffer size --
     # early chunks stay short so aufbau can reorder occupations while the
     # SCF is far from self-consistent, late chunks amortize the dispatch
     chunk_len = 4
@@ -707,10 +727,14 @@ def scf_atom(
                                else basis.nbf * basis.nbf)),
                     jnp.asarray(0),
                 )
+                # warm-eigensolve seed: identity -> the first fused step's
+                # residual certificate fails and the full eigh runs; the
+                # final whitened eigenvectors persist across chunks
+                Vw = jnp.broadcast_to(jnp.eye(blen), (nblk, blen, blen))
             nrun = min(chunk_len, CH, maxit - it + 1)
             chunk_len = min(2 * chunk_len, CH)
-            Cs, Es, hF, hE, cnt, Etots, errs, Nels, comps, kdev = fused(
-                ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, jnp.asarray(occa), Ca, *hist,
+            Cs, Es, Vw, hF, hE, cnt, Etots, errs, Nels, comps, kdev = fused(
+                ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full, jnp.asarray(occa), Ca, Vw, *hist,
                 jnp.asarray(float(convthr)), jnp.asarray(Eold), jnp.asarray(nrun)
             )
             hist = (hF, hE, cnt)
@@ -763,12 +787,15 @@ def scf_atom(
                                            else basis.nbf * basis.nbf))),
                     jnp.asarray(0),
                 )
+                Vwa = jnp.broadcast_to(jnp.eye(blen), (nblk, blen, blen))
+                Vwb = Vwa
             Emag = -0.5 * Bz * (nela - nelb)
             nrun = min(chunk_len, CH, maxit - it + 1)
             chunk_len = min(2 * chunk_len, CH)
-            Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps, kdev = fused(
+            (Cas, Cbs, Eas, Ebs, Vwa, Vwb, hF, hE, cnt, Etots, errs, Nels,
+             comps, kdev) = fused(
                 ops, g, Vextra, rs, blk_idx, blk_sinvh, Sinvh_full,
-                jnp.asarray(occa), jnp.asarray(occb), Ca, Cb, *hist,
+                jnp.asarray(occa), jnp.asarray(occb), Ca, Cb, Vwa, Vwb, *hist,
                 jnp.asarray(float(convthr)), jnp.asarray(Eold - Emag),
                 jnp.asarray(nrun)
             )

@@ -88,6 +88,28 @@ def _eigh_chunked(Forth: jnp.ndarray):
 
 
 @jax.jit
+def eig_blocks_dia_b_warm(ops: DiatomicOperators, Fb: jnp.ndarray,
+                          V0: jnp.ndarray, wgate):
+    """eig_blocks_dia_b with a warm-started eigensolve: V0 are the previous
+    iteration's whitened block eigenvectors (identity on the first call);
+    matmul-only refinement replaces the chunked emulated-f64 eigh whenever
+    the residual certificate beats `wgate` (utils/linalg.py:eigh_warm). The
+    cold fallback is the SAME workspace-chunked eigh (_eigh_chunked), so
+    the fallback cannot ResourceExhaust at big bases. Returns
+    (E, C, V, used_warm)."""
+    from helfem_tpu.utils.linalg import eigh_warm_with
+
+    bi = ops.blk_idx
+    nbf = ops.S.shape[0]
+    Forth = jnp.einsum("bpi,bpq,bqj->bij", ops.blk_sinvh, Fb, ops.blk_sinvh)
+    pad = (bi == nbf).astype(Fb.dtype)
+    Forth = Forth + _BIG * jnp.eye(bi.shape[1])[None] * pad[:, None, :]
+    E, V, good = eigh_warm_with(Forth, V0, wgate, _eigh_chunked)
+    C = jnp.einsum("bpi,bij->bpj", ops.blk_sinvh, V)
+    return E, C, V, good
+
+
+@jax.jit
 def eig_blocks_dia(ops: DiatomicOperators, F: jnp.ndarray):
     """Batched whitened eigensolve over the padded symmetry blocks.
 
@@ -363,8 +385,10 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
 
     @jax.jit
     def chunk(ops, g, Vextra, occa, occb, sela, selb,
-              Ca, Cb, histF, histE, count, convthr, Eprev, nrun):
+              Ca, Cb, Vwa, Vwb, histF, histE, count, convthr, Eprev, nrun):
         Sb = gather_blocks_dia(ops, ops.S)
+        # warm-eigensolve acceptance gate (see eigh_warm)
+        wgate = jnp.minimum(0.1 * convthr, 1e-9)
 
         def errof_b(Fb, Pb):
             # block commutator; padded slots are exact zeros (blk_sinvh
@@ -374,7 +398,7 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
             return jnp.einsum("bpi,bps,bsj->bij",
                               ops.blk_sinvh, M, ops.blk_sinvh).ravel()
 
-        def step(Ca, Cb, histF, histE, count):
+        def step(Ca, Cb, Vwa, Vwb, histF, histE, count):
             Pab = jnp.einsum("bpk,bk,bqk->bpq", Ca, occa, Ca)
             Pa = _scatter_blocks_dia(ops, Pab)
             if restricted:
@@ -406,13 +430,16 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
                 F = jnp.stack([Fab, Fbb])
             errmax = jnp.max(jnp.abs(err))
             Fuse, histF, histE, count = device_diis_step(histF, histE, count, F, err)
+            # warm-started blocked eigensolve (see eig_blocks_dia_b_warm):
+            # the chunked emulated-f64 eigh -- the dominant per-iteration
+            # cost on chip -- runs only when the residual certificate fails
             if restricted:
-                Ea, Cna = eig_blocks_dia_b(ops, Fuse)
-                Eb, Cnb = Ea, Cna
+                Ea, Cna, Vna, _ = eig_blocks_dia_b_warm(ops, Fuse, Vwa, wgate)
+                Eb, Cnb, Vnb = Ea, Cna, Vna
             else:
-                Ea, Cna = eig_blocks_dia_b(ops, Fuse[0])
-                Eb, Cnb = eig_blocks_dia_b(ops, Fuse[1])
-            return (Cna, Cnb, histF, histE, count,
+                Ea, Cna, Vna, _ = eig_blocks_dia_b_warm(ops, Fuse[0], Vwa, wgate)
+                Eb, Cnb, Vnb = eig_blocks_dia_b_warm(ops, Fuse[1], Vwb, wgate)[:3]
+            return (Cna, Cnb, Vna, Vnb, histF, histE, count,
                     Ea, Eb, Etot, errmax, Nel,
                     jnp.stack([Ekin, Enuc, Ecoul, Exx, Exc, Efield]))
 
@@ -421,29 +448,38 @@ def make_dia_fused_chunk(funcs, kfrac, nhist: int, nsteps: int,
             return (k < nrun) & (~done)
 
         def body(st):
-            (k, _done, Ca, Cb, histF, histE, count, Ep,
+            (k, _done, Ca, Cb, Vwa, Vwb, histF, histE, count, Ep,
              Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = st
-            (Cna, Cnb, histF, histE, count,
-             Ea, Eb, Etot, errmax, Nel, comp) = step(Ca, Cb, histF, histE, count)
+            (Cna, Cnb, Vna, Vnb, histF, histE, count,
+             Ea, Eb, Etot, errmax, Nel, comp) = step(Ca, Cb, Vwa, Vwb,
+                                                     histF, histE, count)
             done = (errmax < convthr) & (jnp.abs(Etot - Ep) < convthr)
-            return (k + 1, done, Cna, Cnb, histF, histE, count, Etot,
-                    Eas.at[k].set(Ea), Ebs.at[k].set(Eb),
-                    Cas.at[k].set(Cna), Cbs.at[k].set(Cnb),
+            return (k + 1, done, Cna, Cnb, Vna, Vnb, histF, histE, count, Etot,
+                    Eas.at[k].set(Ea),
+                    Ebs if restricted else Ebs.at[k].set(Eb),
+                    Cas.at[k].set(Cna),
+                    Cbs if restricted else Cbs.at[k].set(Cnb),
                     Etots.at[k].set(Etot), errs.at[k].set(errmax),
                     Nels.at[k].set(Nel), comps.at[k].set(comp))
 
         nb, bl = Ca.shape[0], Ca.shape[1]
-        st0 = (jnp.asarray(0), jnp.asarray(False), Ca, Cb, histF, histE, count,
-               Eprev,
-               jnp.zeros((nsteps, nb, bl)), jnp.zeros((nsteps, nb, bl)),
-               jnp.zeros((nsteps, nb, bl, bl)), jnp.zeros((nsteps, nb, bl, bl)),
+        # restricted: beta == alpha, so the per-step beta output buffers
+        # ([nsteps, nb, bl, bl] -- ~300 MB at the reference-converged N2
+        # lmax=12 with nsteps=16) are never read; allocate empty slots
+        st0 = (jnp.asarray(0), jnp.asarray(False), Ca, Cb, Vwa, Vwb,
+               histF, histE, count, Eprev,
+               jnp.zeros((nsteps, nb, bl)),
+               jnp.zeros((nsteps, 0, 0) if restricted else (nsteps, nb, bl)),
+               jnp.zeros((nsteps, nb, bl, bl)),
+               jnp.zeros((nsteps, 0, 0, 0) if restricted
+                         else (nsteps, nb, bl, bl)),
                jnp.zeros(nsteps), jnp.zeros(nsteps), jnp.zeros(nsteps),
                jnp.zeros((nsteps, 6)))
-        (k, _done, Ca, Cb, histF, histE, count, _Ep,
+        (k, _done, Ca, Cb, Vwa, Vwb, histF, histE, count, _Ep,
          Eas, Ebs, Cas, Cbs, Etots, errs, Nels, comps) = jax.lax.while_loop(
             cond, body, st0
         )
-        return (Cas, Cbs, Eas, Ebs, histF, histE, count,
+        return (Cas, Cbs, Eas, Ebs, Vwa, Vwb, histF, histE, count,
                 Etots, errs, Nels, comps, k)
 
     return chunk
@@ -581,7 +617,7 @@ def scf_diatomic(
     # sharded_dia_scf_fock / sharded_dia_eig) -- the multi-chip replacement
     # for the reference's OpenMP sites (src/diatomic/basis.cpp:1175,1560).
     # Fused single-device chunks are disabled (warmup below).
-    if ndev >= 2:
+    if ndev >= 1:
         from helfem_tpu.parallel.mesh import (make_mesh, sharded_dia_eig,
                                               sharded_dia_scf_fock)
 
@@ -645,12 +681,16 @@ def scf_diatomic(
         Sh_np = form_sh(np.asarray(ops.S))
 
     Eold, Etot, converged = 0.0, 0.0, False
-    # fused on-device chunks engage immediately (occupations refresh
-    # between chunks; the doubling chunk schedule keeps that cadence tight
-    # early); the level shift and the ROHF Fock surgery need per-iteration
-    # host logic and keep the host loop
-    warmup = 0 if (shift == 0.0 and not rohf and not host_eig
-                   and not maverage and ndev < 2) else maxit
+    # fused on-device chunks engage after TWO host warmup iterations,
+    # matching the atomic path: the host DIIS runs ADIIS energy-model
+    # weights in the large-error regime that the device chunk's pure
+    # C2-DIIS cannot handle. Round-4 set warmup=0 here and the BeH UHF
+    # test converged to a wrong stationary point (+0.164 Eh); the host
+    # warmup is load-bearing for far-from-converged guesses. The level
+    # shift and the ROHF Fock surgery need per-iteration host logic and
+    # keep the host loop entirely.
+    warmup = 2 if (shift == 0.0 and not rohf and not host_eig
+                   and not maverage and ndev < 1) else maxit
     chunk_len = 4
     fused = None
     hist = None
@@ -671,12 +711,21 @@ def scf_diatomic(
         # a finite --readocc boundary must land on the exact iteration
         # (reference semantics: enforced until the nth Fock build), so stay
         # on the host loop until it has passed; fused chunks freeze
-        # occupations for 4 iterations at a time
+        # occupations for up to CH iterations at a time (4, 8, ... doubling
+        # schedule)
         readocc_hold = occs is not None and 0 < readocc_until and it <= readocc_until
         if it > warmup and not readocc_hold:
             if fused is None:
                 nhist = 10
+                # chunk length capped so the per-step coefficient output
+                # buffers (Cas [CH, nblk, blen, blen]) stay under ~256 MB
+                # and never crowd the resident TEI tables out of HBM; big
+                # bases pay seconds per Fock build anyway, so dispatch
+                # amortization matters only for the small ones
                 CH = 16
+                _nb, _bl = ops.blk_idx.shape
+                while CH > 4 and CH * _nb * _bl * _bl * 8 > 256e6:
+                    CH //= 2
                 fused = make_dia_fused_chunk(
                     tuple(funcs), kfrac, nhist, CH, dftthr, restricted, Bz,
                     njbd=njbd,
@@ -687,6 +736,10 @@ def scf_diatomic(
                 fshape = ((nhist, nblk, blen, blen) if restricted
                           else (nhist, 2, nblk, blen, blen))
                 hist = (jnp.zeros(fshape), jnp.zeros((nhist, nerr)), jnp.asarray(0))
+                # warm-eigensolve seed (identity -> first step runs the
+                # full eigh); persists across chunks
+                Vwa = jnp.broadcast_to(jnp.eye(blen), (nblk, blen, blen))
+                Vwb = Vwa
             sela = occ_select2(occa, noa, noa_w) if use_occ else None
             selb = (None if restricted or not use_occ
                     else occ_select2(occb, nob, nob_w))
@@ -696,9 +749,11 @@ def scf_diatomic(
             # the device chunk stops itself on the convergence gate; pass
             # the previous total energy on the chunk's own scale (without
             # the constant nuclear-repulsion + spin-Zeeman shifts)
-            Cas, Cbs, Eas, Ebs, hF, hE, cnt, Etots, errs, Nels, comps, kdev = fused(
+            (Cas, Cbs, Eas, Ebs, Vwa, Vwb, hF, hE, cnt, Etots, errs, Nels,
+             comps, kdev) = fused(
                 ops, g, Vextra_dev,
-                jnp.asarray(occa), jnp.asarray(occb), sela, selb, Ca, Cb, *hist,
+                jnp.asarray(occa), jnp.asarray(occb), sela, selb, Ca, Cb,
+                Vwa, Vwb, *hist,
                 jnp.asarray(float(convthr)),
                 jnp.asarray(Eold - Enucrep - Emag), jnp.asarray(nrun),
             )
@@ -718,9 +773,10 @@ def scf_diatomic(
                     converged = True
                     break
             it += k
-            Ca, Cb = Cas[k], Cbs[k]
+            Ca = Cas[k]
+            Cb = Ca if restricted else Cbs[k]
             Ea = np.asarray(Eas[k])
-            Eb = np.asarray(Ebs[k])
+            Eb = Ea if restricted else np.asarray(Ebs[k])
             Nel = Nels[k]
             Ekin, Enuc, Ecoul, Exx, Exc, Efield = np.asarray(comps[k])
             Efield = float(Efield)

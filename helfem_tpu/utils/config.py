@@ -44,23 +44,24 @@ def _host_fingerprint() -> str:
 def setup_x64() -> None:
     jax.config.update("jax_enable_x64", True)
     # Persistent compile cache. HELFEM_TPU_CACHE=<dir> forces a location,
-    # HELFEM_TPU_CACHE=0 disables. Default: ON for host backends (XDG cache
-    # dir, per-backend subdirectory), OFF for the experimental axon TPU
-    # plugin: deserializing a cached axon executable reproducibly HANGS the
-    # client AND wedges the shared remote compile service for several
-    # minutes (measured 2026-08: a trivial cached matmul hung >400 s and a
-    # plain hello in the next process took 192 s while the remote drained).
+    # HELFEM_TPU_CACHE=0 disables. Default: ON for every backend (XDG cache
+    # dir, per-backend subdirectory) -- including the axon TPU plugin since
+    # round 5: the round-3-era hang on deserializing cached axon
+    # executables no longer reproduces (measured on chip 2026-08-21: a
+    # cold eigh compile through the remote compile service took 588 s; the
+    # next process served it from this cache in 26.7 s total including
+    # device init, no hang, repeated cleanly). Given the 60-600 s remote
+    # compile walls, the cache is the difference between a usable and an
+    # unusable cold-start experience on this hardware.
     #
-    # If the cache is forced on under axon anyway, a canary file guards the
-    # poisoned-entry failure mode: it is written at startup and removed at
-    # clean interpreter exit, so a run killed mid-hang leaves it behind and
-    # the next startup WIPES the axon cache before enabling it.
+    # The canary file still guards the historical poisoned-entry failure
+    # mode: it is written at startup and removed at clean interpreter
+    # exit, so a run killed mid-hang leaves it behind and the next startup
+    # WIPES the axon cache before enabling it.
     cache = os.environ.get("HELFEM_TPU_CACHE", "")
     if cache == "0":
         return
     axon = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
-    if axon and not cache:
-        return
     root = os.path.abspath(cache) if cache else _default_cache_dir()
     # per-backend AND per-host-CPU subdirectory (see _host_fingerprint)
     sub = "axon" if axon else "cpu-" + _host_fingerprint()

@@ -14,7 +14,43 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["form_sinvh", "eigh_refined", "eig_gsym_lm", "eig_gsym_m"]
+__all__ = ["form_sinvh", "eigh_refined", "eigh_warm", "eig_gsym_lm",
+           "eig_gsym_m"]
+
+
+def _refine_passes(A, E, V, npass: int, tau: float):
+    """The shared first-order refinement sweep of eigh_refined/eigh_warm:
+    given an approximate eigensystem (E, V) of symmetric A, run `npass`
+    perturbative correction + Newton re-orthonormalization passes (all
+    matmuls -- MXU work, no QR). Returns (E, V, off) where off is the
+    largest |off-diagonal| of V^T A V from the LAST pass (a residual
+    certificate for the warm path's fallback decision)."""
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+
+    def body(carry, _):
+        E, V, _off = carry
+        M = jnp.swapaxes(V, -1, -2) @ A @ V
+        E = jnp.diagonal(M, axis1=-2, axis2=-1)
+        off = jnp.max(jnp.abs(M - E[..., None] * eye))
+        dE = E[..., None, :] - E[..., :, None]
+        scale = jnp.maximum(jnp.abs(E[..., None, :]), jnp.abs(E[..., :, None])) + 1.0
+        mask = jnp.abs(dE) > tau * scale
+        C = jnp.where(mask, M / jnp.where(mask, dE, 1.0), 0.0)
+        C = jnp.clip(C, -0.1, 0.1)
+        V = V + V @ C
+        V = V @ (1.5 * eye - 0.5 * (jnp.swapaxes(V, -1, -2) @ V))
+        return (E, V, off), None
+
+    (E, V, off), _ = jax.lax.scan(body, (E, V, jnp.asarray(0.0, A.dtype)),
+                                  None, length=npass)
+    return E, V, off
+
+
+def _sort_eigs(E, V):
+    order = jnp.argsort(E, axis=-1)
+    return (jnp.take_along_axis(E, order, axis=-1),
+            jnp.take_along_axis(V, order[..., None, :], axis=-1))
 
 
 def eigh_refined(A: jnp.ndarray, npass: int = 4, tau: float = 1e-9,
@@ -37,49 +73,80 @@ def eigh_refined(A: jnp.ndarray, npass: int = 4, tau: float = 1e-9,
     1e-4 errors to ~1e-13. Batches over leading axes (works under vmap).
 
     mode (or env HELFEM_EIGH): which kernel seeds the refinement.
+      - "f64": emulated/native f64 eigh seed -- the DEFAULT on every
+        backend (reference foundation: the f64 generalized eigensolve of
+        scf::eig_gsym, src/general/scf_helpers.cpp:131-139).
       - "mixed": run the eigh itself in NATIVE f32 and lift to f64 purely
-        by the refinement passes. Since the TPU's emulated-f64 eigh stops
-        at f32-quality residuals anyway, the seed quality is the same but
-        the O(n^3) tridiagonalization runs at native-f32 speed instead of
-        paying the f64 software emulation -- the accelerator default (the
-        eigensolve dominated the fused SCF iteration wall on chip).
-      - "f64": emulated/native f64 eigh seed (the CPU default: LAPACK f64
-        is native there and the f32 detour would only add passes).
-      - "auto": "mixed" off-CPU, "f64" on CPU. Resolved at trace time.
+        by the refinement passes. OPT-IN ONLY (HELFEM_EIGH=mixed): round-4
+        shipped this as the accelerator default and it broke on-chip SCF
+        convergence (measured on the real chip: Ar HF stalls +0.112 Eh
+        with mixed; converges in 10 iterations to 7e-11 with f64). The
+        f32 seed plus clipped refinement passes is not accurate enough
+        for the DIIS loop near degenerate blocks.
+      - "auto": resolves to "f64" unless HELFEM_EIGH overrides.
     """
     import os
 
     if mode == "auto":
-        mode = os.environ.get(
-            "HELFEM_EIGH",
-            "mixed" if jax.default_backend() != "cpu" else "f64")
-    n = A.shape[-1]
+        mode = os.environ.get("HELFEM_EIGH", "f64")
+        # HELFEM_EIGH_NPASS overrides the refinement-pass count (tuning
+        # knob for on-chip experiments; the default stays 4)
+        npass = int(os.environ.get("HELFEM_EIGH_NPASS", npass))
     if mode == "mixed":
         E32, V32 = jnp.linalg.eigh(A.astype(jnp.float32))
         E, V = E32.astype(A.dtype), V32.astype(A.dtype)
     else:
         E, V = jnp.linalg.eigh(A)
-    eye = jnp.eye(n, dtype=A.dtype)
-
-    def body(carry, _):
-        E, V = carry
-        M = jnp.swapaxes(V, -1, -2) @ A @ V
-        E = jnp.diagonal(M, axis1=-2, axis2=-1)
-        dE = E[..., None, :] - E[..., :, None]
-        scale = jnp.maximum(jnp.abs(E[..., None, :]), jnp.abs(E[..., :, None])) + 1.0
-        mask = jnp.abs(dE) > tau * scale
-        C = jnp.where(mask, M / jnp.where(mask, dE, 1.0), 0.0)
-        C = jnp.clip(C, -0.1, 0.1)
-        V = V + V @ C
-        V = V @ (1.5 * eye - 0.5 * (jnp.swapaxes(V, -1, -2) @ V))
-        return (E, V), None
-
-    (E, V), _ = jax.lax.scan(body, (E, V), None, length=npass)
+    E, V, _ = _refine_passes(A, E, V, npass, tau)
     # restore ascending order (refinement may perturb near-degenerate order)
-    order = jnp.argsort(E, axis=-1)
-    E = jnp.take_along_axis(E, order, axis=-1)
-    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
-    return E, V
+    return _sort_eigs(E, V)
+
+
+def eigh_warm(A: jnp.ndarray, V0: jnp.ndarray, npass: int = 3,
+              tau: float = 1e-9, gate: float = 1e-10):
+    """Warm-started symmetric eigendecomposition: refine the PREVIOUS
+    iteration's eigenvectors V0 instead of running the (emulated-f64,
+    QR-based) eigh seed.
+
+    Inside an SCF the Fock matrix changes by O(DIIS error) between
+    iterations, so V0^T A V0 is nearly diagonal and a few matmul-only
+    refinement sweeps (MXU work; _refine_passes) recover the new
+    eigensystem -- the eigh seed, which dominated the fused-chunk
+    iteration wall on chip, is skipped entirely. Correctness is gated by
+    an EXACT residual certificate: npass+1 sweeps run, and the largest
+    |off-diagonal| of V^T A V measured by the final sweep (i.e. the true
+    residual after npass sweeps, in the same absolute units as the DIIS
+    error the SCF gates on) must beat `gate`, else the result is REPLACED
+    by a full eigh_refined(A) (one lax.cond; both branches compiled, the
+    expensive one executed only when the certificate fails -- e.g. the
+    first iteration after a unit-matrix V0, or a large DIIS extrapolation
+    jump). Callers should set gate well below their convergence threshold
+    (the SCF drivers use min(0.1 * convthr, 1e-9)).
+
+    Returns (E, V, used_warm) with E/V sorted ascending; batches over
+    leading axes like eigh_refined. V0 must be orthonormal (any orthonormal
+    matrix is safe -- at worst the certificate fails and the cold path
+    runs)."""
+    return eigh_warm_with(A, V0, gate, lambda M: eigh_refined(M, tau=tau),
+                          npass=npass, tau=tau)
+
+
+def eigh_warm_with(A, V0, gate, cold_fn, npass: int = 3, tau: float = 1e-9):
+    """eigh_warm with a caller-supplied cold fallback (e.g. the diatomic
+    big-basis path substitutes its workspace-chunked eigh so the fallback
+    cannot ResourceExhaust). See eigh_warm for the contract."""
+    E0 = jnp.diagonal(jnp.swapaxes(V0, -1, -2) @ A @ V0, axis1=-2, axis2=-1)
+    E, V, off = _refine_passes(A, E0, V0, npass + 1, tau)
+    good = off < gate
+
+    def warm(_):
+        return _sort_eigs(E, V)
+
+    def cold(_):
+        return cold_fn(A)
+
+    Es, Vs = jax.lax.cond(good, warm, cold, None)
+    return Es, Vs, good
 
 
 def form_sinvh(S: np.ndarray) -> np.ndarray:
@@ -156,6 +223,24 @@ def eig_blocks_b(Fb: jnp.ndarray, blk_idx: jnp.ndarray, blk_sinvh: jnp.ndarray,
     E, V = eigh_refined(Forth)
     C = jnp.einsum("bpi,bij->bpj", blk_sinvh, V)
     return E, C
+
+
+@functools.partial(jax.jit, static_argnames=("nbf",))
+def eig_blocks_b_warm(Fb: jnp.ndarray, blk_idx: jnp.ndarray,
+                      blk_sinvh: jnp.ndarray, nbf: int, V0: jnp.ndarray,
+                      gate):
+    """eig_blocks_b with a warm-started eigensolve: V0 [nblk, blen, blen]
+    are the previous iteration's WHITENED block eigenvectors (identity on
+    the first call -- the certificate then fails and the full eigh runs).
+    Returns (E, C, V, used_warm); feed V back in on the next iteration.
+    `gate` is the absolute residual tolerance (see eigh_warm); the SCF
+    drivers pass min(0.1 * convthr, 1e-9)."""
+    Forth = jnp.einsum("bpi,bpq,bqj->bij", blk_sinvh, Fb, blk_sinvh)
+    pad = (blk_idx == nbf).astype(Fb.dtype)
+    Forth = Forth + _BIG * jnp.eye(blk_idx.shape[1])[None] * pad[:, None, :]
+    E, V, good = eigh_warm(Forth, V0, gate=gate)
+    C = jnp.einsum("bpi,bij->bpj", blk_sinvh, V)
+    return E, C, V, good
 
 
 @jax.jit
