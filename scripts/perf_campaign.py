@@ -257,11 +257,23 @@ def _n2_stages(lmax, nnodes, rmax, dense_K):
         out["K_dense_compile_s"] = round(time.perf_counter() - t0, 2)
         out["K_dense_s"] = round(timeit(jK, P), 4)
     F = ops.H0 + Jm
+    jE_ = jax.jit(eig_blocks_dia)
+    jE = lambda F: jE_(ops, F)
     if basis.nbf < 2000:
-        jE_ = jax.jit(eig_blocks_dia)
-        jE = lambda F: jE_(ops, F)
         out["eig_device_s"] = round(timeit(jE, F), 4)
     else:
+        # big basis: time BOTH the on-device chunked eigensolve (the SCF
+        # default since round 4 -- lax.map'ed HELFEM_DIA_EIG_CHUNK blocks
+        # bound the emulated-f64 QR workspace, eig_blocks_dia_b) and the
+        # old host-LAPACK fallback it replaced (HELFEM_DIA_HOSTEIG path,
+        # pays double tunnel transfers in a TPU process)
+        try:
+            t0 = time.perf_counter()
+            _sync(jE(F)[0])
+            out["eig_device_compile_s"] = round(time.perf_counter() - t0, 2)
+            out["eig_device_chunked_s"] = round(timeit(jE, F), 4)
+        except Exception as e:  # noqa: BLE001 - OOM on some configs
+            out["eig_device_chunked_s"] = f"{type(e).__name__}: {e}"[:160]
         from helfem_tpu.scf.diatomic_scf import eig_blocks_dia_host
 
         Fn = np.asarray(F)
