@@ -336,7 +336,8 @@ def make_sad_fused_chunk(funcs, kfrac, nl, nrad, nhist, nsteps,
     fock = make_sad_fock(funcs, kfrac, nl, nrad, dftthr)
 
     @jax.jit
-    def chunk(ops, occw, angw, occwb, angwb, C, Cb, histF, histE, count):
+    def chunk(ops, occw, angw, occwb, angwb, C, Cb, Vw, Vwb,
+              histF, histE, count, wgate):
         S = ops.at.S
         Sinvh = ops.at.Sinvh_rad
 
@@ -348,19 +349,24 @@ def make_sad_fused_chunk(funcs, kfrac, nl, nrad, nhist, nsteps,
             comm = FPS - jnp.swapaxes(FPS, 1, 2)
             return jnp.einsum("pi,lpq,qj->lij", Sinvh, comm, Sinvh).reshape(-1)
 
-        def eig_sh(F, Cprev, w, shift_eff):
+        def eig_sh(F, Cprev, w, shift_eff, Vprev):
             # level shift on the span of the previous virtuals
-            # (reference: OrbitalChannel::UpdateOrbitalsShifted)
+            # (reference: OrbitalChannel::UpdateOrbitalsShifted); the
+            # eigensolve warm-starts from the previous step's whitened
+            # eigenvectors (utils/linalg.py:eigh_warm) -- the shift
+            # toggling at err=1e-3 just fails the certificate once
             virt = (w <= 0.0).astype(F.dtype)
             Cv = Cprev * virt[:, None, :]
             SC = jnp.einsum("pq,lqk->lpk", S, Cv)
             Fsh = F + shift_eff * jnp.einsum("lpk,lrk->lpr", SC, SC)
             Forth = jnp.einsum("pi,lpq,qj->lij", Sinvh, Fsh, Sinvh)
-            E, V = eigh_refined(Forth)
-            return E, jnp.einsum("pi,lij->lpj", Sinvh, V)
+            from helfem_tpu.utils.linalg import eigh_warm
+
+            E, V, _ = eigh_warm(Forth, Vprev, gate=wgate)
+            return E, jnp.einsum("pi,lij->lpj", Sinvh, V), V
 
         def body(carry, _):
-            C, Cb, histF, histE, count = carry
+            C, Cb, Vw, Vwb, histF, histE, count = carry
             if restricted:
                 Pl = dens(C, occw)
                 Pang = dens(C, angw)
@@ -382,19 +388,19 @@ def make_sad_fused_chunk(funcs, kfrac, nl, nrad, nhist, nsteps,
             Fuse, histF, histE, count = device_diis_step(histF, histE, count, F, err)
             shift_eff = jnp.where(errmax > 1e-3, shift, 0.0)
             if restricted:
-                E, Cn = eig_sh(Fuse, C, occw, shift_eff)
-                Eb, Cnb = E, Cn
+                E, Cn, Vn = eig_sh(Fuse, C, occw, shift_eff, Vw)
+                Eb, Cnb, Vnb = E, Cn, Vn
             else:
-                E, Cn = eig_sh(Fuse[0], C, occw, shift_eff)
-                Eb, Cnb = eig_sh(Fuse[1], Cb, occwb, shift_eff)
-            return (Cn, Cnb, histF, histE, count), (
+                E, Cn, Vn = eig_sh(Fuse[0], C, occw, shift_eff, Vw)
+                Eb, Cnb, Vnb = eig_sh(Fuse[1], Cb, occwb, shift_eff, Vwb)
+            return (Cn, Cnb, Vn, Vnb, histF, histE, count), (
                 E, Eb, Cn, Cnb, Etot, errmax, (Ekin, Ecoul, Exx, Exc, Nel)
             )
 
-        (C, Cb, histF, histE, count), (Es, Ebs, Cs, Cbs, Etots, errs, comps) = jax.lax.scan(
-            body, (C, Cb, histF, histE, count), None, length=nsteps
+        (C, Cb, Vw, Vwb, histF, histE, count), (Es, Ebs, Cs, Cbs, Etots, errs, comps) = jax.lax.scan(
+            body, (C, Cb, Vw, Vwb, histF, histE, count), None, length=nsteps
         )
-        return Es, Ebs, Cs, Cbs, Etots, errs, comps, histF, histE, count
+        return Es, Ebs, Cs, Cbs, Vw, Vwb, Etots, errs, comps, histF, histE, count
 
     return chunk
 
@@ -878,12 +884,17 @@ def solve_sadatom_unrestricted(
                     jnp.zeros((nhist, 2 * nl * nrad * nrad)),
                     jnp.asarray(0),
                 )
+                # warm-eigensolve seed (identity -> first step runs the
+                # full eigh); persists across chunks
+                Vwa = jnp.broadcast_to(jnp.eye(nrad), (nl, nrad, nrad))
+                Vwb = Vwa
+                wgate = jnp.minimum(0.1 * convthr, 1e-9)
             ow_a, aw_a = occ_weight_vectors(occs_a, nl, nrad, False)
             ow_b, aw_b = occ_weight_vectors(occs_b, nl, nrad, False)
-            Eas, Ebs, Cas, Cbs, Etots, errs, comps, hF, hE, cnt = fused(
+            Eas, Ebs, Cas, Cbs, Vwa, Vwb, Etots, errs, comps, hF, hE, cnt = fused(
                 ops, jnp.asarray(ow_a), jnp.asarray(aw_a),
                 jnp.asarray(ow_b), jnp.asarray(aw_b),
-                jnp.asarray(Ca), jnp.asarray(Cb), *hist
+                jnp.asarray(Ca), jnp.asarray(Cb), Vwa, Vwb, *hist, wgate
             )
             hist = (hF, hE, cnt)
             Etots = np.asarray(Etots)
@@ -1054,9 +1065,11 @@ def solve_sadatom(
                         jnp.zeros((nhist, nl * nrad * nrad)),
                         jnp.asarray(0),
                     )
+                    Vwr = jnp.broadcast_to(jnp.eye(nrad), (nl, nrad, nrad))
+                    wgate = jnp.minimum(0.1 * convthr, 1e-9)
                 Cdev = jnp.asarray(C_)
-                Es, _, Cs, _, Etots, errs, comps, hF, hE, cnt = fused(
-                    ops, occw, angw, occw, angw, Cdev, Cdev, *hist
+                Es, _, Cs, _, Vwr, _, Etots, errs, comps, hF, hE, cnt = fused(
+                    ops, occw, angw, occw, angw, Cdev, Cdev, Vwr, Vwr, *hist, wgate
                 )
                 hist = (hF, hE, cnt)
                 Etots = np.asarray(Etots)
