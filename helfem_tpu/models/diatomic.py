@@ -610,30 +610,22 @@ class DiatomicBasis:
 # --------------------------------------------------------------------------------
 
 
-from functools import lru_cache, partial as _partial
+from functools import partial as _partial
 
 
-def _tei_from_J3_impl(teiJ3: jnp.ndarray, nprim: int):
-    nlm, _, nelem, np2, _ = teiJ3.shape
-    teiJ = jnp.stack(
+@jax.jit
+def _tei_J_from_J3(teiJ3: jnp.ndarray):
+    return jnp.stack(
         [teiJ3[:, 0], teiJ3[:, 1],
          jnp.swapaxes(teiJ3[:, 1], -1, -2), teiJ3[:, 2]], axis=1)
-    teiK = (teiJ.reshape(nlm, 4, nelem, nprim, nprim, nprim, nprim)
+
+
+@_partial(jax.jit, static_argnames=("nprim",))
+def _tei_K_from_J(teiJ: jnp.ndarray, nprim: int):
+    nlm, _, nelem, np2, _ = teiJ.shape
+    return (teiJ.reshape(nlm, 4, nelem, nprim, nprim, nprim, nprim)
             .transpose(0, 1, 2, 4, 5, 3, 6)
             .reshape(nlm, 4, nelem, np2, np2))
-    return teiJ, teiK
-
-
-@lru_cache(maxsize=1)
-def _tei_from_J3_jit():
-    # donate the (large) reduced table so XLA can reuse its buffer while
-    # materializing the 4-family J and K outputs -- the transient peak
-    # would otherwise be 11/8 of a full table on top of the outputs in the
-    # big-basis regime that already runs close to HBM capacity. CPU does
-    # not implement donation and would warn, so only donate off-CPU.
-    donate = (0,) if jax.default_backend() != "cpu" else ()
-    return jax.jit(_tei_from_J3_impl, static_argnames=("nprim",),
-                   donate_argnums=donate)
 
 
 def tei_from_J3(teiJ3: jnp.ndarray, nprim: int):
@@ -643,10 +635,18 @@ def tei_from_J3(teiJ3: jnp.ndarray, nprim: int):
     (0,2) (the (ij)<->(kl) swap exchanges the cosh-power slots), and
     teiK[jk, il] is the fixed (i,j,k,l) -> (j,k,i,l) index permutation of
     teiJ[ij, kl] (reference builds the exchange-ordered copies on host:
-    utils::exchange_tei, libhelfem/src/utils.cpp). The input buffer is
-    DONATED on accelerators (see _tei_from_J3_jit); callers must not reuse
-    teiJ3 afterwards."""
-    return _tei_from_J3_jit()(teiJ3, nprim)
+    utils::exchange_tei, libhelfem/src/utils.cpp).
+
+    TWO dispatches, not one: with a single fused program the reduced
+    3-family input stays live while BOTH outputs materialize (11/8 of a
+    full table transiently -- and buffer donation is reported unusable by
+    the TPU compiler here, no output matches the input layout). Building
+    teiJ first, dropping the input, then deriving teiK bounds the peak at
+    8/8, the same as shipping both tables from the host did."""
+    teiJ = _tei_J_from_J3(teiJ3)
+    del teiJ3
+    teiK = _tei_K_from_J(teiJ, nprim)
+    return teiJ, teiK
 
 
 def _to4(P, nang, nrad):
