@@ -118,13 +118,20 @@ def eig_blocks_dia(ops: DiatomicOperators, F: jnp.ndarray):
     return eig_blocks_dia_b(ops, gather_blocks_dia(ops, F))
 
 
-def eig_blocks_dia_host(ops: DiatomicOperators, F: np.ndarray):
+def eig_blocks_dia_host(ops: DiatomicOperators, F: np.ndarray,
+                        return_v: bool = False):
     """Host (LAPACK) mirror of eig_blocks_dia, same conventions. At
-    lmax=12-class discretizations (largest whitened block ~900^2) the
-    on-device batched eigh's emulated-f64 QR workspace ResourceExhausts /
-    crashes the TPU worker on top of the resident operator tables; the
-    big-basis SCF runs a host loop that already holds F on the host, so
-    LAPACK per block is both safe and fast there."""
+    lmax=12-class discretizations (largest whitened block ~490^2 x 10
+    blocks) the on-device batched eigh CRASHES THE TPU WORKER -- measured
+    on chip 2026-08-21: even the workspace-chunked _eigh_chunked (2 blocks
+    per lax.map step) kills the worker process, reproducibly, on an
+    otherwise healthy chip (J built and ran fine seconds before). The
+    big-basis SCF therefore runs a host loop where LAPACK per block is
+    safe; the warm device refinement (_dia_host_warm) removes most of the
+    LAPACK calls and their double tunnel transfers.
+
+    return_v=True also returns the whitened eigenvectors V (the warm
+    refinement's seed; C = blk_sinvh @ V)."""
     nbf = F.shape[0]
     bi = np.asarray(ops.blk_idx)
     bs = np.asarray(ops.blk_sinvh)
@@ -135,7 +142,32 @@ def eig_blocks_dia_host(ops: DiatomicOperators, F: np.ndarray):
     Forth = Forth + _BIG * np.eye(bi.shape[1])[None] * pad[:, None, :]
     E, V = np.linalg.eigh(Forth)
     C = np.einsum("bpi,bij->bpj", bs, V, optimize=True)
-    return E, C
+    return (E, C, V) if return_v else (E, C)
+
+
+@jax.jit
+def _dia_host_warm(ops: DiatomicOperators, F: jnp.ndarray, V0: jnp.ndarray):
+    """Warm-refinement half of the big-basis hybrid eigensolve: gather F
+    into blocks, run matmul-only refinement sweeps from the previous
+    iteration's whitened eigenvectors V0, and return (E, C, V, off) with
+    off the exact residual certificate. NO device eigh anywhere -- the
+    cold path at this size crashes the TPU worker (see
+    eig_blocks_dia_host), so the HOST decides on `off` and falls back to
+    LAPACK itself."""
+    from helfem_tpu.utils.linalg import _refine_passes, _sort_eigs
+
+    bi = ops.blk_idx
+    nbf = ops.S.shape[0]
+    Fb = gather_blocks_dia(ops, F)
+    Forth = jnp.einsum("bpi,bpq,bqj->bij", ops.blk_sinvh, Fb, ops.blk_sinvh)
+    pad = (bi == nbf).astype(F.dtype)
+    Forth = Forth + _BIG * jnp.eye(bi.shape[1])[None] * pad[:, None, :]
+    E0 = jnp.diagonal(jnp.swapaxes(V0, -1, -2) @ Forth @ V0,
+                      axis1=-2, axis2=-1)
+    E, V, off = _refine_passes(Forth, E0, V0, 4, 1e-9)
+    E, V = _sort_eigs(E, V)
+    C = jnp.einsum("bpi,bij->bpj", ops.blk_sinvh, V)
+    return E, C, V, off
 
 
 def fock_m_average_dia(F: np.ndarray, basis) -> np.ndarray:
@@ -595,18 +627,30 @@ def scf_diatomic(
     def occ_select2(occ, no_t, no_w):
         sel = occ_select(occ, no_t)
         return sel if sel is not None else occ_select(occ, no_w)
-    # HELFEM_DIA_HOSTEIG=<nbf>: opt-in host (LAPACK) eigensolve fallback
-    # above that basis size. No longer the default at lmax=12-class bases:
-    # the chunked batched eigh (_eigh_chunked) bounds the emulated-f64 QR
-    # workspace that used to ResourceExhaust on top of the resident TEI
-    # tables, so the big-basis SCF now stays on device (fused chunks),
-    # killing the 21.6 s/iter host LAPACK + double tunnel transfer.
+    # HELFEM_DIA_HOSTEIG=<nbf>: host-controlled eigensolve above that
+    # basis size (default 2500, catching the lmax=12-class bases). The
+    # on-device emulated-f64 eigh at those block sizes CRASHES the TPU
+    # worker process -- measured on chip 2026-08-21, even with the
+    # workspace-chunked _eigh_chunked -- so big bases run the host loop
+    # with a HYBRID eigensolve: matmul-only warm refinement on device
+    # (_dia_host_warm, ~GFLOPs instead of a QR), accepted when its exact
+    # residual certificate beats the gate, with host LAPACK (and a seed
+    # refresh) as the fallback. No device QR ever runs at this size.
     host_eig = (jax.default_backend() != "cpu"
-                and nbf >= int(os.environ.get("HELFEM_DIA_HOSTEIG", 10**9)))
+                and nbf >= int(os.environ.get("HELFEM_DIA_HOSTEIG", 2500)))
+    wgate_h = min(0.1 * convthr, 1e-9)
+    Vw_host = [None]
 
     def eig_full(F):
         if host_eig:
-            return eig_blocks_dia_host(ops, np.asarray(F))
+            if Vw_host[0] is not None:
+                E, C, V, off = _dia_host_warm(ops, jnp.asarray(F), Vw_host[0])
+                if float(off) < wgate_h:
+                    Vw_host[0] = V
+                    return np.asarray(E), C
+            E, C, V = eig_blocks_dia_host(ops, np.asarray(F), return_v=True)
+            Vw_host[0] = jnp.asarray(V)
+            return E, C
         E, C = eig_blocks_dia(ops, jnp.asarray(F))
         return np.asarray(E), C
 

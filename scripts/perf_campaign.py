@@ -257,29 +257,32 @@ def _n2_stages(lmax, nnodes, rmax, dense_K):
         out["K_dense_compile_s"] = round(time.perf_counter() - t0, 2)
         out["K_dense_s"] = round(timeit(jK, P), 4)
     F = ops.H0 + Jm
-    jE_ = jax.jit(eig_blocks_dia)
-    jE = lambda F: jE_(ops, F)
     if basis.nbf < 2000:
+        jE_ = jax.jit(eig_blocks_dia)
+        jE = lambda F: jE_(ops, F)
         out["eig_device_s"] = round(timeit(jE, F), 4)
     else:
-        # big basis: time BOTH the on-device chunked eigensolve (the SCF
-        # default since round 4 -- lax.map'ed HELFEM_DIA_EIG_CHUNK blocks
-        # bound the emulated-f64 QR workspace, eig_blocks_dia_b) and the
-        # old host-LAPACK fallback it replaced (HELFEM_DIA_HOSTEIG path,
-        # pays double tunnel transfers in a TPU process)
-        try:
-            t0 = time.perf_counter()
-            _sync(jE(F)[0])
-            out["eig_device_compile_s"] = round(time.perf_counter() - t0, 2)
-            out["eig_device_chunked_s"] = round(timeit(jE, F), 4)
-        except Exception as e:  # noqa: BLE001 - OOM on some configs
-            out["eig_device_chunked_s"] = f"{type(e).__name__}: {e}"[:160]
-        from helfem_tpu.scf.diatomic_scf import eig_blocks_dia_host
+        # big basis: the on-device eigh at these block sizes CRASHES the
+        # TPU worker (measured 2026-08-21, even workspace-chunked), so the
+        # SCF runs the hybrid host path -- time BOTH halves: the host
+        # LAPACK solve (the cold fallback, pays double tunnel transfers)
+        # and the matmul-only warm refinement that replaces it on
+        # certificate-passing iterations (scf/diatomic_scf.py:eig_full)
+        from helfem_tpu.scf.diatomic_scf import (_dia_host_warm,
+                                                 eig_blocks_dia_host)
 
         Fn = np.asarray(F)
         t0 = time.perf_counter()
-        eig_blocks_dia_host(ops, Fn)
+        E_h, C_h, V_h = eig_blocks_dia_host(ops, Fn, return_v=True)
         out["eig_host_s"] = round(time.perf_counter() - t0, 4)
+        Vd = jnp.asarray(V_h)
+        t0 = time.perf_counter()
+        E_w, C_w, V_w, off = _dia_host_warm(ops, F, Vd)
+        _sync(off)
+        out["eig_warm_compile_s"] = round(time.perf_counter() - t0, 2)
+        out["eig_warm_s"] = round(
+            timeit(lambda F_: _dia_host_warm(ops, F_, Vd)[3], F), 4)
+        out["eig_warm_certificate_off"] = float(off)
     return out
 
 
