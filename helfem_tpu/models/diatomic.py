@@ -957,29 +957,31 @@ def exchange_dia_occ(ops: DiatomicOperators, Co: jnp.ndarray,
                      axis=1).transpose(0, 1, 2, 4, 3)  # [c, q, e, x, m]
     sgnF = jnp.asarray([[1.0, -1.0], [-1.0, 1.0]])  # R families [[00,02],[20,22]]
 
-    # (b, c) PAIR TRIANGLE: Kdiag[b,c,e,j,k] = Kdiag[c,b,e,k,j] exactly --
-    # the verified teiK pair-layout symmetry tK[q,r,(jk),(il)] =
-    # tK[r,q,(kj),(li)] composes with the rank-factor relation
-    # R_qr[b,c,I,J] = R_rq[c,b,J,I] (the q<->r family swap rides the
-    # b<->c transpose; holds for any sgn since the o-contraction carries
-    # it symmetrically) -- so the in-element Rg/Kd work runs on the
-    # b <= c pairs only (2x fewer FLOPs on the two dominant matmuls) and
-    # the full Kdiag is recovered by one transpose after the scan.
+    # (b, c) PAIR TRIANGLE for the TEI contraction: Kdiag[b,c,e,j,k] =
+    # Kdiag[c,b,e,k,j] exactly -- the verified teiK pair-layout symmetry
+    # tK[q,r,(jk),(il)] = tK[r,q,(kj),(li)] composes with the rank-factor
+    # relation R_qr[b,c,I,J] = R_rq[c,b,J,I] (the q<->r family swap rides
+    # the b<->c transpose; holds for any sgn since the o-contraction
+    # carries it symmetrically) -- so the Kd TEI matmul runs on the b <= c
+    # pairs only and the full Kdiag is recovered by one transpose after
+    # the scan. The Rg rank product itself runs on the FULL (b, c) grid
+    # (see the chunk_factors note: a real GEMM beats the triangle's tiny
+    # batched matmuls by far more than its 2x FLOPs).
     bP, cP = np.triu_indices(nang)
+    pair_flat = jnp.asarray((bP * nang + cP).astype(np.int32))
+    npair = int(bP.shape[0])
     bP = jnp.asarray(bP.astype(np.int32))
     cP = jnp.asarray(cP.astype(np.int32))
-    npair = int(bP.shape[0])
 
     nlm = int(ops.step_ilm.shape[0])
-    # dominant chunk intermediates: the pair-triangle Rg window tensor
-    # [s, 4, P, e, np^2] (~150 B per logical f64 element: the 8x
-    # f64-emulation stacking, tile padding, live copies, PLUS the resident
-    # argument tables the compile-time HBM accounting does not see --
-    # gs=4 at lmax=12 compiled but ResourceExhausted'd at runtime) plus
-    # the two pair-gathered AW operands (~16 B/elem f32-pair class);
-    # cross-term u/v factors are O(nang * no) and negligible
-    per_chan = (150.0 * 4.0 * npair * nelem * nprim * nprim
-                + 32.0 * 4.0 * npair * nelem * nprim * no)
+    # dominant chunk intermediates: the FULL-GRID Rg window tensor
+    # [s, q, r, e, b, c, np^2] (a dot OUTPUT -- f32-pair storage plus live
+    # copies and tile padding, ~100 B per logical f64 element measured
+    # envelope-side; the 150 B/elem class applies to dot OPERANDS, which
+    # the f64 emulation stacks 8x) plus the AW operands; cross-term u/v
+    # factors are O(nang * no) and negligible
+    per_chan = (100.0 * 4.0 * nang * nang * nelem * nprim * nprim
+                + 32.0 * 4.0 * nang * nelem * nprim * no)
     budget = float(_os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
     cap = int(_os.environ.get("HELFEM_EXCHANGE_STEPS", 64))
     gs = max(1, min(nlm, cap, int(budget // max(per_chan, 1.0))))
@@ -1015,17 +1017,23 @@ def exchange_dia_occ(ops: DiatomicOperators, Co: jnp.ndarray,
         vq = jnp.einsum("sqexm,sqtcmo->sqtecox", SS2T[ilm], WW[:, 1])
         vd = vq[:, 0] - vq[:, 1]  # v_0 - v_1  [s, t, e, c, o, x]
         cross = jnp.einsum("stebio,stecox->ebicx", ud, vd)
-        # in-element: window factors (A shared over k, q), the 2x2 rank
-        # product on the b <= c PAIR TRIANGLE only (see bP/cP note), then
-        # the TEI matmul with the family signs on the table
+        # in-element: window factors (A shared over k, q), then the 2x2
+        # rank product over the FULL (b, c) shell grid -- ONE real GEMM
+        # per (s, q, r, e) with M = (b i) = nang*nprim, N = (c l),
+        # K = (t o), instead of nang(nang+1)/2 tiny [2*nprim x 2*nprim x
+        # 2*no] batched matmuls. Measured on chip at the reference-
+        # converged N2 (lmax=12, nang=59): the pair-triangle batched form
+        # ran at ~2 GF/s and cost 17.5 s of the 38.9 s call; the full-grid
+        # GEMM pays 1.97x the FLOPs at MXU-amortizing shapes. The b <= c
+        # triangle is then GATHERED (one take along the flattened (b, c)
+        # axis) so the downstream TEI matmul keeps its halved cost.
         AW = jnp.einsum("ein,skqtbno->skqtebio", A, WW)
-        A0 = jnp.take(AW[:, 0], bP, axis=4)  # [s, q, t, e, P, i, o]
-        A1 = jnp.take(AW[:, 1], cP, axis=4)  # [s, r, t, e, P, l, o]
-        Rg = jnp.einsum("sqtePio,srtePlo->sqrPeil", A0, A1)
-        Rgv = Rg.reshape(*Rg.shape[:5], -1)  # [s, q, r, P, e, np^2(il)]
+        Rgf = jnp.einsum("sqtebio,srteclo->sqrebcil", AW[:, 0], AW[:, 1])
+        Rgp = Rgf.reshape(*Rgf.shape[:4], nang * nang, nprim * nprim)
+        Rgv = jnp.take(Rgp, pair_flat, axis=4)  # [s, q, r, e, P, np^2(il)]
         tK = ops.teiK[ilm].reshape(-1, 2, 2, *ops.teiK.shape[2:])
         tK = tK * sgnF[None, :, :, None, None, None]
-        Kd = jnp.einsum("sqrexy,sqrPey->Pex", tK, Rgv)
+        Kd = jnp.einsum("sqrexy,sqrePy->Pex", tK, Rgv)
         return Kd, cross
 
     def body(carry, xs_):

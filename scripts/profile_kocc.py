@@ -56,13 +56,12 @@ def make_prefix(ops, basis, no, stage):
     sgnF = jnp.asarray([[1.0, -1.0], [-1.0, 1.0]])
 
     bP, cP = np.triu_indices(nang)
-    bP = jnp.asarray(bP.astype(np.int32))
-    cP = jnp.asarray(cP.astype(np.int32))
+    pair_flat = jnp.asarray((bP * nang + cP).astype(np.int32))
     npair = int(bP.shape[0])
 
     nlm = int(ops.step_ilm.shape[0])
-    per_chan = (150.0 * 4.0 * npair * nelem * nprim * nprim
-                + 32.0 * 4.0 * npair * nelem * nprim * no)
+    per_chan = (100.0 * 4.0 * nang * nang * nelem * nprim * nprim
+                + 32.0 * 4.0 * nang * nelem * nprim * no)
     budget = float(os.environ.get("HELFEM_EXCHANGE_HBM", 4e9))
     cap = int(os.environ.get("HELFEM_EXCHANGE_STEPS", 64))
     gs = max(1, min(nlm, cap, int(budget // max(per_chan, 1.0))))
@@ -89,17 +88,17 @@ def make_prefix(ops, basis, no, stage):
         if stage == "factors":
             return jnp.sum(cross)
         AW = jnp.einsum("ein,skqtbno->skqtebio", A, WW)
-        A0 = jnp.take(AW[:, 0], bP, axis=4)
-        A1 = jnp.take(AW[:, 1], cP, axis=4)
         if stage == "gathers":
-            return jnp.sum(A0) + jnp.sum(A1) + jnp.sum(cross)
-        Rg = jnp.einsum("sqtePio,srtePlo->sqrPeil", A0, A1)
+            return jnp.sum(AW) + jnp.sum(cross)
+        # full-grid rank GEMM + pair-triangle gather (see exchange_dia_occ)
+        Rgf = jnp.einsum("sqtebio,srteclo->sqrebcil", AW[:, 0], AW[:, 1])
         if stage == "rg":
-            return jnp.sum(Rg) + jnp.sum(cross)
-        Rgv = Rg.reshape(*Rg.shape[:5], -1)
+            return jnp.sum(Rgf) + jnp.sum(cross)
+        Rgp = Rgf.reshape(*Rgf.shape[:4], nang * nang, nprim * nprim)
+        Rgv = jnp.take(Rgp, pair_flat, axis=4)
         tK = ops.teiK[ilm].reshape(-1, 2, 2, *ops.teiK.shape[2:])
         tK = tK * sgnF[None, :, :, None, None, None]
-        Kd = jnp.einsum("sqrexy,sqrPey->Pex", tK, Rgv)
+        Kd = jnp.einsum("sqrexy,sqrePy->Pex", tK, Rgv)
         return jnp.sum(Kd) + jnp.sum(cross)
 
     @jax.jit
