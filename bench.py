@@ -464,10 +464,15 @@ def main():
     # heavier profile points, best-effort within the remaining budget.
     # Cost estimates are deliberately generous (compile walls included);
     # a config that would not fit is recorded as skipped, not attempted.
+    # cost estimates assume a WARM persistent compile cache (on by default
+    # since round 5; a bench rehearsal run populates it) -- round-5
+    # on-chip stage walls: Xe compiles 34+15 s cached to seconds + SCF;
+    # lmax=12 N2 setup 21.6 s, J 1.1 s, K_occ 13.4 s, hybrid eig 0.2-15 s
+    # per iteration
     extras = [
-        ("xe_hf_lmax3", bench_xe, 320.0),
-        ("gensap_kr", bench_gensap, 200.0),
-        ("n2_hf_lmax12", bench_n2_converged, 1400.0),
+        ("xe_hf_lmax3", bench_xe, 180.0),
+        ("gensap_kr", bench_gensap, 150.0),
+        ("n2_hf_lmax12", bench_n2_converged, 650.0),
     ]
     for key, fn, est_s in extras:
         remaining = BUDGET_S - (time.monotonic() - _T0)

@@ -15,6 +15,9 @@ from dataclasses import dataclass
 
 from functools import lru_cache
 
+import os
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -695,7 +698,16 @@ def scf_atom(
     fused = None
     hist = None
     it = 0
+    # HELFEM_ITER_WALL=1: per-iteration wall-clock prints (phase analysis
+    # on the TPU tunnel, where per-dispatch latency and host transfers --
+    # not FLOPs -- often dominate the host-loop iterations)
+    _iterwall = os.environ.get("HELFEM_ITER_WALL") == "1"
+    _tw = time.perf_counter() if _iterwall else 0.0
     while it < maxit:
+        if _iterwall:
+            _tn = time.perf_counter()
+            print(f"[iterwall] iter {it:3d} starts at +{_tn - _tw:.3f}s",
+                  flush=True)
         it += 1
         if occ_fix is not None:
             occa = occ_fix[0]

@@ -641,11 +641,19 @@ def scf_diatomic(
     wgate_h = min(0.1 * convthr, 1e-9)
     Vw_host = [None]
 
+    _iterwall = os.environ.get("HELFEM_ITER_WALL") == "1"
+
     def eig_full(F):
         if host_eig:
             if Vw_host[0] is not None:
                 E, C, V, off = _dia_host_warm(ops, jnp.asarray(F), Vw_host[0])
-                if float(off) < wgate_h:
+                offh = float(off)
+                if _iterwall:
+                    print(f"[iterwall] dia eig warm cert off = {offh:.3e} "
+                          f"(gate {wgate_h:.1e}) -> "
+                          f"{'warm' if offh < wgate_h else 'LAPACK'}",
+                          flush=True)
+                if offh < wgate_h:
                     Vw_host[0] = V
                     return np.asarray(E), C
             E, C, V = eig_blocks_dia_host(ops, np.asarray(F), return_v=True)
