@@ -542,6 +542,55 @@ class DiatomicBasis:
         # measured ~50 MB/s, so shipping both full tables dominated the
         # TPU-process setup at big bases (297 s at N2 lmax=12, PERF_TPU_r03)
         teiJ3, _, dP0, dP2, dQ0, dQ2 = self.compute_tei(k_layout=False)
+        # Balance the disjoint P/Q moment tables per (L,|M|) channel: TPU
+        # f64 is emulated as f32 pairs, so any |value| > ~3.4e38 overflows
+        # to inf even though it is a representable double. The P_LM(cosh mu)
+        # moments reach ~1e49 at the reference-converged lmax=12 (L up to
+        # 26, mu_max ~ 4.3) while the paired Q_LM moments underflow toward
+        # zero; only same-channel P x Q products across elements are ever
+        # consumed (the Neumann-expansion pairing in coulomb_dia /
+        # exchange_dia / exchange_dia_occ and the sharded mesh mirrors),
+        # so scaling dP by alpha_c and dQ by 1/alpha_c with
+        # alpha_c = sqrt(max|dQ_c| / max|dP_c|) leaves every product
+        # unchanged in real f64 and keeps both factors within f32-pair
+        # range on TPU. Measured on chip: without this, the first lmax=12
+        # Fock build is NaN from the inf * 0 disjoint terms.
+        mP = np.maximum(np.abs(dP0).max(axis=(1, 2, 3)),
+                        np.abs(dP2).max(axis=(1, 2, 3)))
+        mQ = np.maximum(np.abs(dQ0).max(axis=(1, 2, 3)),
+                        np.abs(dQ2).max(axis=(1, 2, 3)))
+        ok = (mP > 0) & (mQ > 0)
+        alpha = np.where(ok, np.sqrt(np.where(ok, mQ, 1.0) /
+                                     np.where(ok, mP, 1.0)), 1.0)
+        a4 = alpha[:, None, None, None]
+        dP0, dP2 = dP0 * a4, dP2 * a4
+        dQ0, dQ2 = dQ0 / a4, dQ2 / a4
+        # Residual-range guard: when the INTRA-channel dynamic range is
+        # itself beyond f32 (Q_LM diverges at the innermost element while
+        # P_LM explodes at the outermost -- sqrt(mP*mQ) approaches the
+        # 3.4e38 f32 ceiling around L ~ 20 at rmax=40), no global scaling
+        # can keep the factorized cross-element intermediates in range and
+        # the on-chip Fock goes NaN (measured at lmax=12: J and K_occ NaN
+        # from finite tables). The f64-capable fix is a scaled linear
+        # recurrence for the element prefix sums (the reference's own
+        # between-segment rescaling, quadrature.cpp:75-80, lifted to the
+        # cross-element factorization); until then, warn loudly so users
+        # get a diagnostic instead of silent NaNs, and run such
+        # discretizations on the CPU backend (real f64, exact there).
+        bal = max(float(np.abs(dP0).max()), float(np.abs(dP2).max()),
+                  float(np.abs(dQ0).max()), float(np.abs(dQ2).max()))
+        if bal > 1e30 and jax.default_backend() != "cpu":
+            import warnings
+
+            warnings.warn(
+                f"diatomic disjoint P/Q tables reach {bal:.2e} after "
+                "channel balancing; the accelerator's f32-pair f64 "
+                "emulation overflows around 3.4e38 and the factorized "
+                "cross-element Coulomb/exchange terms will produce NaNs "
+                "at this angular momentum / box size. Run this "
+                "discretization on the CPU backend (JAX_PLATFORMS=cpu).",
+                stacklevel=2,
+            )
         nprim = self.fem.nprim
         teiJ_dev, teiK_dev = tei_from_J3(jnp.asarray(teiJ3), nprim)
 
